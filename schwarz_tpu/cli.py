@@ -1,0 +1,291 @@
+"""Command-line benchmark driver — the equivalent of ``bench_ras``
+(benchmarking/bench_ras.cpp + the ~45 gflags of bench_base.hpp:50-144).
+
+Flag names mirror the reference where the concept carries over; TPU-specific
+replacements are noted inline.  Run e.g.::
+
+    python -m schwarz_tpu.cli --explicit_laplacian --set_1d_laplacian_size 64 \
+        --num_subdomains 4 --overlap 3 --set_tol 1e-6 --enable_global_check
+
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="schwarz_tpu",
+        description="TPU-native restricted additive Schwarz solver",
+    )
+    # problem (bench_base.hpp:57-66)
+    p.add_argument("--matrix_filename", default="null",
+                   help="MatrixMarket file; 'null' uses the generated problem")
+    p.add_argument("--explicit_laplacian", action="store_true",
+                   help="generate the in-house 2D Laplacian")
+    p.add_argument("--set_1d_laplacian_size", type=int, default=16,
+                   help="grid side n; global size n^2")
+    p.add_argument("--problem", default="laplacian",
+                   choices=["laplacian", "anisotropic", "advection"],
+                   help="generated problem family (replaces the deal.II drivers)")
+    p.add_argument("--enable_random_rhs", action="store_true")
+    # decomposition (bench_base.hpp:91-96)
+    p.add_argument("--num_subdomains", type=int, default=None,
+                   help="default: one per device")
+    p.add_argument("--overlap", type=int, default=2)
+    p.add_argument("--partition", default="regular",
+                   choices=["regular", "regular2d", "metis"])
+    p.add_argument("--metis_objtype", default="edgecut")
+    # solver (bench_base.hpp:54-56, 67-90)
+    p.add_argument("--set_tol", type=float, default=1e-6)
+    p.add_argument("--local_tol", type=float, default=1e-12)
+    p.add_argument("--num_iters", type=int, default=100)
+    p.add_argument("--local_max_iters", type=int, default=-1)
+    p.add_argument("--local_solver", default="iterative-ginkgo",
+                   help="cg | gmres | cholesky | lu "
+                        "(aliases: iterative-ginkgo->cg, direct-cholmod->cholesky,"
+                        " direct-umfpack/direct-ginkgo->lu)")
+    p.add_argument("--non_symmetric_matrix", action="store_true")
+    p.add_argument("--restart_iter", type=int, default=30)
+    p.add_argument("--reset_local_crit_iter", type=int, default=-1)
+    p.add_argument("--use_precond", action="store_true")
+    p.add_argument("--precond", default="block-jacobi",
+                   choices=["jacobi", "block-jacobi"])
+    p.add_argument("--precond_max_block_size", type=int, default=16)
+    # communication (bench_base.hpp:97-130)
+    p.add_argument("--enable_onesided", action="store_true")
+    p.add_argument("--enable_overlap", action="store_true",
+                   help="overlap communication with computation")
+    p.add_argument("--enable_put_all_local_residual_norms", action="store_true")
+    p.add_argument("--enable_comm_overlap_staleness", type=int, default=1,
+                   help="halo staleness (iterations) in async emulation")
+    p.add_argument("--use_mixed_precision", action="store_true",
+                   help="float32 halo buffers with float64 compute")
+    p.add_argument("--flush_type", default="flush-all",
+                   help="accepted for parity; RDMA flush discipline")
+    p.add_argument("--lock_type", default="lock-all",
+                   help="accepted for parity; RDMA lock discipline")
+    p.add_argument("--remote_comm_type", default="get", choices=["put", "get"])
+    p.add_argument("--comm_strategy", default="all_gather",
+                   choices=["all_gather", "neighbor", "rdma"])
+    # convergence (bench_base.hpp:131-140)
+    p.add_argument("--enable_global_check", action="store_true", default=True)
+    p.add_argument("--global_convergence_type", default="centralized-tree",
+                   help="allgather | allreduce | tree | decentralized")
+    p.add_argument("--enable_decentralized_accumulate", action="store_true")
+    p.add_argument("--enable_global_check_iter_offset", action="store_true")
+    p.add_argument("--local_convergence_crit", default="solution-based",
+                   choices=["solution-based", "residual-based"])
+    # precision / execution
+    p.add_argument("--dtype", default="float64", choices=["float32", "float64"])
+    p.add_argument("--executor", default="auto",
+                   help="auto | tpu | cpu (reference: omp/cuda/reference)")
+    p.add_argument("--num_devices", type=int, default=None)
+    # output (bench_base.hpp:141-144)
+    p.add_argument("--enable_logging", action="store_true")
+    p.add_argument("--write_iters_and_residuals", action="store_true")
+    p.add_argument("--write_comm_data", action="store_true")
+    p.add_argument("--timings_file", default="null")
+    p.add_argument("--print_config", action="store_true", default=True)
+    p.add_argument("--debug_print", action="store_true")
+    p.add_argument("--instrument", action="store_true",
+                   help="per-stage timing (unfused loop; slower)")
+    return p
+
+
+def settings_from_args(args):
+    from schwarz_tpu.config import (
+        CommSettings,
+        ConvergenceSettings,
+        GlobalConvergence,
+        HaloStrategy,
+        LocalCriterion,
+        LocalSolver,
+        Partition,
+        Precond,
+        Settings,
+    )
+
+    solver_alias = {
+        "cg": LocalSolver.iterative_cg,
+        "iterative-ginkgo": LocalSolver.iterative_cg,
+        "gmres": LocalSolver.iterative_gmres,
+        "cholesky": LocalSolver.direct_cholesky,
+        "direct-cholmod": LocalSolver.direct_cholesky,
+        "lu": LocalSolver.direct_lu,
+        "direct-umfpack": LocalSolver.direct_lu,
+        "direct-ginkgo": LocalSolver.direct_lu,
+    }
+    if args.local_solver not in solver_alias:
+        sys.exit(
+            f"error: unknown --local_solver '{args.local_solver}' "
+            f"(choose from {', '.join(sorted(solver_alias))})"
+        )
+    local_solver = solver_alias[args.local_solver]
+    if args.non_symmetric_matrix and local_solver == LocalSolver.iterative_cg:
+        local_solver = LocalSolver.iterative_gmres  # solve.cpp:746-752 dispatch
+
+    conv_alias = {
+        "allgather": GlobalConvergence.allgather,
+        "allreduce": GlobalConvergence.allreduce,
+        "tree": GlobalConvergence.tree,
+        "centralized-tree": GlobalConvergence.tree,
+        "decentralized": GlobalConvergence.decentralized,
+    }
+    if args.enable_onesided:
+        method = conv_alias[args.global_convergence_type]
+    else:
+        method = (
+            GlobalConvergence.allgather
+            if args.enable_global_check
+            else GlobalConvergence.allreduce
+        )
+
+    return Settings(
+        partition=Partition[args.partition],
+        overlap=args.overlap,
+        local_solver=local_solver,
+        non_symmetric_matrix=args.non_symmetric_matrix,
+        restart_iter=args.restart_iter,
+        reset_local_crit_iter=args.reset_local_crit_iter,
+        precond=(
+            Precond.block_jacobi
+            if args.use_precond and args.precond == "block-jacobi"
+            else Precond.jacobi if args.use_precond else Precond.none
+        ),
+        block_jacobi_block_size=args.precond_max_block_size,
+        max_iters=args.num_iters,
+        tolerance=args.set_tol,
+        local_tolerance=args.local_tol,
+        local_max_iters=args.local_max_iters,
+        comm=CommSettings(
+            onesided=args.enable_onesided,
+            overlap_comm=args.enable_overlap,
+            strategy=HaloStrategy(args.comm_strategy),
+            staleness=(
+                args.enable_comm_overlap_staleness if args.enable_onesided else 0
+            ),
+            enable_put=args.remote_comm_type == "put",
+            enable_get=args.remote_comm_type == "get",
+        ),
+        convergence=ConvergenceSettings(
+            method=method,
+            criterion=(
+                LocalCriterion.residual_based
+                if args.local_convergence_crit == "residual-based"
+                else LocalCriterion.solution_based
+            ),
+            put_all_local_residual_norms=args.enable_put_all_local_residual_norms,
+            enable_accumulate=args.enable_decentralized_accumulate,
+            enable_global_check_iter_offset=args.enable_global_check_iter_offset,
+        ),
+        dtype=args.dtype,
+        halo_dtype="float32" if args.use_mixed_precision else None,
+        metis_objtype=args.metis_objtype,
+        debug_print=args.debug_print,
+        write_iters_and_residuals=args.write_iters_and_residuals,
+        enable_logging=args.enable_logging,
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.executor == "cpu":
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    from schwarz_tpu import generate_rhs, read_mtx
+    from schwarz_tpu.models import (
+        advection_diffusion_2d,
+        anisotropic_diffusion_2d,
+        laplacian_2d,
+    )
+    from schwarz_tpu.core.decompose import decompose
+    from schwarz_tpu.ras import RASolver
+    from schwarz_tpu.utils import (
+        write_comm_data,
+        write_iters_and_residuals,
+        write_timings,
+    )
+
+    settings = settings_from_args(args)
+
+    if args.matrix_filename != "null":
+        try:
+            mat = read_mtx(args.matrix_filename)
+        except FileNotFoundError:
+            # cf. the reference's message, initialization.cpp:206-209
+            sys.exit(
+                f'Could not find the file "{args.matrix_filename}", '
+                "which is required for this run."
+            )
+        print(f"Matrix from file {args.matrix_filename}", file=sys.stderr)
+    else:
+        n = args.set_1d_laplacian_size
+        gen = {
+            "laplacian": laplacian_2d,
+            "anisotropic": anisotropic_diffusion_2d,
+            "advection": advection_diffusion_2d,
+        }[args.problem]
+        mat = gen(n)
+        print(f"{args.problem} 2D matrix (generated in house), n={mat.n}",
+              file=sys.stderr)
+    rhs = generate_rhs(mat.n, random=args.enable_random_rhs)
+
+    S = args.num_subdomains or max(1, len(jax.devices()))
+    if args.print_config:
+        print(
+            f"config: S={S} overlap={settings.overlap} "
+            f"solver={settings.local_solver.value} tol={settings.tolerance} "
+            f"partition={settings.partition.value} dtype={settings.dtype} "
+            f"conv={settings.convergence.method.value} "
+            f"devices={len(jax.devices())}",
+            file=sys.stderr,
+        )
+
+    dec = decompose(mat, rhs, settings, S)
+    solver = RASolver(dec)
+    if args.instrument:
+        result = solver.run_instrumented()
+    else:
+        result = solver.run()
+
+    status = "converged" if result.converged else (
+        "DIVERGED" if result.diverged else "did not converge")
+    print(
+        f" {status} in {result.iters} iterations\n"
+        f" residual norm {result.residual_norm:.6e}\n"
+        f" relative residual norm of solution "
+        f"{result.relative_residual_norm:.6e}\n"
+        f" Time taken for solve {result.solve_time_s:.6f}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "converged": result.converged,
+        "iters": result.iters,
+        "relative_residual_norm": result.relative_residual_norm,
+        "solve_time_s": result.solve_time_s,
+    }))
+
+    if args.write_iters_and_residuals:
+        write_iters_and_residuals(
+            result.local_resnorm_history, result.global_resnorm_history,
+            result.inner_iters_history, "",
+        )
+    if args.write_comm_data:
+        write_comm_data(result.comm_matrix, result.iters, "comm_data.csv")
+    if args.timings_file != "null" and getattr(result, "stage_timings", None):
+        write_timings(result.stage_timings, args.timings_file)
+    return 0 if result.converged else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

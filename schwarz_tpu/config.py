@@ -1,0 +1,238 @@
+"""Configuration system for the TPU-native restricted additive Schwarz framework.
+
+This is the TPU-native equivalent of the reference Settings / Metadata structs
+(reference: include/settings.hpp:77-305 ``Settings`` and :318-496 ``Metadata``).
+Instead of C++ structs threaded by mutable reference through mixin classes, we use
+frozen dataclasses: :class:`Settings` is static configuration (hashable, usable as a
+jit static argument) and :class:`Metadata` is the derived per-run description produced
+by setup.  All mutable per-iteration state lives in the :class:`~schwarz_tpu.ras`
+solver-state pytree instead.
+
+Knob coverage (reference include/settings.hpp):
+  - executor choice          -> jax platform / Mesh (settings.hpp:80-90)
+  - partition_settings       -> Partition enum      (settings.hpp:94-102)
+  - overlap                  -> overlap             (settings.hpp:107-108)
+  - matrix_filename / explicit_laplacian -> problem spec lives in models/ drivers
+  - use_mixed_precision      -> halo_dtype          (settings.hpp:122)
+  - local_solver_settings    -> LocalSolver enum    (settings.hpp:142-151)
+  - non_symmetric_matrix / restart_iter / reset_local_crit_iter
+                             -> same names          (settings.hpp:156-166)
+  - use_precond              -> precond             (settings.hpp:181)
+  - comm_settings            -> CommSettings        (settings.hpp:217-268)
+  - convergence_settings     -> ConvergenceSettings (settings.hpp:273-290)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+class Partition(enum.Enum):
+    """Partitioning strategy (reference include/settings.hpp:94-102).
+
+    ``zoltan`` / ``custom`` are NOT_IMPLEMENTED in the reference
+    (source/initialization.cpp:295-297, 321-327); here ``custom`` is supported by
+    passing explicit ``partition_indices`` to setup, and ``zoltan`` is subsumed by
+    ``metis`` (our pure graph-bisection partitioner).
+    """
+
+    regular = "regular"          # contiguous 1-D row blocks
+    regular2d = "regular2d"      # square grid blocks (5-pt Laplacian domains)
+    metis = "metis"              # graph partition (recursive bisection + refinement)
+    custom = "custom"            # user-provided partition_indices
+
+
+class LocalSolver(enum.Enum):
+    """Local subdomain solver (reference include/settings.hpp:142-151).
+
+    The TPU mapping of the reference's menu:
+      - ``iterative_cg``     <- iterative_solver_ginkgo + symmetric (solve.cpp:571-652)
+      - ``iterative_gmres``  <- iterative_solver_ginkgo + non_symmetric (solve.cpp:486-570)
+      - ``direct_cholesky``  <- direct_solver_cholmod   (solve.cpp:92-143): batched
+        *dense* Cholesky on device — dense factors feed the MXU, replacing CHOLMOD's
+        host supernodal factorization + GPU triangular solves.
+      - ``direct_lu``        <- direct_solver_umfpack / direct_solver_ginkgo
+        (solve.cpp:144-173, 281-455): batched dense LU + pivoting on device.
+    """
+
+    iterative_cg = "cg"
+    iterative_gmres = "gmres"
+    direct_cholesky = "cholesky"
+    direct_lu = "lu"
+
+
+class Precond(enum.Enum):
+    """Local preconditioner (reference solve.cpp:490-556: none / block-Jacobi /
+    ParILU / ISAI).  TPU menu: none, diagonal Jacobi, block-Jacobi (batched dense
+    diagonal-block inverses applied on the MXU)."""
+
+    none = "none"
+    jacobi = "jacobi"
+    block_jacobi = "block_jacobi"
+
+
+class HaloStrategy(enum.Enum):
+    """How overlap/halo values of the iterate travel between devices.
+
+    The reference's comm matrix (README.md:63-79; include/settings.hpp:217-268)
+    is {onesided, twosided} x {put, get} x {gathered, one_by_one} MPI.  The
+    TPU-native equivalents:
+      - ``all_gather``: replicate interior slices via ``lax.all_gather`` over ICI and
+        gather halo values locally.  Simple, bandwidth-heavy; the analogue of the
+        reference's "global_solution on every rank" design (schwarz_base.cpp:340).
+      - ``neighbor``:  per-neighbor packed buffers moved with ``lax.ppermute`` /
+        ``ragged_all_to_all`` rounds — the analogue of gathered Isend/Irecv
+        (restricted_schwarz.cpp:855-973).
+      - ``rdma``: Pallas ``make_async_remote_copy`` one-sided remote DMA with
+        semaphores — the analogue of MPI_Put/Get windows (restricted_schwarz.cpp:714-852).
+    """
+
+    all_gather = "all_gather"
+    neighbor = "neighbor"
+    rdma = "rdma"
+
+
+class GlobalConvergence(enum.Enum):
+    """Global convergence detection (reference C16-C19).
+
+    - ``allgather``:     sum of all local norms, trust-local detection
+                         (solve.cpp:888-948, ``enable_global_check``)
+    - ``allreduce``:     count converged ranks via psum (solve.cpp:949-953)
+    - ``tree``:          centralized binary-tree push-up/push-down protocol
+                         (Yamazaki 2019; include/conv_tools.hpp:146-209) emulated as a
+                         per-iteration int32 state machine over the mesh
+    - ``decentralized``: leader-election bit-vector gossip (Bahi 2005;
+                         include/conv_tools.hpp:212-275)
+    """
+
+    allgather = "allgather"
+    allreduce = "allreduce"
+    tree = "tree"
+    decentralized = "decentralized"
+
+
+class LocalCriterion(enum.Enum):
+    """Local convergence criterion (reference settings.hpp:282-288):
+    ``solution_based`` overwrites the interior slice each iteration;
+    ``residual_based`` accumulates (communicate.cpp:81-93)."""
+
+    solution_based = "solution_based"
+    residual_based = "residual_based"
+
+
+@dataclasses.dataclass(frozen=True)
+class CommSettings:
+    """Communication paradigm settings (reference include/settings.hpp:217-268).
+
+    ``enable_onesided`` selects the asynchronous path; on TPU the synchronous
+    emulation keeps all devices in one program but allows *stale* halos
+    (``staleness`` > 0 reproduces the one-sided algorithm's tolerance of delayed
+    neighbor data, cf. the skipped iteration-0 exchange restricted_schwarz.cpp:725).
+    ``enable_overlap`` double-buffers the halo so communication of iterate k
+    overlaps with the local solve of iterate k (restricted_schwarz.cpp:855-973).
+    """
+
+    onesided: bool = False
+    overlap_comm: bool = False         # <- comm_settings.enable_overlap
+    strategy: HaloStrategy = HaloStrategy.all_gather
+    staleness: int = 0                 # halo age in iterations for async emulation
+    # put/get x one_by_one flags kept for config parity; they select RDMA direction
+    # and granularity when strategy == rdma (README.md:63-69).
+    enable_put: bool = False
+    enable_get: bool = True
+    enable_one_by_one: bool = False
+    stage_through_host: bool = False   # host-staged transfers (schwarz_base.cpp:344-348)
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvergenceSettings:
+    """Convergence detection settings (reference include/settings.hpp:273-290)."""
+
+    method: GlobalConvergence = GlobalConvergence.allgather
+    criterion: LocalCriterion = LocalCriterion.solution_based
+    # put vs propagate for async residual-norm sharing (conv_tools.hpp:55-142):
+    put_all_local_residual_norms: bool = True
+    enable_accumulate: bool = False
+    # delay global checks for the first 5% of max_iters (solve.cpp:992-996)
+    enable_global_check_iter_offset: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    """All user-tunable knobs (reference include/settings.hpp:77-305).
+
+    Frozen and hashable so the whole object can be a static argument to jitted
+    setup/solve functions; numeric/dtype fields that feed traced computation are
+    read at trace time.
+    """
+
+    partition: Partition = Partition.regular
+    overlap: int = 2                         # MINIMAL_OVERLAP (settings.hpp:64,108)
+    local_solver: LocalSolver = LocalSolver.iterative_cg
+    non_symmetric_matrix: bool = False
+    restart_iter: int = 30                   # GMRES restart (settings.hpp:161)
+    reset_local_crit_iter: int = -1          # (settings.hpp:166)
+    precond: Precond = Precond.none
+    block_jacobi_block_size: int = 16
+    max_iters: int = 100                     # outer iterations (bench_base.hpp:55)
+    tolerance: float = 1e-6                  # outer rel. residual (bench_base.hpp:54)
+    local_tolerance: float = 1e-12           # inner reduction factor (bench_base.hpp:56)
+    local_max_iters: int = -1                # -1: local_size_x (solve.cpp:723-728)
+    comm: CommSettings = dataclasses.field(default_factory=CommSettings)
+    convergence: ConvergenceSettings = dataclasses.field(
+        default_factory=ConvergenceSettings)
+    # Value dtype for the solve; reference computes in double (settings.hpp:526-537).
+    dtype: str = "float64"
+    # Mixed-precision halo dtype (settings.hpp:122 use_mixed_precision pairs double
+    # compute with float halo buffers); None = same as dtype.
+    halo_dtype: Optional[str] = None
+    metis_objtype: str = "edgecut"           # (settings.hpp:176)
+    # Debug / output toggles (settings.hpp:127-207)
+    debug_print: bool = False
+    print_matrices: bool = False
+    write_debug_out: bool = False
+    write_iters_and_residuals: bool = False
+    enable_logging: bool = False
+    # padding multiple for subdomain row counts (TPU lane alignment)
+    row_pad_multiple: int = 8
+
+    @property
+    def value_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def halo_value_dtype(self):
+        return jnp.dtype(self.halo_dtype) if self.halo_dtype else self.value_dtype
+
+    def replace(self, **kw) -> "Settings":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class Metadata:
+    """Static, derived description of a decomposed problem — the immutable subset of
+    the reference ``Metadata`` struct (include/settings.hpp:318-496).  Sizes here are
+    the *padded* (static-shape) sizes used on device; exact per-subdomain sizes live
+    as arrays inside the decomposition plan.
+
+    Mutable run state of the reference Metadata (iter_count, residual norms, timing
+    structs) lives in the solver-state pytree / metrics module instead.
+    """
+
+    global_size: int
+    num_subdomains: int
+    overlap: int
+    # padded per-subdomain sizes (uniform across subdomains; TPU static shapes)
+    max_interior: int       # padded interior rows   (metadata.local_size)
+    max_rows: int           # padded interior+overlap (metadata.local_size_x)
+    max_ext: int            # padded interior+overlap+ghost ring
+    ell_width_local: int    # ELL nnz/row of padded local matrices
+    ell_width_interface: int
+    nnz_global: int
+
+    def __post_init__(self):
+        assert self.max_interior <= self.max_rows <= self.max_ext

@@ -1,0 +1,193 @@
+"""Partitioners: regular 1-D / 2-D and a METIS-equivalent graph partitioner.
+
+Reference: C5 — include/partition_tools.hpp:55-222 and the inline regular-1D
+blocks of source/restricted_schwarz.cpp:98-102.  The reference calls METIS
+(PartGraphRecursive for <=8 parts, Kway above, partition_tools.hpp:182-196); we
+implement an equivalent pure recursive graph-bisection with greedy boundary
+refinement (no external dependency, deterministic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from schwarz_tpu.models.csr import CSRMatrix
+
+
+def partition_regular_1d(n: int, nparts: int) -> np.ndarray:
+    """Contiguous equal blocks of ``ceil(n/nparts)`` rows
+    (restricted_schwarz.cpp:84,98-102: ``nb = (n + S - 1) / S``)."""
+    nb = -(-n // nparts)
+    return np.minimum(np.arange(n, dtype=np.int64) // nb, nparts - 1).astype(np.int32)
+
+
+def partition_regular_2d(n: int, nparts: int) -> np.ndarray:
+    """Square grid blocks for an ``sqrt(n) x sqrt(n)`` domain
+    (partition_tools.hpp:69-106).  Requires ``n`` and ``nparts`` to be perfect
+    squares with ``sqrt(nparts) | sqrt(n)``."""
+    sq_n = int(round(np.sqrt(n)))
+    sq_p = int(round(np.sqrt(nparts)))
+    if sq_n * sq_n != n:
+        raise ValueError(f"regular2d needs a square grid, got n={n}")
+    if sq_p * sq_p != nparts or sq_n % sq_p != 0:
+        raise ValueError(
+            f"regular2d needs square nparts dividing the grid, got {nparts} for {sq_n}^2"
+        )
+    b = sq_n // sq_p
+    i = np.arange(n, dtype=np.int64)
+    x, y = i % sq_n, i // sq_n
+    return (sq_p * (y // b) + (x // b)).astype(np.int32)
+
+
+def _csr_row_gather(row_ptrs: np.ndarray, rows: np.ndarray) -> np.ndarray:
+    """Indices into col_idxs covering all entries of ``rows``, row-major order."""
+    starts = row_ptrs[rows]
+    counts = row_ptrs[rows + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    offsets = np.repeat(starts - np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+    return offsets + np.arange(total, dtype=np.int64)
+
+
+def _pseudo_peripheral(row_ptrs, col_idxs, vertices, vset_mask) -> int:
+    """Approximate a peripheral vertex of the subgraph by two BFS sweeps."""
+    start = int(vertices[0])
+    for _ in range(2):
+        dist = np.full(vset_mask.shape[0], -1, dtype=np.int64)
+        dist[start] = 0
+        frontier = np.array([start], dtype=np.int64)
+        d = 0
+        while frontier.size:
+            nbr = col_idxs[_csr_row_gather(row_ptrs, frontier)]
+            nbr = nbr[vset_mask[nbr] & (dist[nbr] < 0)]
+            if nbr.size == 0:
+                break
+            nbr = np.unique(nbr)
+            d += 1
+            dist[nbr] = d
+            frontier = nbr
+        far = vertices[dist[vertices] == dist[vertices].max()]
+        start = int(far[0])
+    return start
+
+
+def _grow_bisection(row_ptrs, col_idxs, vertices, target: int) -> np.ndarray:
+    """Greedy BFS-growth bisection: grow part 0 from a peripheral vertex until it
+    holds ``target`` vertices; returns a bool mask over ``vertices`` (True = part 0).
+    Level-structure growth is METIS's GGP initial-partition strategy."""
+    n_all = row_ptrs.shape[0] - 1
+    vset_mask = np.zeros(n_all, dtype=bool)
+    vset_mask[vertices] = True
+    seed = _pseudo_peripheral(row_ptrs, col_idxs, vertices, vset_mask)
+
+    in0 = np.zeros(n_all, dtype=bool)
+    in0[seed] = True
+    size = 1
+    frontier = np.array([seed], dtype=np.int64)
+    while size < target and frontier.size:
+        nbr = col_idxs[_csr_row_gather(row_ptrs, frontier)]
+        nbr = nbr[vset_mask[nbr] & ~in0[nbr]]
+        if nbr.size == 0:
+            break
+        # first-occurrence order keeps growth contiguous and deterministic
+        _, first = np.unique(nbr, return_index=True)
+        nbr = nbr[np.sort(first)]
+        take = min(target - size, nbr.size)
+        chosen = nbr[:take]
+        in0[chosen] = True
+        size += take
+        frontier = chosen
+    if size < target:
+        # disconnected subgraph: top up with arbitrary remaining vertices
+        rest = vertices[~in0[vertices]]
+        in0[rest[: target - size]] = True
+    return in0[vertices]
+
+
+def _refine_boundary(row_ptrs, col_idxs, vertices, mask0, rounds: int = 8):
+    """Greedy KL/FM-style refinement: move boundary vertices with positive gain
+    (cut-edge reduction) between the halves, keeping balance within 2%."""
+    n_all = row_ptrs.shape[0] - 1
+    side = np.full(n_all, -1, dtype=np.int8)
+    side[vertices] = 1
+    side[vertices[mask0]] = 0
+    target0 = int(mask0.sum())
+    lo, hi = int(target0 * 0.98), int(np.ceil(target0 * 1.02))
+    size0 = target0
+    for _ in range(rounds):
+        gidx = _csr_row_gather(row_ptrs, vertices)
+        cols = col_idxs[gidx]
+        counts = row_ptrs[vertices + 1] - row_ptrs[vertices]
+        seg = np.repeat(np.arange(vertices.size), counts)
+        same = (side[cols] == side[vertices][seg]) & (side[cols] >= 0)
+        other = (side[cols] == 1 - side[vertices][seg]) & (side[cols] >= 0)
+        gain = np.zeros(vertices.size, dtype=np.int64)
+        np.add.at(gain, seg[other], 1)
+        np.add.at(gain, seg[same], -1)
+        movable = gain > 0
+        if not movable.any():
+            break
+        # move best-gain vertices one side at a time to preserve balance
+        order = np.argsort(-gain)
+        moved = 0
+        for vi in order:
+            if not movable[vi]:
+                continue
+            v = vertices[vi]
+            if side[v] == 0 and size0 - 1 >= lo:
+                side[v] = 1
+                size0 -= 1
+                moved += 1
+            elif side[v] == 1 and size0 + 1 <= hi:
+                side[v] = 0
+                size0 += 1
+                moved += 1
+            if moved >= max(1, vertices.size // 50):
+                break
+        if moved == 0:
+            break
+    return side[vertices] == 0
+
+
+def partition_metis(
+    mat: CSRMatrix, nparts: int, objtype: str = "edgecut"
+) -> np.ndarray:
+    """METIS-equivalent recursive graph bisection (cf. partition_tools.hpp:109-202).
+
+    Recursive bisection with BFS-growth initial split + greedy boundary refinement;
+    ``nparts`` need not be a power of two (unbalanced recursion like
+    METIS_PartGraphRecursive).  ``objtype`` accepted for parity; both objectives
+    reduce to edge-cut minimization here.
+    """
+    nparts = min(nparts, mat.n)
+    part = np.zeros(mat.n, dtype=np.int32)
+    stack = [(np.arange(mat.n, dtype=np.int64), 0, nparts)]
+    while stack:
+        vertices, base, k = stack.pop()
+        if k <= 1:
+            part[vertices] = base
+            continue
+        k0 = k // 2
+        target = int(round(vertices.size * (k0 / k)))
+        mask0 = _grow_bisection(mat.row_ptrs, mat.col_idxs, vertices, target)
+        mask0 = _refine_boundary(mat.row_ptrs, mat.col_idxs, vertices, mask0)
+        stack.append((vertices[mask0], base, k0))
+        stack.append((vertices[~mask0], base + k0, k - k0))
+    return part
+
+
+def make_partition(mat: CSRMatrix, nparts: int, settings) -> np.ndarray:
+    """Dispatch on Settings.partition (cf. Initialize::partition,
+    source/initialization.cpp:278-329)."""
+    from schwarz_tpu.config import Partition
+
+    if nparts == 1:
+        return np.zeros(mat.n, dtype=np.int32)
+    if settings.partition == Partition.regular:
+        return partition_regular_1d(mat.n, nparts)
+    if settings.partition == Partition.regular2d:
+        return partition_regular_2d(mat.n, nparts)
+    if settings.partition == Partition.metis:
+        return partition_metis(mat, nparts, settings.metis_objtype)
+    raise ValueError(f"unsupported partition {settings.partition}")

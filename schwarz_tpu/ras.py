@@ -1,0 +1,605 @@
+"""Restricted additive Schwarz driver — the jitted outer solver loop.
+
+TPU-native equivalent of C20/C21 (source/schwarz_base.cpp:127-271 ``initialize``,
+:322-506 ``run``) and the SolverRAS overrides (C6-C11).  The reference's
+per-rank loop {exchange_boundary -> update_boundary -> check_convergence ->
+local_solve -> local_to_global_vector} becomes ONE ``lax.while_loop`` inside a
+``shard_map`` over the ``'subd'`` mesh axis, compiled once by XLA:
+
+  - exchange_boundary  -> halo collective + static gather  (parallel/exchange.py)
+  - update_boundary    -> batched interface ELL SpMV       (restricted_schwarz.cpp:991-1017)
+  - check_convergence  -> batched residual SpMV + norm + protocol round
+                          (solve.cpp:795-1005, parallel/convergence.py)
+  - local_solve        -> batched CG/GMRES/dense-direct    (solvers/)
+  - local_to_global    -> interior-slice write             (communicate.cpp:64-94)
+
+Deliberate deviations from the reference (documented, all strictly fixes):
+  - with metis/regular2d partitions the rhs is permuted together with the matrix,
+    so the solver solves the *original* system A x = b (the reference permutes
+    only the matrix, restricted_schwarz.cpp:135-151, and thus solves the permuted
+    operator against the unpermuted rhs);
+  - ``residual_based`` local updates apply ``x += z`` (communicate.cpp:81-93
+    performs a double accumulation);
+  - the two-sided allreduce convergence branch reduces the local convergence flag
+    (see parallel/convergence.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from schwarz_tpu.config import (
+    GlobalConvergence,
+    LocalCriterion,
+    LocalSolver,
+    Settings,
+)
+from schwarz_tpu.core.decompose import Decomposition
+from schwarz_tpu.ops.spmv import ell_spmv_batched
+from schwarz_tpu.parallel.convergence import ConvState, conv_step, init_conv_state
+from schwarz_tpu.parallel.exchange import exchange_halo_allgather
+from schwarz_tpu.parallel.mesh import SUBD_AXIS, make_mesh
+from schwarz_tpu.solvers.cg import cg_solve
+from schwarz_tpu.solvers.direct import (
+    cholesky_factor,
+    cholesky_solve,
+    lu_factor,
+    lu_solve,
+)
+from schwarz_tpu.solvers.gmres import gmres_solve
+from schwarz_tpu.solvers.precond import Precond, make_preconditioner
+
+DIVERGENCE_LIMIT = 1e12  # schwarz_base.cpp:424: abort when ||r|| exceeds this
+
+
+@dataclasses.dataclass
+class RASResult:
+    """Solve outcome (the reference prints these at schwarz_base.cpp:473-499)."""
+
+    solution: np.ndarray            # (N,) in the ORIGINAL row ordering
+    converged: bool
+    diverged: bool
+    iters: int                      # outer iterations to convergence
+    residual_norm: float            # true ||b - A x||_2 (solve.cpp:1024-1085)
+    relative_residual_norm: float   # / ||b||_2
+    local_resnorm_history: np.ndarray   # (max_iters, S)
+    global_resnorm_history: np.ndarray  # (max_iters,)
+    inner_iters_history: np.ndarray     # (max_iters, S)
+    solve_time_s: float
+    comm_matrix: np.ndarray         # (S, S) per-neighbor element volumes/iter
+    # per-stage wall-time summary; populated by run_instrumented() only (C29)
+    stage_timings: Optional[dict] = None
+
+
+class RASolver:
+    """Set up once, run many times (cf. SolverRAS construct/initialize/run)."""
+
+    def __init__(
+        self,
+        dec: Decomposition,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.dec = dec
+        self.settings = dec.settings
+        self.meta = dec.meta
+        S = self.meta.num_subdomains
+        if mesh is None:
+            ndev = 1
+            for cand in range(min(S, len(jax.devices())), 0, -1):
+                if S % cand == 0:
+                    ndev = cand
+                    break
+            mesh = make_mesh(jax.devices()[:ndev])
+        self.mesh = mesh
+        D = mesh.devices.size
+        if S % D != 0:
+            raise ValueError(f"num_subdomains {S} must be divisible by mesh size {D}")
+        self.Sl = S // D
+        self._plan = self._build_plan()
+        self._run_fn = self._build_run_fn()
+
+    # ------------------------------------------------------------------ setup --
+    def _build_plan(self) -> Dict[str, jax.Array]:
+        dec = self.dec
+        s = self.settings
+        dtype = s.value_dtype
+        row_valid, interior_valid, ext_valid = dec.masks()
+        shard = jax.sharding.NamedSharding(self.mesh, P(SUBD_AXIS))
+
+        def put(x):
+            return jax.device_put(jnp.asarray(x), shard)
+
+        plan: Dict[str, jax.Array] = {
+            "lmat_vals": put(dec.lmat_vals.astype(dtype)),
+            "lmat_cols": put(dec.lmat_cols),
+            "imat_vals": put(dec.imat_vals.astype(dtype)),
+            "imat_cols": put(dec.imat_cols),
+            "local_rhs": put(dec.local_rhs.astype(dtype)),
+            "halo_src": put(dec.halo_src),
+            "ext_mask": put(ext_valid),
+            "interior_mask": put(interior_valid),
+            "adj_in": put(dec.comm_matrix > 0),
+        }
+        # direct-solver factorizations happen once at setup (solve.cpp:237-238)
+        if s.local_solver == LocalSolver.direct_cholesky:
+            plan["factor_L"] = jax.jit(cholesky_factor)(
+                plan["lmat_vals"], plan["lmat_cols"]
+            )
+        elif s.local_solver == LocalSolver.direct_lu:
+            lu, piv = jax.jit(lu_factor)(plan["lmat_vals"], plan["lmat_cols"])
+            plan["factor_lu"], plan["factor_piv"] = lu, piv
+        if s.precond != Precond.none and s.local_solver in (
+            LocalSolver.iterative_cg,
+            LocalSolver.iterative_gmres,
+        ):
+            # materialize preconditioner arrays so they shard through shard_map
+            from schwarz_tpu.solvers.precond import (
+                extract_diag_blocks,
+                extract_diagonal,
+            )
+
+            if s.precond == Precond.jacobi:
+                d = jax.jit(extract_diagonal)(plan["lmat_vals"], plan["lmat_cols"])
+                plan["precond_dinv"] = jnp.where(jnp.abs(d) > 0, 1.0 / d, 1.0)
+            else:
+                bs = s.block_jacobi_block_size
+                blocks = jax.jit(
+                    functools.partial(extract_diag_blocks, bs=bs)
+                )(plan["lmat_vals"], plan["lmat_cols"])
+                eye = jnp.eye(bs, dtype=dtype)
+                absent = jnp.all(blocks == 0.0, axis=-1, keepdims=True)
+                plan["precond_blockinv"] = jnp.linalg.inv(blocks + absent * eye)
+        return plan
+
+    def _precond_fn(self, plan_block):
+        s = self.settings
+        if "precond_dinv" in plan_block:
+            dinv = plan_block["precond_dinv"]
+            return lambda r: dinv * r
+        if "precond_blockinv" in plan_block:
+            inv_blocks = plan_block["precond_blockinv"]
+            bs = s.block_jacobi_block_size
+
+            def apply(r):
+                Sl, R = r.shape
+                zb = jnp.einsum(
+                    "sbij,sbj->sbi", inv_blocks, r.reshape(Sl, R // bs, bs)
+                )
+                return zb.reshape(Sl, R)
+
+            return apply
+        return None
+
+    def _local_solve(self, plan_block, rhs_eff, z_prev):
+        """Dispatch the batched local solver (solve.cpp:666-792)."""
+        s = self.settings
+        R = self.meta.max_rows
+        max_it = s.local_max_iters if s.local_max_iters > 0 else R
+        if s.local_solver == LocalSolver.iterative_cg:
+            res = cg_solve(
+                plan_block["lmat_vals"], plan_block["lmat_cols"], rhs_eff,
+                z_prev, s.local_tolerance, max_it,
+                precond=self._precond_fn(plan_block),
+            )
+            return res.x, res.iters
+        if s.local_solver == LocalSolver.iterative_gmres:
+            res = gmres_solve(
+                plan_block["lmat_vals"], plan_block["lmat_cols"], rhs_eff,
+                z_prev, s.local_tolerance, max_it, restart=s.restart_iter,
+                precond=self._precond_fn(plan_block),
+            )
+            return res.x, res.iters
+        if s.local_solver == LocalSolver.direct_cholesky:
+            z = cholesky_solve(plan_block["factor_L"], rhs_eff)
+            return z, jnp.ones(rhs_eff.shape[0], jnp.int32)
+        if s.local_solver == LocalSolver.direct_lu:
+            z = lu_solve(
+                (plan_block["factor_lu"], plan_block["factor_piv"]), rhs_eff
+            )
+            return z, jnp.ones(rhs_eff.shape[0], jnp.int32)
+        raise ValueError(f"unsupported local solver {s.local_solver}")
+
+    # -------------------------------------------------------------- solve loop --
+    def _build_run_fn(self):
+        s = self.settings
+        meta = self.meta
+        S = meta.num_subdomains
+        Sl = self.Sl
+        R_int = meta.max_interior
+        R_rows = meta.max_rows
+        dtype = s.value_dtype
+        max_iters = s.max_iters
+        halo_dtype = (
+            s.halo_value_dtype if s.halo_value_dtype != s.value_dtype else None
+        )
+        residual_update = (
+            s.convergence.criterion == LocalCriterion.residual_based
+        )
+
+        def body(plan, st):
+            x_own = st["x_own"]
+            # --- exchange_boundary ------------------------------------------
+            x_ext = exchange_halo_allgather(
+                x_own, plan["halo_src"], plan["ext_mask"],
+                plan["interior_mask"], halo_dtype=halo_dtype,
+            )
+            # --- update_boundary: rhs_eff = b_loc - A_interface x_ext -------
+            rhs_eff = plan["local_rhs"] - ell_spmv_batched(
+                plan["imat_vals"], plan["imat_cols"], x_ext
+            )
+            # --- local residual (solve.cpp:795-856) -------------------------
+            r = rhs_eff - ell_spmv_batched(
+                plan["lmat_vals"], plan["lmat_cols"], x_ext[:, :R_rows]
+            )
+            local_rn = jnp.sqrt(jnp.sum(r * r, axis=-1))
+            rn0 = jnp.where(st["local_rn0"] < 0, local_rn, st["local_rn0"])
+            locally_conv = (local_rn * local_rn) < (s.tolerance**2) * (rn0 * rn0)
+            # --- global convergence protocol --------------------------------
+            conv_state, nconv, grn = conv_step(
+                s, S, st["conv"], local_rn, rn0, locally_conv, plan["adj_in"]
+            )
+            if s.tolerance <= 0.0:
+                nconv = jnp.int32(0)
+            elif s.convergence.enable_global_check_iter_offset:
+                # delay global detection past 5% of max_iters (solve.cpp:992-996)
+                ok = (st["it"] > max_iters * 0.05) | (max_iters < 1000)
+                nconv = jnp.where(ok, nconv, 0)
+            diverged = jnp.isnan(grn) | (grn > DIVERGENCE_LIMIT)
+            # --- histories ---------------------------------------------------
+            hist_local = jax.lax.dynamic_update_index_in_dim(
+                st["hist_local"], local_rn, st["it"], 0
+            )
+            hist_global = jax.lax.dynamic_update_index_in_dim(
+                st["hist_global"], grn, st["it"], 0
+            )
+            # --- local_solve + local_to_global (skipped on the exit pass) ----
+            do_solve = (nconv < S) & ~diverged
+
+            def solve_branch(args):
+                z_prev, x_own = args
+                if residual_update:
+                    # residual-based: solve the correction equation
+                    # A_local z = r and apply x += z.  (The reference's
+                    # residual_based branch is half-implemented: its
+                    # update_residual helper is never called and
+                    # communicate.cpp:81-93 double-accumulates; this is the
+                    # principled version of the declared mode.)
+                    z, inner = self._local_solve(
+                        plan, r, jnp.zeros_like(z_prev)
+                    )
+                else:
+                    z, inner = self._local_solve(plan, rhs_eff, z_prev)
+                # freeze subdomains that already detected global convergence
+                # (an async rank that detected would have stopped iterating)
+                frozen = conv_state.detected[:, None]
+                z = jnp.where(frozen, z_prev, z)
+                z_int = jnp.where(
+                    plan["interior_mask"], z[:, :R_int], 0.0
+                )
+                if residual_update:
+                    x_new = x_own + z_int
+                else:
+                    x_new = z_int
+                x_new = jnp.where(frozen, x_own, x_new)
+                return z, x_new, inner
+
+            def skip_branch(args):
+                z_prev, x_own = args
+                return z_prev, x_own, jnp.zeros(Sl, jnp.int32)
+
+            z, x_own_new, inner = jax.lax.cond(
+                do_solve, solve_branch, skip_branch, (st["z"], x_own)
+            )
+            hist_inner = jax.lax.dynamic_update_index_in_dim(
+                st["hist_inner"], inner, st["it"], 0
+            )
+            return {
+                "x_own": x_own_new,
+                "z": z,
+                "local_rn0": rn0,
+                "conv": conv_state,
+                "nconv": nconv,
+                "grn": grn,
+                "diverged": diverged,
+                "it": st["it"] + 1,
+                "hist_local": hist_local,
+                "hist_global": hist_global,
+                "hist_inner": hist_inner,
+            }
+
+        def solve_fn(plan, x0):
+            st = {
+                "x_own": x0,
+                "z": jnp.zeros((Sl, R_rows), dtype),
+                "local_rn0": -jnp.ones(Sl, dtype),
+                "conv": init_conv_state(Sl, S, dtype),
+                "nconv": jnp.int32(0),
+                "grn": jnp.zeros((), dtype),
+                "diverged": jnp.array(False),
+                "it": jnp.int32(0),
+                "hist_local": jnp.zeros((max_iters + 1, Sl), dtype),
+                "hist_global": jnp.zeros((max_iters + 1,), dtype),
+                "hist_inner": jnp.zeros((max_iters + 1, Sl), jnp.int32),
+            }
+
+            def cond(st):
+                # matches the reference loop bound (schwarz_base.cpp:387): at most
+                # max_iters local solves; the pass that detects convergence does
+                # not solve (break at :432 before local_solve)
+                return (st["it"] < max_iters) & (st["nconv"] < S) & ~st["diverged"]
+
+            final = jax.lax.while_loop(cond, lambda st_: body(plan, st_), st)
+            return (
+                final["x_own"],
+                final["it"],
+                final["nconv"],
+                final["diverged"],
+                final["hist_local"],
+                final["hist_global"],
+                final["hist_inner"],
+            )
+
+        plan_specs = {k: P(SUBD_AXIS) for k in self._plan}
+        out_specs = (
+            P(SUBD_AXIS),            # x_own
+            P(),                     # it
+            P(),                     # nconv
+            P(),                     # diverged
+            P(None, SUBD_AXIS),      # hist_local
+            P(),                     # hist_global
+            P(None, SUBD_AXIS),      # hist_inner
+        )
+        mapped = jax.shard_map(
+            solve_fn,
+            mesh=self.mesh,
+            in_specs=(plan_specs, P(SUBD_AXIS)),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    # ------------------------------------------------------- instrumented mode --
+    def _build_stage_fns(self):
+        """Separately jitted stage functions for per-stage timing (C29: the five
+        MEASURE_ELAPSED_FUNC_TIME regions, schwarz_base.cpp:393-450).  Slower
+        than the fused loop (host sync between stages) — measurement mode only.
+        """
+        s = self.settings
+        meta = self.meta
+        S = meta.num_subdomains
+        R_int = meta.max_interior
+        R_rows = meta.max_rows
+        halo_dtype = (
+            s.halo_value_dtype if s.halo_value_dtype != s.value_dtype else None
+        )
+        residual_update = s.convergence.criterion == LocalCriterion.residual_based
+        plan_specs = {k: P(SUBD_AXIS) for k in self._plan}
+        conv_specs = ConvState(
+            detected=P(SUBD_AXIS), global_resnorm0=P(), up_done=P(SUBD_AXIS),
+            got_left=P(SUBD_AXIS), got_right=P(SUBD_AXIS),
+            ever_local=P(SUBD_AXIS), known=P(SUBD_AXIS), sent=P(SUBD_AXIS),
+            counter=P(SUBD_AXIS), counted=P(SUBD_AXIS), res_table=P(SUBD_AXIS),
+        )
+
+        def exchange(plan, x_own):
+            return exchange_halo_allgather(
+                x_own, plan["halo_src"], plan["ext_mask"],
+                plan["interior_mask"], halo_dtype=halo_dtype,
+            )
+
+        def update(plan, x_ext):
+            return plan["local_rhs"] - ell_spmv_batched(
+                plan["imat_vals"], plan["imat_cols"], x_ext
+            )
+
+        def conv(plan, conv_state, x_ext, rhs_eff, rn0_in):
+            r = rhs_eff - ell_spmv_batched(
+                plan["lmat_vals"], plan["lmat_cols"], x_ext[:, :R_rows]
+            )
+            local_rn = jnp.sqrt(jnp.sum(r * r, axis=-1))
+            rn0 = jnp.where(rn0_in < 0, local_rn, rn0_in)
+            locally_conv = (local_rn * local_rn) < (s.tolerance**2) * (rn0 * rn0)
+            conv_state, nconv, grn = conv_step(
+                s, S, conv_state, local_rn, rn0, locally_conv, plan["adj_in"]
+            )
+            if s.tolerance <= 0.0:
+                nconv = jnp.int32(0)
+            return r, local_rn, rn0, conv_state, nconv, grn
+
+        def solve_stage(plan, rhs_eff, r, z_prev, detected):
+            if residual_update:
+                z, inner = self._local_solve(plan, r, jnp.zeros_like(z_prev))
+            else:
+                z, inner = self._local_solve(plan, rhs_eff, z_prev)
+            z = jnp.where(detected[:, None], z_prev, z)
+            return z, inner
+
+        def scatter_stage(plan, z, x_own, detected):
+            z_int = jnp.where(plan["interior_mask"], z[:, :R_int], 0.0)
+            x_new = x_own + z_int if residual_update else z_int
+            return jnp.where(detected[:, None], x_own, x_new)
+
+        sm = functools.partial(jax.shard_map, mesh=self.mesh, check_vma=False)
+        return {
+            "boundary_exchange": jax.jit(sm(
+                exchange, in_specs=(plan_specs, P(SUBD_AXIS)),
+                out_specs=P(SUBD_AXIS))),
+            "boundary_update": jax.jit(sm(
+                update, in_specs=(plan_specs, P(SUBD_AXIS)),
+                out_specs=P(SUBD_AXIS))),
+            "convergence_check": jax.jit(sm(
+                conv,
+                in_specs=(plan_specs, conv_specs, P(SUBD_AXIS), P(SUBD_AXIS),
+                          P(SUBD_AXIS)),
+                out_specs=(P(SUBD_AXIS), P(SUBD_AXIS), P(SUBD_AXIS), conv_specs,
+                           P(), P()))),
+            "local_solve": jax.jit(sm(
+                solve_stage,
+                in_specs=(plan_specs, P(SUBD_AXIS), P(SUBD_AXIS), P(SUBD_AXIS),
+                          P(SUBD_AXIS)),
+                out_specs=(P(SUBD_AXIS), P(SUBD_AXIS)))),
+            "expand_local_vec": jax.jit(sm(
+                scatter_stage,
+                in_specs=(plan_specs, P(SUBD_AXIS), P(SUBD_AXIS), P(SUBD_AXIS)),
+                out_specs=P(SUBD_AXIS))),
+        }
+
+    def run_instrumented(self, x0: Optional[np.ndarray] = None) -> RASResult:
+        """Python-driven loop with per-stage host timing (measurement mode)."""
+        from schwarz_tpu.utils.timing import StageTimer
+
+        s = self.settings
+        meta = self.meta
+        S = meta.num_subdomains
+        dtype = s.value_dtype
+        shard = jax.sharding.NamedSharding(self.mesh, P(SUBD_AXIS))
+        stages = self._build_stage_fns()
+        timer = StageTimer()
+
+        x_own = (
+            jax.device_put(jnp.zeros((S, meta.max_interior), dtype), shard)
+            if x0 is None
+            else jax.device_put(jnp.asarray(x0), shard)
+        )
+        z = jax.device_put(jnp.zeros((S, meta.max_rows), dtype), shard)
+        rn0 = jax.device_put(-jnp.ones(S, dtype), shard)
+        conv_state = init_conv_state(S, S, dtype)  # global-shape state
+        hist_local, hist_global, hist_inner = [], [], []
+        nconv = 0
+        diverged = False
+        it = 0
+        t_start = time.perf_counter()
+        while it < s.max_iters:
+            with timer.time("boundary_exchange"):
+                x_ext = jax.block_until_ready(
+                    stages["boundary_exchange"](self._plan, x_own))
+            with timer.time("boundary_update"):
+                rhs_eff = jax.block_until_ready(
+                    stages["boundary_update"](self._plan, x_ext))
+            with timer.time("convergence_check"):
+                r, local_rn, rn0, conv_state, nconv_d, grn = stages[
+                    "convergence_check"
+                ](self._plan, conv_state, x_ext, rhs_eff, rn0)
+                jax.block_until_ready(grn)
+            nconv = int(nconv_d)
+            grn_f = float(grn)
+            hist_local.append(np.asarray(local_rn))
+            hist_global.append(grn_f)
+            diverged = bool(np.isnan(grn_f) or grn_f > DIVERGENCE_LIMIT)
+            if diverged or nconv >= S:
+                hist_inner.append(np.zeros(S, np.int32))
+                break
+            with timer.time("local_solve"):
+                z, inner = stages["local_solve"](
+                    self._plan, rhs_eff, r, z, conv_state.detected)
+                jax.block_until_ready(z)
+            with timer.time("expand_local_vec"):
+                x_own = jax.block_until_ready(stages["expand_local_vec"](
+                    self._plan, z, x_own, conv_state.detected))
+            hist_inner.append(np.asarray(inner))
+            it += 1
+        elapsed = time.perf_counter() - t_start
+
+        converged = (nconv >= S) and not diverged
+        result = self._assemble_result(
+            np.asarray(x_own), converged, diverged,
+            it if not converged else it,
+            np.stack(hist_local) if hist_local else np.zeros((0, S)),
+            np.asarray(hist_global),
+            np.stack(hist_inner) if hist_inner else np.zeros((0, S), np.int32),
+            elapsed,
+        )
+        result.stage_timings = timer.summary()
+        return result
+
+    def _assemble_result(
+        self, x_own, converged, diverged, iters, hist_l, hist_g, hist_i, elapsed
+    ) -> RASResult:
+        meta = self.meta
+        dec = self.dec
+        S = meta.num_subdomains
+        N = meta.global_size
+        x_perm = np.zeros(N, dtype=x_own.dtype)
+        for p in range(S):
+            lo, hi = dec.first_row[p], dec.first_row[p + 1]
+            x_perm[lo:hi] = x_own[p, : hi - lo]
+        x_orig = np.zeros_like(x_perm)
+        x_orig[dec.perm] = x_perm
+        A = dec.global_matrix.to_scipy()
+        resid = dec.global_rhs - A @ x_perm
+        rhs_norm = float(np.linalg.norm(dec.global_rhs))
+        res_norm = float(np.linalg.norm(resid))
+        return RASResult(
+            solution=x_orig,
+            converged=converged,
+            diverged=diverged,
+            iters=iters,
+            residual_norm=res_norm,
+            relative_residual_norm=res_norm / max(rhs_norm, 1e-300),
+            local_resnorm_history=hist_l,
+            global_resnorm_history=hist_g,
+            inner_iters_history=hist_i,
+            solve_time_s=elapsed,
+            comm_matrix=dec.comm_matrix,
+        )
+
+    # --------------------------------------------------------------- interface --
+    def run(self, x0: Optional[np.ndarray] = None) -> RASResult:
+        """Solve; returns the assembled solution in the original row ordering
+        plus the true-residual oracle (cf. SchwarzBase::run + compute_residual_norm)."""
+        meta = self.meta
+        dec = self.dec
+        S = meta.num_subdomains
+        shard = jax.sharding.NamedSharding(self.mesh, P(SUBD_AXIS))
+        if x0 is None:
+            x0_dev = jax.device_put(
+                jnp.zeros((S, meta.max_interior), self.settings.value_dtype), shard
+            )
+        else:
+            x0_dev = jax.device_put(jnp.asarray(x0), shard)
+
+        t0 = time.perf_counter()
+        x_own, it, nconv, diverged, hist_l, hist_g, hist_i = self._run_fn(
+            self._plan, x0_dev
+        )
+        x_own = np.asarray(jax.block_until_ready(x_own))
+        elapsed = time.perf_counter() - t0
+
+        it = int(it)
+        nconv = int(nconv)
+        diverged = bool(diverged)
+        converged = (nconv >= S) and not diverged
+        iters = it - 1 if converged else it
+
+        return self._assemble_result(
+            x_own, converged, diverged, iters,
+            np.asarray(hist_l)[: it + 1],
+            np.asarray(hist_g)[: it + 1],
+            np.asarray(hist_i)[: it + 1],
+            elapsed,
+        )
+
+
+def solve(
+    mat,
+    rhs,
+    settings: Settings = Settings(),
+    num_subdomains: Optional[int] = None,
+    partition_indices: Optional[np.ndarray] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> RASResult:
+    """One-call API: decompose + setup + run (cf. bench_ras.cpp:161-180)."""
+    from schwarz_tpu.core.decompose import decompose
+
+    if num_subdomains is None:
+        num_subdomains = max(1, len(jax.devices()))
+    dec = decompose(mat, rhs, settings, num_subdomains, partition_indices)
+    return RASolver(dec, mesh=mesh).run()

@@ -1,0 +1,101 @@
+"""Batched conjugate-gradient local solver.
+
+Replaces the reference's Ginkgo CG local solver (solve.cpp:571-652 setup,
+solver_tools.hpp:90-98 apply) with a single batched matrix-free loop over all
+subdomains of a device at once: one ``lax.while_loop`` whose body does a batched
+ELL SpMV — subdomains that have already met their criterion are frozen by
+masking, so the loop runs until the *slowest* subdomain converges (exactly the
+per-rank behavior of the reference, but without per-rank divergence).
+
+Stopping criterion matches Ginkgo's ``Combined(Iteration, ResidualNormReduction)``
+(solve.cpp:469-478): stop at ``max_iters`` or when ``||r|| / ||r0|| < tau`` with
+``r0`` the initial residual of *this* solve (warm starts supported).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from schwarz_tpu.ops.spmv import ell_spmv_batched
+
+
+class KrylovResult(NamedTuple):
+    x: jax.Array           # (S, R) solution
+    iters: jax.Array       # (S,) iterations taken per subdomain
+    rel_resnorm: jax.Array  # (S,) final ||r||/||r0|| (recurrence residual)
+
+
+def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.sum(a * b, axis=-1)
+
+
+def cg_solve(
+    vals: jax.Array,
+    cols: jax.Array,
+    b: jax.Array,
+    x0: jax.Array,
+    tol: float,
+    max_iters: int,
+    precond: Optional[Callable[[jax.Array], jax.Array]] = None,
+) -> KrylovResult:
+    """Solve ``A_s x_s = b_s`` for every subdomain ``s`` in the batch.
+
+    vals/cols: (S, R, W) padded ELL; b, x0: (S, R).  Padded rows must carry an
+    identity diagonal and zero rhs (guaranteed by the decomposition), so they stay
+    exactly zero and need no masking.
+    """
+    M = precond if precond is not None else (lambda r: r)
+    eps = jnp.finfo(b.dtype).tiny
+
+    r0 = b - ell_spmv_batched(vals, cols, x0)
+    z0 = M(r0)
+    rho0 = _dot(r0, z0)
+    rnorm0_sq = _dot(r0, r0)
+
+    def cond(state):
+        _, r, _, _, rnorm_sq, _, it, active = state
+        return jnp.any(active) & (it < max_iters)
+
+    def body(state):
+        x, r, z, p, rnorm_sq, rho, it, active = state
+        Ap = ell_spmv_batched(vals, cols, p)
+        pAp = _dot(p, Ap)
+        alpha = jnp.where(pAp > 0, rho / jnp.maximum(pAp, eps), 0.0)
+        a = jnp.where(active, alpha, 0.0)[:, None]
+        x = x + a * p
+        r = r - a * Ap
+        z_new = M(r)
+        rho_new = _dot(r, z_new)
+        beta = jnp.where(rho > 0, rho_new / jnp.maximum(rho, eps), 0.0)
+        p = jnp.where(active[:, None], z_new + beta[:, None] * p, p)
+        rnorm_new = _dot(r, r)
+        rnorm_sq = jnp.where(active, rnorm_new, rnorm_sq)
+        rho = jnp.where(active, rho_new, rho)
+        it = it + 1
+        still = rnorm_sq > (tol * tol) * rnorm0_sq
+        return x, r, z_new, p, rnorm_sq, rho, it, active & still
+
+    active0 = rnorm0_sq > (tol * tol) * rnorm0_sq  # False only when r0 == 0
+    active0 = active0 & (rnorm0_sq > 0)
+    state = (x0, r0, z0, z0, rnorm0_sq, rho0, jnp.int32(0), active0)
+    # iteration counts: accumulate active masks by folding them into the loop
+    # state would double memory traffic; derive per-subdomain iters cheaply by
+    # carrying a counter updated under the mask.
+    iters = jnp.zeros(b.shape[0], dtype=jnp.int32)
+
+    def body_with_count(state_it):
+        state, iters = state_it
+        active = state[-1]
+        return body(state), iters + active.astype(jnp.int32)
+
+    def cond_with_count(state_it):
+        return cond(state_it[0])
+
+    (x, r, _, _, rnorm_sq, _, _, _), iters = jax.lax.while_loop(
+        cond_with_count, body_with_count, (state, iters)
+    )
+    rel = jnp.sqrt(rnorm_sq / jnp.where(rnorm0_sq > 0, rnorm0_sq, 1.0))
+    return KrylovResult(x=x, iters=iters, rel_resnorm=rel)

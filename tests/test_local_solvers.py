@@ -1,0 +1,111 @@
+"""Batched local solver tests against dense numpy oracles (reference C13/C14)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from schwarz_tpu.config import Precond, Settings
+from schwarz_tpu.core.decompose import decompose
+from schwarz_tpu.models import (
+    advection_diffusion_2d,
+    generate_rhs,
+    laplacian_2d,
+)
+from schwarz_tpu.solvers import (
+    cg_solve,
+    cholesky_factor,
+    cholesky_solve,
+    gmres_solve,
+    lu_factor,
+    lu_solve,
+    make_preconditioner,
+)
+
+
+def _batched_problem(mat, S=4, overlap=3):
+    b = generate_rhs(mat.n)
+    dec = decompose(mat, b, Settings(overlap=overlap), S)
+    vals = jnp.asarray(dec.lmat_vals)
+    cols = jnp.asarray(dec.lmat_cols)
+    rhs = jnp.asarray(dec.local_rhs)
+    return dec, vals, cols, rhs
+
+
+def _dense_oracle(dec, p):
+    from schwarz_tpu.ops.spmv import ell_to_dense
+
+    R = dec.meta.max_rows
+    return np.asarray(
+        ell_to_dense(jnp.asarray(dec.lmat_vals[p]), jnp.asarray(dec.lmat_cols[p]), R)
+    )
+
+
+def test_cg_solves_spd_batch():
+    dec, vals, cols, rhs = _batched_problem(laplacian_2d(8))
+    res = cg_solve(vals, cols, rhs, jnp.zeros_like(rhs), 1e-12, 500)
+    for p in range(4):
+        A = _dense_oracle(dec, p)
+        expect = np.linalg.solve(A, np.asarray(rhs[p]))
+        np.testing.assert_allclose(np.asarray(res.x[p]), expect, atol=1e-8)
+    assert (np.asarray(res.rel_resnorm) < 1e-10).all()
+
+
+def test_cg_warm_start_stays_correct():
+    # the reduction criterion is relative to each solve's own initial residual
+    # (Ginkgo ResidualNormReduction semantics, solve.cpp:472-477), so a warm
+    # start does not short-circuit the reduction — but must stay correct
+    dec, vals, cols, rhs = _batched_problem(laplacian_2d(8))
+    cold = cg_solve(vals, cols, rhs, jnp.zeros_like(rhs), 1e-10, 500)
+    warm = cg_solve(vals, cols, rhs, cold.x, 1e-6, 500)
+    for p in range(4):
+        A = _dense_oracle(dec, p)
+        expect = np.linalg.solve(A, np.asarray(rhs[p]))
+        np.testing.assert_allclose(np.asarray(warm.x[p]), expect, atol=1e-8)
+
+
+def test_cg_with_preconditioners():
+    for precond in [Precond.jacobi, Precond.block_jacobi]:
+        s = Settings(precond=precond, block_jacobi_block_size=8)
+        dec, vals, cols, rhs = _batched_problem(laplacian_2d(8))
+        M = make_preconditioner(s, vals, cols)
+        res = cg_solve(vals, cols, rhs, jnp.zeros_like(rhs), 1e-12, 500, precond=M)
+        for p in range(4):
+            A = _dense_oracle(dec, p)
+            expect = np.linalg.solve(A, np.asarray(rhs[p]))
+            np.testing.assert_allclose(np.asarray(res.x[p]), expect, atol=1e-7)
+
+
+def test_gmres_solves_nonsymmetric_batch():
+    dec, vals, cols, rhs = _batched_problem(advection_diffusion_2d(8))
+    res = gmres_solve(vals, cols, rhs, jnp.zeros_like(rhs), 1e-12, 600, restart=40)
+    for p in range(4):
+        A = _dense_oracle(dec, p)
+        expect = np.linalg.solve(A, np.asarray(rhs[p]))
+        np.testing.assert_allclose(np.asarray(res.x[p]), expect, atol=1e-6)
+
+
+def test_cholesky_direct():
+    dec, vals, cols, rhs = _batched_problem(laplacian_2d(8))
+    L = cholesky_factor(vals, cols)
+    x = cholesky_solve(L, rhs)
+    for p in range(4):
+        A = _dense_oracle(dec, p)
+        expect = np.linalg.solve(A, np.asarray(rhs[p]))
+        np.testing.assert_allclose(np.asarray(x[p]), expect, atol=1e-10)
+
+
+def test_lu_direct_nonsymmetric():
+    dec, vals, cols, rhs = _batched_problem(advection_diffusion_2d(8))
+    f = lu_factor(vals, cols)
+    x = lu_solve(f, rhs)
+    for p in range(4):
+        A = _dense_oracle(dec, p)
+        expect = np.linalg.solve(A, np.asarray(rhs[p]))
+        np.testing.assert_allclose(np.asarray(x[p]), expect, atol=1e-10)
+
+
+def test_cg_zero_rhs_stays_zero():
+    dec, vals, cols, rhs = _batched_problem(laplacian_2d(8))
+    res = cg_solve(vals, cols, jnp.zeros_like(rhs), jnp.zeros_like(rhs), 1e-12, 50)
+    assert np.asarray(res.x).max() == 0.0
+    assert int(res.iters.max()) == 0

@@ -1,0 +1,167 @@
+"""End-to-end RAS solves — the canonical oracle is the final true relative
+residual ||b - A x|| / ||b|| against the global matrix (solve.cpp:1024-1085),
+plus convergence within the reference's default budgets (100 outer iterations at
+tol 1e-6, bench_base.hpp:54-55)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from schwarz_tpu import (
+    GlobalConvergence,
+    LocalCriterion,
+    LocalSolver,
+    Partition,
+    Settings,
+    advection_diffusion_2d,
+    generate_rhs,
+    laplacian_2d,
+    read_mtx,
+    solve,
+)
+from schwarz_tpu.config import ConvergenceSettings
+
+ANI3 = "/root/reference/matrices/ani3_crop.mtx"
+
+
+def _check(result, tol=1e-5):
+    assert result.converged, (
+        f"did not converge: iters={result.iters}, "
+        f"rel={result.relative_residual_norm}"
+    )
+    assert not result.diverged
+    assert result.relative_residual_norm < tol
+
+
+def test_single_subdomain_is_direct_solve():
+    A = laplacian_2d(8)
+    b = generate_rhs(A.n)
+    r = solve(A, b, Settings(tolerance=1e-8, max_iters=10), num_subdomains=1)
+    # one subdomain: first outer iteration solves the whole system
+    assert r.iters <= 2
+    _check(r, 1e-6)
+
+
+@pytest.mark.parametrize("S", [2, 4])
+def test_laplacian_cg_twosided(S):
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    r = solve(A, b, Settings(overlap=3, tolerance=1e-6), num_subdomains=S)
+    _check(r)
+
+
+def test_solution_matches_direct_solve():
+    A = laplacian_2d(12)
+    b = generate_rhs(A.n)
+    r = solve(A, b, Settings(overlap=4, tolerance=1e-10, max_iters=200),
+              num_subdomains=4)
+    _check(r, 1e-8)
+    import scipy.sparse.linalg as spla
+
+    x_direct = spla.spsolve(A.to_scipy().tocsc(), b)
+    np.testing.assert_allclose(r.solution, x_direct, rtol=1e-6, atol=1e-8)
+
+
+def test_metis_partition_e2e():
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    r = solve(
+        A, b,
+        Settings(partition=Partition.metis, overlap=3, tolerance=1e-6),
+        num_subdomains=4,
+    )
+    _check(r)
+
+
+def test_regular2d_partition_e2e():
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    r = solve(
+        A, b,
+        Settings(partition=Partition.regular2d, overlap=3, tolerance=1e-6),
+        num_subdomains=4,
+    )
+    _check(r)
+
+
+@pytest.mark.parametrize(
+    "solver", [LocalSolver.direct_cholesky, LocalSolver.direct_lu]
+)
+def test_direct_local_solvers_e2e(solver):
+    A = laplacian_2d(12)
+    b = generate_rhs(A.n)
+    r = solve(
+        A, b, Settings(local_solver=solver, overlap=3, tolerance=1e-6),
+        num_subdomains=4,
+    )
+    _check(r)
+
+
+def test_gmres_nonsymmetric_e2e():
+    A = advection_diffusion_2d(12)
+    b = generate_rhs(A.n)
+    r = solve(
+        A, b,
+        Settings(
+            local_solver=LocalSolver.iterative_gmres,
+            non_symmetric_matrix=True,
+            restart_iter=40,
+            overlap=3,
+            tolerance=1e-6,
+        ),
+        num_subdomains=4,
+    )
+    _check(r)
+
+
+def test_residual_history_monotone_tail():
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    r = solve(A, b, Settings(overlap=3, tolerance=1e-8, max_iters=200),
+              num_subdomains=4)
+    _check(r, 1e-6)
+    g = r.global_resnorm_history[: r.iters]
+    # Schwarz iterations on SPD problems: eventually monotone decrease
+    assert g[-1] < g[0]
+    assert r.iters > 2  # actually iterated
+
+
+def test_more_overlap_fewer_iters():
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    iters = []
+    for ov in [2, 5]:
+        r = solve(A, b, Settings(overlap=ov, tolerance=1e-8, max_iters=300),
+                  num_subdomains=4)
+        _check(r, 1e-6)
+        iters.append(r.iters)
+    assert iters[1] <= iters[0]
+
+
+@pytest.mark.skipif(not os.path.exists(ANI3), reason="reference matrices absent")
+def test_ani3_baseline_config():
+    # BASELINE config 1: ani3_crop, regular-1D, 2 subdomains, CG local solve,
+    # twosided synchronous RAS
+    A = read_mtx(ANI3)
+    b = generate_rhs(A.n)
+    r = solve(A, b, Settings(overlap=3, tolerance=1e-6, max_iters=100),
+              num_subdomains=2)
+    _check(r)
+
+
+def test_residual_based_criterion():
+    A = laplacian_2d(12)
+    b = generate_rhs(A.n)
+    r = solve(
+        A, b,
+        Settings(
+            overlap=3, tolerance=1e-6,
+            convergence=ConvergenceSettings(
+                criterion=LocalCriterion.residual_based
+            ),
+        ),
+        num_subdomains=2,
+    )
+    # residual_based accumulates corrections; must still converge
+    _check(r, 1e-4)
