@@ -5,12 +5,20 @@
 Headline metric (BASELINE.md targets): sustained batched ELL SpMV throughput in
 nnz/s on one chip over the decomposed RAS operator of a 1M-row 2D Laplacian —
 the dominant kernel of the solver loop (every CG step is one SpMV; cf.
-SURVEY.md §6 "nnz/s per chip" north star).  ``vs_baseline`` is the fraction of
-the memory-bandwidth speed-of-light for the chip (the reference repo ships no
-numbers, BASELINE.md: "no benchmark numbers are stored"), so 1.0 == HBM roofline.
+SURVEY.md §6 "nnz/s per chip" north star).  The measurement is a *serialized*
+chain of SpMVs inside one jitted fori_loop (each iteration consumes the
+previous result), so dispatch pipelining cannot overlap iterations and the
+per-iteration time is honest.
+
+``vs_baseline`` is the fraction of the HBM-bandwidth speed-of-light for the
+chip (the reference repo ships no numbers — BASELINE.md: "no benchmark numbers
+are stored"), counting the streamed bytes per SpMV (4B value + 4B column index
+per padded ELL slot; the gathered x vector is VMEM-resident).  1.0 == roofline.
 
 Also measured and reported on stderr: full RAS time-to-solution + iteration
-count on a 2D Poisson problem (reference smoke config, run_bench:1).
+count on a 2D Poisson problem with the reference paper-campaign two-stage
+configuration (run_script:6-56: block-Jacobi preconditioner, loose local
+tolerance 0.1, capped inner iterations).
 """
 
 from __future__ import annotations
@@ -27,6 +35,7 @@ def main():
     import jax.numpy as jnp
 
     from schwarz_tpu import Settings, generate_rhs, laplacian_2d
+    from schwarz_tpu.config import Precond
     from schwarz_tpu.core.decompose import decompose
     from schwarz_tpu.ops.spmv import ell_spmv_batched
     from schwarz_tpu.ras import RASolver
@@ -48,34 +57,44 @@ def main():
     vals = jnp.asarray(dec.lmat_vals, jnp.float32)
     cols = jnp.asarray(dec.lmat_cols)
     nnz = int((dec.lmat_vals != 0).sum())
-    x = jnp.ones((S, dec.meta.max_ext), jnp.float32)
+    R_rows = dec.meta.max_rows
+    x0 = jnp.ones((S, dec.meta.max_ext), jnp.float32)
 
-    spmv = jax.jit(lambda v, c, xx: ell_spmv_batched(v, c, xx[:, : dec.meta.max_rows]))
-    spmv(vals, cols, x).block_until_ready()  # compile
-    reps = 50
+    reps = 100
+
+    @jax.jit
+    def chain(v, c, x):
+        def body(_, xx):
+            y = ell_spmv_batched(v, c, xx[:, :R_rows])
+            # feed the result back in (serializes the chain; keeps values finite)
+            return xx.at[:, :R_rows].set(y * 1e-6 + 1.0)
+
+        return jax.lax.fori_loop(0, reps, body, x)
+
+    chain(vals, cols, x0).block_until_ready()  # compile
     t0 = time.perf_counter()
-    y = None
-    for _ in range(reps):
-        y = spmv(vals, cols, x)
-    y.block_until_ready()
+    chain(vals, cols, x0).block_until_ready()
     dt = (time.perf_counter() - t0) / reps
     nnz_per_s = nnz / dt
 
-    # padded-ELL moves (4B val + 4B col + ~4B gathered x) per padded slot
+    # speed-of-light: stream 8 B per padded ELL slot (value + column index)
     padded_nnz = int(np.prod(dec.lmat_vals.shape))
-    bytes_per_iter = padded_nnz * 12
-    hbm_gbps = 819e9 if on_tpu else 50e9  # v5e HBM BW; nominal for CPU runs
-    speed_of_light = hbm_gbps / 12 * (nnz / padded_nnz)
+    hbm_gbps = 819e9 if on_tpu else 100e9  # v5e HBM BW; nominal for CPU runs
+    speed_of_light = hbm_gbps / 8 * (nnz / padded_nnz)
     vs_baseline = nnz_per_s / speed_of_light
 
-    # ---- secondary: RAS time-to-solution (reference smoke config scaled up) ----
+    # ---- secondary: RAS time-to-solution, paper-campaign two-stage config ------
     ras_info = {}
     try:
         n1d_ras = 256 if on_tpu else 64
         A2 = laplacian_2d(n1d_ras)
         b2 = generate_rhs(A2.n)
-        s2 = Settings(overlap=4, tolerance=1e-6, max_iters=100, dtype=dtype,
-                      local_tolerance=1e-8)
+        s2 = Settings(
+            overlap=6, tolerance=1e-6, max_iters=400, dtype=dtype,
+            local_tolerance=1e-2, local_max_iters=70,
+            precond=Precond.block_jacobi, block_jacobi_block_size=32,
+            row_pad_multiple=128,
+        )
         dec2 = decompose(A2, b2, s2, S)
         solver = RASolver(dec2)
         r = solver.run()       # includes compile
@@ -98,8 +117,7 @@ def main():
                 "nnz": nnz,
                 "padded_nnz": padded_nnz,
                 "setup_s": setup_s,
-                "spmv_ms": dt * 1e3,
-                "bytes_per_iter": bytes_per_iter,
+                "spmv_us": dt * 1e6,
                 **ras_info,
             }
         ),

@@ -128,7 +128,7 @@ def conv_step(
 
     if method == GlobalConvergence.allreduce:
         flags = locally_converged.astype(jnp.int32)
-        num_conv = jax.lax.psum(jnp.sum(flags), SUBD_AXIS)
+        num_conv = jax.lax.psum(jnp.sum(flags), SUBD_AXIS).astype(jnp.int32)
         new = state._replace(
             detected=jnp.broadcast_to(num_conv >= S, state.detected.shape),
             ever_local=ever, res_table=res_table,
@@ -169,7 +169,9 @@ def conv_step(
     if method == GlobalConvergence.decentralized:
         if settings.convergence.enable_accumulate:
             newly = ever & ~state.counted
-            add = jax.lax.psum(jnp.sum(newly.astype(jnp.int32)), SUBD_AXIS)
+            add = jax.lax.psum(
+                jnp.sum(newly.astype(jnp.int32)), SUBD_AXIS
+            ).astype(jnp.int32)
             counter = state.counter + add
             num_conv = jnp.where(
                 jax.lax.psum(

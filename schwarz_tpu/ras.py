@@ -38,6 +38,7 @@ from jax.sharding import PartitionSpec as P
 
 from schwarz_tpu.config import (
     GlobalConvergence,
+    HaloStrategy,
     LocalCriterion,
     LocalSolver,
     Settings,
@@ -128,6 +129,18 @@ class RASolver:
             "interior_mask": put(interior_valid),
             "adj_in": put(dec.comm_matrix > 0),
         }
+        self._neighbor_plan = None
+        if s.comm.strategy == HaloStrategy.neighbor:
+            from schwarz_tpu.parallel.neighbor_exchange import build_neighbor_plan
+
+            nx = build_neighbor_plan(dec, self.mesh.devices.size)
+            self._neighbor_plan = nx
+            plan["nx_local_src"] = put(nx.local_src)
+            plan["nx_is_local"] = put(nx.is_local)
+            plan["nx_recv_round"] = put(nx.recv_round)
+            plan["nx_recv_pos"] = put(nx.recv_pos)
+            for k, tbl in enumerate(nx.send_idx):
+                plan[f"nx_send_{k}"] = put(tbl)
         # direct-solver factorizations happen once at setup (solve.cpp:237-238)
         if s.local_solver == LocalSolver.direct_cholesky:
             plan["factor_L"] = jax.jit(cholesky_factor)(
@@ -223,14 +236,51 @@ class RASolver:
         residual_update = (
             s.convergence.criterion == LocalCriterion.residual_based
         )
+        # stale-halo modes: enable_overlap uses last iteration's halo so the
+        # collective overlaps with this iteration's local solve
+        # (restricted_schwarz.cpp:855-973); onesided staleness > 1 emulates the
+        # asynchronous algorithm's tolerance of aged neighbor data (C10).
+        overlap_comm = s.comm.overlap_comm
+        stale_period = max(1, s.comm.staleness) if s.comm.onesided else 1
+
+        def do_exchange(plan, x_own):
+            if s.comm.strategy == HaloStrategy.neighbor:
+                from schwarz_tpu.parallel.neighbor_exchange import (
+                    exchange_halo_neighbor,
+                )
+
+                nx = self._neighbor_plan
+                return exchange_halo_neighbor(
+                    x_own,
+                    plan["nx_local_src"],
+                    plan["nx_is_local"],
+                    plan["nx_recv_round"],
+                    plan["nx_recv_pos"],
+                    [plan[f"nx_send_{k}"] for k in range(len(nx.offsets))],
+                    nx.offsets,
+                    nx.n_devices,
+                    nx.max_h,
+                    plan["ext_mask"],
+                    halo_dtype=halo_dtype,
+                )
+            return exchange_halo_allgather(
+                x_own, plan["halo_src"], plan["ext_mask"],
+                plan["interior_mask"], halo_dtype=halo_dtype,
+            )
 
         def body(plan, st):
             x_own = st["x_own"]
             # --- exchange_boundary ------------------------------------------
-            x_ext = exchange_halo_allgather(
-                x_own, plan["halo_src"], plan["ext_mask"],
-                plan["interior_mask"], halo_dtype=halo_dtype,
-            )
+            fresh = do_exchange(plan, x_own)
+            if overlap_comm and stale_period == 1:
+                # compute with the previous halo; publish the fresh one
+                x_ext, x_ext_carry = st["x_ext"], fresh
+            elif stale_period > 1:
+                refresh = (st["it"] % stale_period) == 0
+                x_ext = jnp.where(refresh, fresh, st["x_ext"])
+                x_ext_carry = x_ext
+            else:
+                x_ext = x_ext_carry = fresh
             # --- update_boundary: rhs_eff = b_loc - A_interface x_ext -------
             rhs_eff = plan["local_rhs"] - ell_spmv_batched(
                 plan["imat_vals"], plan["imat_cols"], x_ext
@@ -303,6 +353,7 @@ class RASolver:
             )
             return {
                 "x_own": x_own_new,
+                "x_ext": x_ext_carry,
                 "z": z,
                 "local_rn0": rn0,
                 "conv": conv_state,
@@ -318,6 +369,7 @@ class RASolver:
         def solve_fn(plan, x0):
             st = {
                 "x_own": x0,
+                "x_ext": jnp.zeros((Sl, meta.max_ext), dtype),
                 "z": jnp.zeros((Sl, R_rows), dtype),
                 "local_rn0": -jnp.ones(Sl, dtype),
                 "conv": init_conv_state(Sl, S, dtype),

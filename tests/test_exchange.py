@@ -1,0 +1,112 @@
+"""Halo exchange strategy tests: the neighbor (ppermute-round) strategy must be
+bit-identical to the all_gather strategy, and stale-halo modes must still
+converge (reference C9 enable_overlap / C10 one-sided semantics)."""
+
+import numpy as np
+import pytest
+
+from schwarz_tpu import (
+    CommSettings,
+    HaloStrategy,
+    Partition,
+    Settings,
+    generate_rhs,
+    laplacian_2d,
+    solve,
+)
+from schwarz_tpu.core.decompose import decompose
+from schwarz_tpu.parallel.neighbor_exchange import build_neighbor_plan
+
+
+def test_neighbor_plan_tables_consistent():
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    dec = decompose(A, b, Settings(overlap=3), 8)
+    nx = build_neighbor_plan(dec, 4)  # 8 subdomains on 4 devices (Sl=2)
+    S = 8
+    _, _, ext_valid = dec.masks()
+    # every valid remote slot is assigned a round+position; local slots aren't
+    for p in range(S):
+        for s_ in dec.valid_ext_slots(p):
+            if nx.is_local[p, s_]:
+                assert nx.recv_round[p, s_] == -1
+            else:
+                assert nx.recv_round[p, s_] >= 0
+    # emulate the rounds in numpy and check against direct halo_src gather
+    rng = np.random.default_rng(0)
+    D, Sl, R_int = 4, 2, dec.meta.max_interior
+    x_own = rng.random((S, R_int))
+    flat_global = x_own.reshape(-1)
+    expect = flat_global[dec.halo_src]
+    bufs = {}
+    for k, r in enumerate(nx.offsets):
+        for e in range(D):
+            d = (e + r) % D
+            sent = x_own[e * Sl:(e + 1) * Sl].reshape(-1)[nx.send_idx[k][e]]
+            bufs[(d, k)] = sent
+    for p in range(S):
+        d = p // Sl
+        for s_ in dec.valid_ext_slots(p):
+            if nx.is_local[p, s_]:
+                got = x_own[d * Sl:(d + 1) * Sl].reshape(-1)[nx.local_src[p, s_]]
+            else:
+                got = bufs[(d, nx.recv_round[p, s_])][nx.recv_pos[p, s_]]
+            assert got == expect[p, s_], (p, s_)
+
+
+@pytest.mark.parametrize("partition", [Partition.regular, Partition.regular2d])
+def test_neighbor_strategy_matches_allgather(partition):
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    base = Settings(partition=partition, overlap=3, tolerance=1e-8, max_iters=200)
+    r_ag = solve(A, b, base, num_subdomains=4)
+    r_nx = solve(
+        A, b,
+        base.replace(comm=CommSettings(strategy=HaloStrategy.neighbor)),
+        num_subdomains=4,
+    )
+    assert r_ag.converged and r_nx.converged
+    assert r_ag.iters == r_nx.iters
+    np.testing.assert_allclose(r_ag.solution, r_nx.solution, atol=1e-12)
+
+
+def test_overlap_comm_stale_halo_converges():
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    s = Settings(
+        overlap=3, tolerance=1e-6, max_iters=300,
+        comm=CommSettings(overlap_comm=True),
+    )
+    r = solve(A, b, s, num_subdomains=4)
+    assert r.converged
+    assert r.relative_residual_norm < 1e-4
+    # stale halos slow convergence but not catastrophically
+    r_sync = solve(A, b, Settings(overlap=3, tolerance=1e-6, max_iters=300),
+                   num_subdomains=4)
+    assert r.iters >= r_sync.iters
+    assert r.iters <= 4 * r_sync.iters + 10
+
+
+def test_onesided_staleness_emulation():
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    s = Settings(
+        overlap=3, tolerance=1e-6, max_iters=400,
+        comm=CommSettings(onesided=True, staleness=3),
+    )
+    r = solve(A, b, s, num_subdomains=4)
+    assert r.converged
+    assert r.relative_residual_norm < 1e-4
+
+
+def test_neighbor_rounds_are_few_for_regular_partition():
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    dec = decompose(A, b, Settings(overlap=2), 8)
+    nx = build_neighbor_plan(dec, 8)
+    # 1-D chain partition at one BFS ring: only +-1 device offsets carry data
+    assert set(nx.offsets) <= {1, 7}
+    # two rings reach +-2 but still far fewer than all D-1 offsets
+    dec3 = decompose(A, b, Settings(overlap=3), 8)
+    nx3 = build_neighbor_plan(dec3, 8)
+    assert set(nx3.offsets) <= {1, 2, 6, 7}
