@@ -1,0 +1,189 @@
+// Native setup kernels for schwarz_tpu.
+//
+// C++ replacements for the host-side setup hot loops, mirroring the role of the
+// reference's C++ setup path (C5 partition_tools.hpp, C6
+// restricted_schwarz.cpp:55-304): overlap BFS closure, ghost-ring discovery and
+// the local/interface ELL split run over the global CSR arrays once per
+// subdomain, which in pure numpy costs several passes over the nnz per
+// subdomain.  Exposed through a plain C ABI consumed via ctypes
+// (schwarz_tpu/native.py); semantics are bit-identical to the numpy reference
+// implementation in core/decompose.py (first-occurrence discovery order).
+//
+// Build: make -C native  (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// BFS closure of one subdomain: interior rows [first, last) expanded by
+// `rings` adjacency rings (first-occurrence order), then one more ring as the
+// ghost set.  visited must be a caller-provided int8 buffer of length n
+// (contents overwritten).  Returns 0 on success.
+int schwz_closure(
+    int64_t n,
+    const int64_t* indptr,
+    const int64_t* indices,
+    int64_t first,
+    int64_t last,
+    int64_t rings,
+    int8_t* visited,
+    int64_t* out_closure,   // capacity n
+    int64_t* out_nrows,
+    int64_t* out_ghost,     // capacity n
+    int64_t* out_nghost)
+{
+    std::memset(visited, 0, static_cast<size_t>(n));
+    int64_t num = 0;
+    for (int64_t i = first; i < last; ++i) {
+        visited[i] = 1;
+        out_closure[num++] = i;
+    }
+    int64_t ring_start = 0;
+    int64_t ring_end = num;
+    for (int64_t k = 0; k < rings; ++k) {
+        for (int64_t idx = ring_start; idx < ring_end; ++idx) {
+            const int64_t row = out_closure[idx];
+            for (int64_t j = indptr[row]; j < indptr[row + 1]; ++j) {
+                const int64_t c = indices[j];
+                if (!visited[c]) {
+                    visited[c] = 1;
+                    out_closure[num++] = c;
+                }
+            }
+        }
+        if (num == ring_end) break;  // no growth: stop early
+        ring_start = ring_end;
+        ring_end = num;
+    }
+    *out_nrows = num;
+    // ghost ring: unseen columns of the last ring's rows (first-occurrence)
+    int64_t nghost = 0;
+    for (int64_t idx = ring_start; idx < ring_end; ++idx) {
+        const int64_t row = out_closure[idx];
+        for (int64_t j = indptr[row]; j < indptr[row + 1]; ++j) {
+            const int64_t c = indices[j];
+            if (!visited[c]) {
+                visited[c] = 1;
+                out_ghost[nghost++] = c;
+            }
+        }
+    }
+    *out_nghost = nghost;
+    return 0;
+}
+
+// Max per-row ELL widths (local, interface) for one subdomain's closure rows.
+// g2l maps permuted-global -> extended-local slot, -1 where absent; slots
+// < rows_count are closure (local) columns, >= rows_count are ghosts.
+int schwz_row_widths(
+    const int64_t* indptr,
+    const int64_t* indices,
+    const int64_t* g2l,
+    const int64_t* closure,
+    int64_t nrows,
+    int64_t rows_count,
+    int64_t* out_wl,
+    int64_t* out_wi)
+{
+    int64_t wl = 0, wi = 0;
+    for (int64_t r = 0; r < nrows; ++r) {
+        const int64_t row = closure[r];
+        int64_t cl = 0, ci = 0;
+        for (int64_t j = indptr[row]; j < indptr[row + 1]; ++j) {
+            const int64_t slot = g2l[indices[j]];
+            if (slot < 0) continue;  // cannot happen for a proper closure
+            if (slot < rows_count) ++cl; else ++ci;
+        }
+        if (cl > wl) wl = cl;
+        if (ci > wi) wi = ci;
+    }
+    *out_wl = wl;
+    *out_wi = wi;
+    return 0;
+}
+
+// Fill one subdomain's padded ELL arrays (column-sorted order inherited from
+// the CSR).  lcols must be pre-initialised to the self-column pattern and
+// lvals/icols/ivals to zero (as the numpy path does); padded rows' identity
+// diagonals are the caller's responsibility.
+int schwz_ell_fill(
+    const int64_t* indptr,
+    const int64_t* indices,
+    const double* values,
+    const int64_t* g2l,
+    const int64_t* closure,
+    int64_t nrows,
+    int64_t rows_count,
+    int64_t Wl,
+    int64_t Wi,
+    int32_t* lcols,   // (R_rows, Wl) row-major
+    double* lvals,
+    int32_t* icols,   // (R_rows, Wi)
+    double* ivals)
+{
+    for (int64_t r = 0; r < nrows; ++r) {
+        const int64_t row = closure[r];
+        int64_t cl = 0, ci = 0;
+        for (int64_t j = indptr[row]; j < indptr[row + 1]; ++j) {
+            const int64_t slot = g2l[indices[j]];
+            if (slot < 0) continue;
+            if (slot < rows_count) {
+                lcols[r * Wl + cl] = static_cast<int32_t>(slot);
+                lvals[r * Wl + cl] = values[j];
+                ++cl;
+            } else {
+                icols[r * Wi + ci] = static_cast<int32_t>(slot);
+                ivals[r * Wi + ci] = values[j];
+                ++ci;
+            }
+        }
+    }
+    return 0;
+}
+
+// CSR symmetric permutation: B[r, c] = A[perm[r], perm[c]], columns re-sorted
+// within each row (counting sort over the row's entries via insertion —
+// rows are short).  Mirrors restricted_schwarz.cpp:135-151 + sort_by_column.
+int schwz_permute_csr(
+    int64_t n,
+    const int64_t* indptr,
+    const int64_t* indices,
+    const double* values,
+    const int64_t* perm,    // new -> old
+    const int64_t* iperm,   // old -> new
+    int64_t* out_indptr,
+    int64_t* out_indices,
+    double* out_values)
+{
+    int64_t nnz = 0;
+    out_indptr[0] = 0;
+    std::vector<std::pair<int64_t, double>> row;
+    for (int64_t r = 0; r < n; ++r) {
+        const int64_t old_row = perm[r];
+        row.clear();
+        for (int64_t j = indptr[old_row]; j < indptr[old_row + 1]; ++j) {
+            row.emplace_back(iperm[indices[j]], values[j]);
+        }
+        // insertion sort by column (rows are short in FD/FEM matrices)
+        for (size_t a = 1; a < row.size(); ++a) {
+            auto key = row[a];
+            size_t b = a;
+            while (b > 0 && row[b - 1].first > key.first) {
+                row[b] = row[b - 1];
+                --b;
+            }
+            row[b] = key;
+        }
+        for (const auto& e : row) {
+            out_indices[nnz] = e.first;
+            out_values[nnz] = e.second;
+            ++nnz;
+        }
+        out_indptr[r + 1] = nnz;
+    }
+    return 0;
+}
+
+}  // extern "C"
