@@ -95,6 +95,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug_print", action="store_true")
     p.add_argument("--instrument", action="store_true",
                    help="per-stage timing (unfused loop; slower)")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of the solve into DIR "
+                        "(view with tensorboard/xprof); replaces the "
+                        "reference's easy_profiler hookup, CMakeLists.txt:236-239")
+    p.add_argument("--checkpoint", default=None,
+                   help="write the final solver state to this .npz")
+    p.add_argument("--resume", default=None,
+                   help="resume from a solver-state .npz")
     return p
 
 
@@ -253,10 +261,21 @@ def main(argv=None):
 
     dec = decompose(mat, rhs, settings, S)
     solver = RASolver(dec)
-    if args.instrument:
-        result = solver.run_instrumented()
-    else:
-        result = solver.run()
+    resume_state = solver.load_checkpoint(args.resume) if args.resume else None
+    import contextlib
+
+    prof = (
+        jax.profiler.trace(args.profile_dir)
+        if args.profile_dir
+        else contextlib.nullcontext()
+    )
+    with prof:
+        if args.instrument:
+            result = solver.run_instrumented()
+        else:
+            result = solver.run(
+                resume_state=resume_state, checkpoint_path=args.checkpoint
+            )
 
     status = "converged" if result.converged else (
         "DIVERGED" if result.diverged else "did not converge")

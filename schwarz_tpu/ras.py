@@ -366,57 +366,108 @@ class RASolver:
                 "hist_inner": hist_inner,
             }
 
-        def solve_fn(plan, x0):
-            st = {
-                "x_own": x0,
-                "x_ext": jnp.zeros((Sl, meta.max_ext), dtype),
-                "z": jnp.zeros((Sl, R_rows), dtype),
-                "local_rn0": -jnp.ones(Sl, dtype),
-                "conv": init_conv_state(Sl, S, dtype),
-                "nconv": jnp.int32(0),
-                "grn": jnp.zeros((), dtype),
-                "diverged": jnp.array(False),
-                "it": jnp.int32(0),
-                "hist_local": jnp.zeros((max_iters + 1, Sl), dtype),
-                "hist_global": jnp.zeros((max_iters + 1,), dtype),
-                "hist_inner": jnp.zeros((max_iters + 1, Sl), jnp.int32),
-            }
-
+        def solve_fn(plan, st):
             def cond(st):
                 # matches the reference loop bound (schwarz_base.cpp:387): at most
                 # max_iters local solves; the pass that detects convergence does
                 # not solve (break at :432 before local_solve)
                 return (st["it"] < max_iters) & (st["nconv"] < S) & ~st["diverged"]
 
-            final = jax.lax.while_loop(cond, lambda st_: body(plan, st_), st)
-            return (
-                final["x_own"],
-                final["it"],
-                final["nconv"],
-                final["diverged"],
-                final["hist_local"],
-                final["hist_global"],
-                final["hist_inner"],
-            )
+            return jax.lax.while_loop(cond, lambda st_: body(plan, st_), st)
 
         plan_specs = {k: P(SUBD_AXIS) for k in self._plan}
-        out_specs = (
-            P(SUBD_AXIS),            # x_own
-            P(),                     # it
-            P(),                     # nconv
-            P(),                     # diverged
-            P(None, SUBD_AXIS),      # hist_local
-            P(),                     # hist_global
-            P(None, SUBD_AXIS),      # hist_inner
-        )
+        state_specs = self._state_specs()
         mapped = jax.shard_map(
             solve_fn,
             mesh=self.mesh,
-            in_specs=(plan_specs, P(SUBD_AXIS)),
-            out_specs=out_specs,
+            in_specs=(plan_specs, state_specs),
+            out_specs=state_specs,
             check_vma=False,
         )
         return jax.jit(mapped)
+
+    def _state_specs(self):
+        conv_specs = ConvState(
+            detected=P(SUBD_AXIS), global_resnorm0=P(), up_done=P(SUBD_AXIS),
+            got_left=P(SUBD_AXIS), got_right=P(SUBD_AXIS),
+            ever_local=P(SUBD_AXIS), known=P(SUBD_AXIS), sent=P(SUBD_AXIS),
+            counter=P(SUBD_AXIS), counted=P(SUBD_AXIS), res_table=P(SUBD_AXIS),
+        )
+        return {
+            "x_own": P(SUBD_AXIS),
+            "x_ext": P(SUBD_AXIS),
+            "z": P(SUBD_AXIS),
+            "local_rn0": P(SUBD_AXIS),
+            "conv": conv_specs,
+            "nconv": P(),
+            "grn": P(),
+            "diverged": P(),
+            "it": P(),
+            "hist_local": P(None, SUBD_AXIS),
+            "hist_global": P(),
+            "hist_inner": P(None, SUBD_AXIS),
+        }
+
+    def init_state(self, x0: Optional[jax.Array] = None) -> Dict[str, Any]:
+        """Fresh solver state with *global* shapes (checkpointable pytree)."""
+        meta = self.meta
+        s = self.settings
+        S = meta.num_subdomains
+        dtype = s.value_dtype
+        max_iters = s.max_iters
+        shard = jax.sharding.NamedSharding(self.mesh, P(SUBD_AXIS))
+        if x0 is None:
+            x0 = jnp.zeros((S, meta.max_interior), dtype)
+        return {
+            "x_own": jax.device_put(jnp.asarray(x0, dtype), shard),
+            "x_ext": jnp.zeros((S, meta.max_ext), dtype),
+            "z": jnp.zeros((S, meta.max_rows), dtype),
+            "local_rn0": -jnp.ones(S, dtype),
+            "conv": init_conv_state(S, S, dtype),
+            "nconv": jnp.int32(0),
+            "grn": jnp.zeros((), dtype),
+            "diverged": jnp.array(False),
+            "it": jnp.int32(0),
+            "hist_local": jnp.zeros((max_iters + 1, S), dtype),
+            "hist_global": jnp.zeros((max_iters + 1,), dtype),
+            "hist_inner": jnp.zeros((max_iters + 1, S), jnp.int32),
+        }
+
+    def save_checkpoint(self, state: Dict[str, Any], path: str) -> None:
+        """Persist a solver state (the iterate + counters + histories).
+
+        The reference has no checkpointing (SURVEY.md §5: 'state is a single
+        vector'); here it is a first-class capability: the state pytree is
+        host-transferred and written as an .npz archive.
+        """
+        flat, _ = jax.tree.flatten(state)
+        np.savez_compressed(path, *[np.asarray(x) for x in flat])
+
+    def load_checkpoint(self, path: str) -> Dict[str, Any]:
+        """Load a state saved by :meth:`save_checkpoint`.
+
+        History arrays are re-fitted if this solver's ``max_iters`` differs from
+        the checkpointing solver's (resume-with-larger-budget workflow).
+        """
+        data = np.load(path)
+        template = self.init_state()
+        flat, treedef = jax.tree.flatten(template)
+        loaded = []
+        for i, tmpl in enumerate(flat):
+            arr = np.asarray(data[f"arr_{i}"])
+            t = np.asarray(tmpl)
+            if arr.shape != t.shape:
+                if arr.ndim != t.ndim or arr.shape[1:] != t.shape[1:]:
+                    raise ValueError(
+                        f"checkpoint leaf {i} shape {arr.shape} incompatible "
+                        f"with {t.shape}"
+                    )
+                n = min(arr.shape[0], t.shape[0])
+                t = t.copy()
+                t[:n] = arr[:n]
+                arr = t
+            loaded.append(jnp.asarray(arr, tmpl.dtype))
+        return jax.tree.unflatten(treedef, loaded)
 
     # ------------------------------------------------------- instrumented mode --
     def _build_stage_fns(self):
@@ -604,38 +655,41 @@ class RASolver:
         )
 
     # --------------------------------------------------------------- interface --
-    def run(self, x0: Optional[np.ndarray] = None) -> RASResult:
+    def run(
+        self,
+        x0: Optional[np.ndarray] = None,
+        resume_state: Optional[Dict[str, Any]] = None,
+        checkpoint_path: Optional[str] = None,
+    ) -> RASResult:
         """Solve; returns the assembled solution in the original row ordering
-        plus the true-residual oracle (cf. SchwarzBase::run + compute_residual_norm)."""
-        meta = self.meta
-        dec = self.dec
-        S = meta.num_subdomains
-        shard = jax.sharding.NamedSharding(self.mesh, P(SUBD_AXIS))
-        if x0 is None:
-            x0_dev = jax.device_put(
-                jnp.zeros((S, meta.max_interior), self.settings.value_dtype), shard
-            )
-        else:
-            x0_dev = jax.device_put(jnp.asarray(x0), shard)
+        plus the true-residual oracle (cf. SchwarzBase::run + compute_residual_norm).
+
+        ``resume_state`` (from :meth:`load_checkpoint` or a previous result's
+        saved state) continues a partially-converged solve; ``checkpoint_path``
+        saves the final state for later resumption (e.g. with raised max_iters).
+        """
+        S = self.meta.num_subdomains
+        st = resume_state if resume_state is not None else self.init_state(x0)
 
         t0 = time.perf_counter()
-        x_own, it, nconv, diverged, hist_l, hist_g, hist_i = self._run_fn(
-            self._plan, x0_dev
-        )
-        x_own = np.asarray(jax.block_until_ready(x_own))
+        final = self._run_fn(self._plan, st)
+        x_own = np.asarray(jax.block_until_ready(final["x_own"]))
         elapsed = time.perf_counter() - t0
 
-        it = int(it)
-        nconv = int(nconv)
-        diverged = bool(diverged)
+        if checkpoint_path is not None:
+            self.save_checkpoint(final, checkpoint_path)
+
+        it = int(final["it"])
+        nconv = int(final["nconv"])
+        diverged = bool(final["diverged"])
         converged = (nconv >= S) and not diverged
         iters = it - 1 if converged else it
 
         return self._assemble_result(
             x_own, converged, diverged, iters,
-            np.asarray(hist_l)[: it + 1],
-            np.asarray(hist_g)[: it + 1],
-            np.asarray(hist_i)[: it + 1],
+            np.asarray(final["hist_local"])[: it + 1],
+            np.asarray(final["hist_global"])[: it + 1],
+            np.asarray(final["hist_inner"])[: it + 1],
             elapsed,
         )
 
