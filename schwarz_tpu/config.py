@@ -199,6 +199,10 @@ class Settings:
     enable_logging: bool = False
     # padding multiple for subdomain row counts (TPU lane alignment)
     row_pad_multiple: int = 8
+    # SpMV storage for the local operator: "dia" = dominant-diagonal + ELL
+    # remainder (gather-free shifts; the TPU-native format — see ops/dia.py),
+    # "ell" = pure padded ELL, "auto" = dia when diagonals cover >= 50% of nnz
+    spmv_format: str = "auto"
 
     @property
     def value_dtype(self):

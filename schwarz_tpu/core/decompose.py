@@ -77,9 +77,18 @@ class Decomposition:
     # padded batched ELL interface matrix (rows = overlap rows, cols in ext space)
     imat_cols: np.ndarray          # (S, R_rows, Wi) int32
     imat_vals: np.ndarray          # (S, R_rows, Wi)
+    # row-compacted interface (device hot path: only overlap rows carry
+    # interface entries, so the per-iteration gather is O(interface))
+    iface_rows: np.ndarray         # (S, Oi) int32; R_rows = scratch pad
+    iface_cols: np.ndarray         # (S, Oi, Wi) int32
+    iface_vals: np.ndarray         # (S, Oi, Wi)
     local_rhs: np.ndarray          # (S, R_rows) rhs restricted to subdomain rows
     # halo plan: flat index into the all-gathered interior block (S*R_int,)
     halo_src: np.ndarray           # (S, R_ext) int32
+    # compact halo tables: only the non-interior valid slots (gathers on TPU are
+    # scalar-unit bound, so the exchange touches O(halo) elements, not O(R_ext))
+    halo_slots: np.ndarray         # (S, H) int32 ext-slot index; R_ext = pad
+    halo_src_halo: np.ndarray      # (S, H) int32 flat source index
     comm_matrix: np.ndarray        # (S, S) int64: elements p receives from q
     # the permuted global matrix + rhs, for the final true-residual oracle
     global_matrix: CSRMatrix
@@ -351,6 +360,33 @@ def decompose(
         cnt = np.bincount(own[own != p], minlength=S)
         comm_matrix[p, :] = cnt
 
+    # row-compacted interface matrix
+    i_nz = imat_vals != 0.0
+    i_rows_any = i_nz.any(axis=2)                     # (S, R_rows)
+    Oi = max(int(i_rows_any.sum(axis=1).max()), 1)
+    iface_rows = np.full((S, Oi), R_rows, dtype=np.int32)
+    iface_cols = np.zeros((S, Oi, Wi), dtype=np.int32)
+    iface_vals = np.zeros((S, Oi, Wi), dtype=imat_vals.dtype)
+    for p in range(S):
+        rws = np.nonzero(i_rows_any[p])[0]
+        iface_rows[p, : rws.size] = rws.astype(np.int32)
+        iface_cols[p, : rws.size] = imat_cols[p, rws]
+        iface_vals[p, : rws.size] = imat_vals[p, rws]
+
+    # compact halo tables: slots beyond the interior (overlap + ghost); padded
+    # entries point at the scratch slot R_ext (the exchange allocates R_ext+1)
+    halo_counts = (rows_count - interior_count) + ghost_count
+    H = _round_up(max(int(halo_counts.max()), 1), pad)
+    halo_slots = np.full((S, H), R_ext, dtype=np.int32)
+    halo_src_halo = np.zeros((S, H), dtype=np.int32)
+    for p in range(S):
+        slots = np.concatenate([
+            np.arange(interior_count[p], rows_count[p], dtype=np.int64),
+            R_rows + np.arange(ghost_count[p], dtype=np.int64),
+        ])
+        halo_slots[p, : slots.size] = slots.astype(np.int32)
+        halo_src_halo[p, : slots.size] = halo_src[p, slots]
+
     meta = Metadata(
         global_size=N,
         num_subdomains=S,
@@ -376,8 +412,13 @@ def decompose(
         lmat_vals=lmat_vals,
         imat_cols=imat_cols,
         imat_vals=imat_vals,
+        iface_rows=iface_rows,
+        iface_cols=iface_cols,
+        iface_vals=iface_vals,
         local_rhs=local_rhs,
         halo_src=halo_src,
+        halo_slots=halo_slots,
+        halo_src_halo=halo_src_halo,
         comm_matrix=comm_matrix,
         global_matrix=mat_p,
         global_rhs=rhs_p,

@@ -31,24 +31,29 @@ from schwarz_tpu.parallel.mesh import SUBD_AXIS
 
 def exchange_halo_allgather(
     x_own: jax.Array,          # (Sl, R_int) this device's interior blocks
-    halo_src: jax.Array,       # (Sl, R_ext) flat indices into (S * R_int,)
-    ext_mask: jax.Array,       # (Sl, R_ext) valid-slot mask
-    interior_mask: jax.Array,  # (Sl, R_int) valid interior slots
+    halo_slots: jax.Array,     # (Sl, H) ext-slot indices (R_ext = scratch pad)
+    halo_src: jax.Array,       # (Sl, H) flat indices into (S * R_int,)
+    r_ext: int,
     halo_dtype=None,
     axis_name: str = SUBD_AXIS,
 ) -> jax.Array:
-    """Return x_ext (Sl, R_ext) in the compute dtype."""
+    """Return x_ext (Sl, R_ext) in the compute dtype.
+
+    Only the O(halo) non-interior slots go through gather/scatter (the interior
+    is a plain copy) — on TPU, gathers run on the scalar unit, so touching
+    O(R_ext) elements per iteration would dominate the whole solve.  Padded
+    table entries target the scratch slot ``r_ext`` and are dropped by the
+    final slice.  The subdomain's own interior never passes through the
+    (possibly reduced-precision) halo buffer, matching the reference's
+    mixed-precision semantics (restricted_schwarz.cpp:898-908).
+    """
     compute_dtype = x_own.dtype
+    Sl, r_int = x_own.shape
     send = x_own.astype(halo_dtype) if halo_dtype is not None else x_own
     x_all = jax.lax.all_gather(send, axis_name, tiled=True)  # (S, R_int)
-    x_ext = x_all.reshape(-1)[halo_src]
-    x_ext = jnp.where(ext_mask, x_ext, 0).astype(compute_dtype)
-    if halo_dtype is not None:
-        # only *received* values go through the reduced-precision buffer; a
-        # subdomain's own interior stays full precision (the reference's mixed
-        # path likewise converts only the send/recv buffers,
-        # restricted_schwarz.cpp:898-908)
-        r_int = x_own.shape[1]
-        own = jnp.where(interior_mask, x_own, x_ext[:, :r_int])
-        x_ext = x_ext.at[:, :r_int].set(own)
-    return x_ext
+    halo_vals = x_all.reshape(-1)[halo_src].astype(compute_dtype)  # (Sl, H)
+    x_ext = jnp.zeros((Sl, r_ext + 1), compute_dtype)
+    x_ext = x_ext.at[:, :r_int].set(x_own)
+    rows = jnp.broadcast_to(jnp.arange(Sl)[:, None], halo_slots.shape)
+    x_ext = x_ext.at[rows, halo_slots].set(halo_vals)
+    return x_ext[:, :r_ext]

@@ -40,15 +40,20 @@ from schwarz_tpu.parallel.mesh import SUBD_AXIS
 
 @dataclasses.dataclass
 class NeighborPlan:
-    """Host-side tables for the offset-round exchange (see module docstring)."""
+    """Host-side tables for the offset-round exchange (see module docstring).
+
+    Receive-side tables are *compact*: aligned with ``dec.halo_slots`` (S, H),
+    covering only the non-interior valid ext slots — gathers on TPU are
+    scalar-unit bound, so all per-iteration index traffic is O(halo).
+    """
 
     n_devices: int
     offsets: List[int]                 # cyclic device offsets, one per round
     send_idx: List[np.ndarray]         # per round: (D, H_r) int32
-    recv_round: np.ndarray             # (S, R_ext) int32, -1 = local
-    recv_pos: np.ndarray               # (S, R_ext) int32
-    local_src: np.ndarray              # (S, R_ext) int32 into (Sl*R_int,)
-    is_local: np.ndarray               # (S, R_ext) bool
+    is_local: np.ndarray               # (S, H) bool: owner on same device
+    local_src: np.ndarray              # (S, H) int32 into (Sl*R_int,)
+    recv_round: np.ndarray             # (S, H) int32 (n_rounds where local)
+    recv_pos: np.ndarray               # (S, H) int32
     max_h: int                         # max buffer length across rounds
 
 
@@ -60,20 +65,21 @@ def build_neighbor_plan(dec, n_devices: int) -> NeighborPlan:
     assert S % D == 0
     Sl = S // D
     R_int = meta.max_interior
-    R_ext = meta.max_ext
     first_row = dec.first_row
 
-    _, _, ext_valid = dec.masks()
-    l2g = dec.local_to_global
-    owner = np.searchsorted(first_row, l2g, side="right") - 1
+    # per halo slot (compact table): permuted-global index + owner
+    H = dec.halo_slots.shape[1]
+    pad_slot = dec.halo_slots == meta.max_ext   # scratch-padding entries
+    slot_safe = np.where(pad_slot, 0, dec.halo_slots)
+    g_of = np.take_along_axis(dec.local_to_global, slot_safe.astype(np.int64), 1)
+    g_of = np.where(pad_slot, 0, g_of)          # padding -> global row 0
+    owner = np.searchsorted(first_row, g_of, side="right") - 1
     owner_dev = owner // Sl
     my_dev = (np.arange(S) // Sl)[:, None]
 
-    is_local = ext_valid & (owner_dev == my_dev)
-    is_remote = ext_valid & (owner_dev != my_dev)
-    # intra-device gather offsets (valid only where is_local)
-    local_src = ((owner - (my_dev * Sl)) * R_int + (l2g - first_row[owner]))
-    local_src = np.where(is_local, local_src, 0).astype(np.int32)
+    is_local = (owner_dev == my_dev) | pad_slot  # padding handled as local 0
+    local_src = ((owner - (my_dev * Sl)) * R_int + (g_of - first_row[owner]))
+    local_src = np.where(is_local & ~pad_slot, local_src, 0).astype(np.int32)
 
     # needed[d][e] = sorted unique permuted-global indices device d needs from e
     needed = [[None] * D for _ in range(D)]
@@ -83,7 +89,7 @@ def build_neighbor_plan(dec, n_devices: int) -> NeighborPlan:
             if e == d:
                 continue
             vals = np.concatenate(
-                [l2g[p][is_remote[p] & (owner_dev[p] == e)] for p in subs]
+                [g_of[p][~is_local[p] & (owner_dev[p] == e)] for p in subs]
             )
             needed[d][e] = np.unique(vals)
 
@@ -93,8 +99,9 @@ def build_neighbor_plan(dec, n_devices: int) -> NeighborPlan:
             offsets.append(r)
 
     send_idx: List[np.ndarray] = []
-    recv_round = np.full((S, R_ext), -1, dtype=np.int32)
-    recv_pos = np.zeros((S, R_ext), dtype=np.int32)
+    n_rounds = len(offsets)
+    recv_round = np.full((S, H), n_rounds, dtype=np.int32)
+    recv_pos = np.zeros((S, H), dtype=np.int32)
     max_h = 1
     for k, r in enumerate(offsets):
         H_r = max(max(needed[(e + r) % D][e].size for e in range(D)), 1)
@@ -109,43 +116,49 @@ def build_neighbor_plan(dec, n_devices: int) -> NeighborPlan:
             tbl[e, : g.size] = (
                 (own_sub - e * Sl) * R_int + (g - first_row[own_sub])
             )
-            # receiver side: every ext slot of d's subdomains owned by e
+            # receiver side: every halo slot of d's subdomains owned by e
             pos_of = {int(gi): i for i, gi in enumerate(g)}
             for p in range(d * Sl, (d + 1) * Sl):
-                slots = np.where(is_remote[p] & (owner_dev[p] == e))[0]
-                for s_ in slots:
-                    recv_round[p, s_] = k
-                    recv_pos[p, s_] = pos_of[int(l2g[p, s_])]
+                hs = np.where(~is_local[p] & (owner_dev[p] == e))[0]
+                for j in hs:
+                    recv_round[p, j] = k
+                    recv_pos[p, j] = pos_of[int(g_of[p, j])]
         send_idx.append(tbl)
 
     return NeighborPlan(
         n_devices=D,
         offsets=offsets,
         send_idx=send_idx,
+        is_local=is_local,
+        local_src=local_src,
         recv_round=recv_round,
         recv_pos=recv_pos,
-        local_src=local_src,
-        is_local=is_local,
         max_h=max_h,
     )
 
 
 def exchange_halo_neighbor(
     x_own: jax.Array,            # (Sl, R_int)
-    local_src: jax.Array,        # (Sl, R_ext)
-    is_local: jax.Array,         # (Sl, R_ext)
-    recv_round: jax.Array,       # (Sl, R_ext)
-    recv_pos: jax.Array,         # (Sl, R_ext)
+    halo_slots: jax.Array,       # (Sl, H) ext-slot index (R_ext = scratch pad)
+    local_src: jax.Array,        # (Sl, H)
+    is_local: jax.Array,         # (Sl, H)
+    recv_round: jax.Array,       # (Sl, H)
+    recv_pos: jax.Array,         # (Sl, H)
     send_idx: List[jax.Array],   # per round: (1, H_r) — this device's row
     offsets: List[int],
     n_devices: int,
     max_h: int,
-    ext_mask: jax.Array,         # (Sl, R_ext)
+    r_ext: int,
     halo_dtype=None,
     axis_name: str = SUBD_AXIS,
 ) -> jax.Array:
-    """Run the offset rounds and assemble x_ext (Sl, R_ext)."""
+    """Run the offset rounds and assemble x_ext (Sl, R_ext).
+
+    Interior slots are a plain copy of ``x_own``; only the O(halo) compact
+    tables go through gather/scatter (see NeighborPlan docstring).
+    """
     compute_dtype = x_own.dtype
+    Sl, r_int = x_own.shape
     flat = x_own.reshape(-1)
     send = flat.astype(halo_dtype) if halo_dtype is not None else flat
 
@@ -158,8 +171,11 @@ def exchange_halo_neighbor(
         got = jax.lax.ppermute(out, axis_name, perm)  # one cyclic shift
         bufs = bufs.at[k, : got.shape[0]].set(got)
 
-    safe_round = jnp.where(recv_round >= 0, recv_round, n_rounds)
-    remote = bufs[safe_round, recv_pos].astype(compute_dtype)
-    local = flat[local_src]
-    x_ext = jnp.where(is_local, local, remote)
-    return jnp.where(ext_mask, x_ext, 0).astype(compute_dtype)
+    remote = bufs[recv_round, recv_pos].astype(compute_dtype)   # (Sl, H)
+    local = flat[local_src]                                     # (Sl, H)
+    halo_vals = jnp.where(is_local, local, remote)
+    x_ext = jnp.zeros((Sl, r_ext + 1), compute_dtype)
+    x_ext = x_ext.at[:, :r_int].set(x_own)
+    rows = jnp.broadcast_to(jnp.arange(Sl)[:, None], halo_slots.shape)
+    x_ext = x_ext.at[rows, halo_slots].set(halo_vals)
+    return x_ext[:, :r_ext]

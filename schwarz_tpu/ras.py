@@ -61,6 +61,24 @@ from schwarz_tpu.solvers.precond import Precond, make_preconditioner
 DIVERGENCE_LIMIT = 1e12  # schwarz_base.cpp:424: abort when ||r|| exceeds this
 
 
+def _interface_update(plan, x_ext: jax.Array) -> jax.Array:
+    """rhs_eff = local_rhs - A_interface @ x_ext via the row-compacted interface
+    (update_boundary, restricted_schwarz.cpp:991-1017).  Only overlap rows carry
+    interface entries, so gather/scatter volume is O(interface nnz)."""
+    rhs = plan["local_rhs"]
+    iface_rows = plan["iface_rows"]              # (Sl, Oi)
+    iface_cols = plan["iface_cols"]              # (Sl, Oi, Wi)
+    iface_vals = plan["iface_vals"]
+    Sl, R = rhs.shape
+    gathered = jnp.take_along_axis(
+        x_ext, iface_cols.reshape(Sl, -1).astype(jnp.int32), axis=1
+    ).reshape(iface_cols.shape)
+    contrib = jnp.einsum("sow,sow->so", iface_vals, gathered)   # (Sl, Oi)
+    srows = jnp.broadcast_to(jnp.arange(Sl)[:, None], iface_rows.shape)
+    rhs_pad = jnp.pad(rhs, ((0, 0), (0, 1)))
+    return rhs_pad.at[srows, iface_rows].add(-contrib)[:, :R]
+
+
 @dataclasses.dataclass
 class RASResult:
     """Solve outcome (the reference prints these at schwarz_base.cpp:473-499)."""
@@ -121,14 +139,36 @@ class RASolver:
         plan: Dict[str, jax.Array] = {
             "lmat_vals": put(dec.lmat_vals.astype(dtype)),
             "lmat_cols": put(dec.lmat_cols),
-            "imat_vals": put(dec.imat_vals.astype(dtype)),
-            "imat_cols": put(dec.imat_cols),
+            "iface_rows": put(dec.iface_rows),
+            "iface_vals": put(dec.iface_vals.astype(dtype)),
+            "iface_cols": put(dec.iface_cols),
             "local_rhs": put(dec.local_rhs.astype(dtype)),
-            "halo_src": put(dec.halo_src),
+            "halo_slots": put(dec.halo_slots),
+            "halo_src_halo": put(dec.halo_src_halo),
             "ext_mask": put(ext_valid),
             "interior_mask": put(interior_valid),
             "adj_in": put(dec.comm_matrix > 0),
         }
+        # DIA+remainder local operator (gather-free SpMV; ops/dia.py) — the
+        # hot-path format on TPU, where XLA's gather is scalar-unit bound
+        self._dia_offsets = None
+        # "auto": DIA pays off on TPU (XLA gathers are scalar-unit bound there);
+        # on CPU the gather-based ELL is faster, so auto keeps ELL
+        on_tpu = self.mesh.devices.reshape(-1)[0].platform != "cpu"
+        if s.spmv_format == "dia" or (s.spmv_format == "auto" and on_tpu):
+            from schwarz_tpu.ops.dia import split_dia_ell
+
+            hyb = split_dia_ell(
+                dec.lmat_vals, dec.lmat_cols, dec.rows_count
+            )
+            dia_nnz = int((hyb.dia_vals != 0).sum())
+            total_nnz = max(int((dec.lmat_vals != 0).sum()), 1)
+            if s.spmv_format == "dia" or dia_nnz >= 0.5 * total_nnz:
+                self._dia_offsets = hyb.offsets
+                plan["dia_vals"] = put(hyb.dia_vals.astype(dtype))
+                plan["rem_rows"] = put(hyb.rem_rows)
+                plan["rem_vals"] = put(hyb.rem_vals.astype(dtype))
+                plan["rem_cols"] = put(hyb.rem_cols)
         self._neighbor_plan = None
         if s.comm.strategy == HaloStrategy.neighbor:
             from schwarz_tpu.parallel.neighbor_exchange import build_neighbor_plan
@@ -170,6 +210,12 @@ class RASolver:
                 eye = jnp.eye(bs, dtype=dtype)
                 absent = jnp.all(blocks == 0.0, axis=-1, keepdims=True)
                 plan["precond_blockinv"] = jnp.linalg.inv(blocks + absent * eye)
+        # with the DIA operator and an iterative solver, the wide ELL arrays are
+        # no longer touched in the solve loop — drop them from device memory
+        if self._dia_offsets is not None and s.local_solver in (
+            LocalSolver.iterative_cg, LocalSolver.iterative_gmres,
+        ):
+            del plan["lmat_vals"], plan["lmat_cols"]
         return plan
 
     def _precond_fn(self, plan_block):
@@ -191,6 +237,21 @@ class RASolver:
             return apply
         return None
 
+    def _apply_local(self, plan_block):
+        """Operator application y = A_local @ x for this device's batch:
+        gather-free DIA when extracted, ELL otherwise."""
+        if self._dia_offsets is not None:
+            from schwarz_tpu.ops.dia import dia_ell_spmv
+
+            offsets = self._dia_offsets
+            dv, rr, rv, rc = (
+                plan_block["dia_vals"], plan_block["rem_rows"],
+                plan_block["rem_vals"], plan_block["rem_cols"],
+            )
+            return lambda x: dia_ell_spmv(offsets, dv, rr, rv, rc, x)
+        lv, lc = plan_block["lmat_vals"], plan_block["lmat_cols"]
+        return lambda x: ell_spmv_batched(lv, lc, x)
+
     def _local_solve(self, plan_block, rhs_eff, z_prev):
         """Dispatch the batched local solver (solve.cpp:666-792)."""
         s = self.settings
@@ -198,16 +259,19 @@ class RASolver:
         max_it = s.local_max_iters if s.local_max_iters > 0 else R
         if s.local_solver == LocalSolver.iterative_cg:
             res = cg_solve(
-                plan_block["lmat_vals"], plan_block["lmat_cols"], rhs_eff,
-                z_prev, s.local_tolerance, max_it,
+                plan_block.get("lmat_vals"), plan_block.get("lmat_cols"),
+                rhs_eff, z_prev, s.local_tolerance, max_it,
                 precond=self._precond_fn(plan_block),
+                apply_fn=self._apply_local(plan_block),
             )
             return res.x, res.iters
         if s.local_solver == LocalSolver.iterative_gmres:
             res = gmres_solve(
-                plan_block["lmat_vals"], plan_block["lmat_cols"], rhs_eff,
-                z_prev, s.local_tolerance, max_it, restart=s.restart_iter,
+                plan_block.get("lmat_vals"), plan_block.get("lmat_cols"),
+                rhs_eff, z_prev, s.local_tolerance, max_it,
+                restart=s.restart_iter,
                 precond=self._precond_fn(plan_block),
+                apply_fn=self._apply_local(plan_block),
             )
             return res.x, res.iters
         if s.local_solver == LocalSolver.direct_cholesky:
@@ -252,6 +316,7 @@ class RASolver:
                 nx = self._neighbor_plan
                 return exchange_halo_neighbor(
                     x_own,
+                    plan["halo_slots"],
                     plan["nx_local_src"],
                     plan["nx_is_local"],
                     plan["nx_recv_round"],
@@ -260,12 +325,12 @@ class RASolver:
                     nx.offsets,
                     nx.n_devices,
                     nx.max_h,
-                    plan["ext_mask"],
+                    meta.max_ext,
                     halo_dtype=halo_dtype,
                 )
             return exchange_halo_allgather(
-                x_own, plan["halo_src"], plan["ext_mask"],
-                plan["interior_mask"], halo_dtype=halo_dtype,
+                x_own, plan["halo_slots"], plan["halo_src_halo"],
+                meta.max_ext, halo_dtype=halo_dtype,
             )
 
         def body(plan, st):
@@ -282,13 +347,9 @@ class RASolver:
             else:
                 x_ext = x_ext_carry = fresh
             # --- update_boundary: rhs_eff = b_loc - A_interface x_ext -------
-            rhs_eff = plan["local_rhs"] - ell_spmv_batched(
-                plan["imat_vals"], plan["imat_cols"], x_ext
-            )
+            rhs_eff = _interface_update(plan, x_ext)
             # --- local residual (solve.cpp:795-856) -------------------------
-            r = rhs_eff - ell_spmv_batched(
-                plan["lmat_vals"], plan["lmat_cols"], x_ext[:, :R_rows]
-            )
+            r = rhs_eff - self._apply_local(plan)(x_ext[:, :R_rows])
             local_rn = jnp.sqrt(jnp.sum(r * r, axis=-1))
             rn0 = jnp.where(st["local_rn0"] < 0, local_rn, st["local_rn0"])
             locally_conv = (local_rn * local_rn) < (s.tolerance**2) * (rn0 * rn0)
@@ -494,19 +555,15 @@ class RASolver:
 
         def exchange(plan, x_own):
             return exchange_halo_allgather(
-                x_own, plan["halo_src"], plan["ext_mask"],
-                plan["interior_mask"], halo_dtype=halo_dtype,
+                x_own, plan["halo_slots"], plan["halo_src_halo"],
+                meta.max_ext, halo_dtype=halo_dtype,
             )
 
         def update(plan, x_ext):
-            return plan["local_rhs"] - ell_spmv_batched(
-                plan["imat_vals"], plan["imat_cols"], x_ext
-            )
+            return _interface_update(plan, x_ext)
 
         def conv(plan, conv_state, x_ext, rhs_eff, rn0_in):
-            r = rhs_eff - ell_spmv_batched(
-                plan["lmat_vals"], plan["lmat_cols"], x_ext[:, :R_rows]
-            )
+            r = rhs_eff - self._apply_local(plan)(x_ext[:, :R_rows])
             local_rn = jnp.sqrt(jnp.sum(r * r, axis=-1))
             rn0 = jnp.where(rn0_in < 0, local_rn, rn0_in)
             locally_conv = (local_rn * local_rn) < (s.tolerance**2) * (rn0 * rn0)

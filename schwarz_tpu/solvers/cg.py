@@ -40,17 +40,21 @@ def cg_solve(
     tol: float,
     max_iters: int,
     precond: Optional[Callable[[jax.Array], jax.Array]] = None,
+    apply_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> KrylovResult:
     """Solve ``A_s x_s = b_s`` for every subdomain ``s`` in the batch.
 
     vals/cols: (S, R, W) padded ELL; b, x0: (S, R).  Padded rows must carry an
     identity diagonal and zero rhs (guaranteed by the decomposition), so they stay
-    exactly zero and need no masking.
+    exactly zero and need no masking.  ``apply_fn`` overrides the operator
+    application (e.g. the gather-free DIA formulation, ops/dia.py).
     """
+    if apply_fn is None:
+        apply_fn = lambda x: ell_spmv_batched(vals, cols, x)  # noqa: E731
     M = precond if precond is not None else (lambda r: r)
     eps = jnp.finfo(b.dtype).tiny
 
-    r0 = b - ell_spmv_batched(vals, cols, x0)
+    r0 = b - apply_fn(x0)
     z0 = M(r0)
     rho0 = _dot(r0, z0)
     rnorm0_sq = _dot(r0, r0)
@@ -61,7 +65,7 @@ def cg_solve(
 
     def body(state):
         x, r, z, p, rnorm_sq, rho, it, active = state
-        Ap = ell_spmv_batched(vals, cols, p)
+        Ap = apply_fn(p)
         pAp = _dot(p, Ap)
         alpha = jnp.where(pAp > 0, rho / jnp.maximum(pAp, eps), 0.0)
         a = jnp.where(active, alpha, 0.0)[:, None]

@@ -28,22 +28,25 @@ def gmres_solve(
     max_iters: int,
     restart: int = 30,
     precond: Optional[Callable[[jax.Array], jax.Array]] = None,
+    apply_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> KrylovResult:
     """Solve (generally non-symmetric) ``A_s x_s = b_s`` batched; left-preconditioned."""
     S, R = b.shape
     m = int(restart)
+    if apply_fn is None:
+        apply_fn = lambda x: ell_spmv_batched(vals, cols, x)  # noqa: E731
     M = precond if precond is not None else (lambda r: r)
     eps = jnp.finfo(b.dtype).eps
     tiny = jnp.finfo(b.dtype).tiny
 
-    r0 = M(b - ell_spmv_batched(vals, cols, x0))
+    r0 = M(b - apply_fn(x0))
     rnorm0 = jnp.sqrt(_dot(r0, r0))
     target = tol * rnorm0
     max_cycles = -(-max_iters // m)
 
     def arnoldi_cycle(x):
         """One m-step Arnoldi + least-squares update; returns (x_new, rnorm)."""
-        r = M(b - ell_spmv_batched(vals, cols, x))
+        r = M(b - apply_fn(x))
         beta = jnp.sqrt(_dot(r, r))
         v0 = r / jnp.maximum(beta, tiny)[:, None]
         V = jnp.zeros((S, m + 1, R), dtype=b.dtype).at[:, 0].set(v0)
@@ -51,7 +54,7 @@ def gmres_solve(
 
         def step(j, carry):
             V, H = carry
-            w = M(ell_spmv_batched(vals, cols, V[:, j]))
+            w = M(apply_fn(V[:, j]))
             # modified Gram-Schmidt against v_0..v_j (static loop bound m, masked)
             def mgs(i, carry_w):
                 w, H = carry_w

@@ -24,34 +24,33 @@ def test_neighbor_plan_tables_consistent():
     dec = decompose(A, b, Settings(overlap=3), 8)
     nx = build_neighbor_plan(dec, 4)  # 8 subdomains on 4 devices (Sl=2)
     S = 8
-    _, _, ext_valid = dec.masks()
-    # every valid remote slot is assigned a round+position; local slots aren't
-    for p in range(S):
-        for s_ in dec.valid_ext_slots(p):
-            if nx.is_local[p, s_]:
-                assert nx.recv_round[p, s_] == -1
-            else:
-                assert nx.recv_round[p, s_] >= 0
+    R_ext = dec.meta.max_ext
     # emulate the rounds in numpy and check against direct halo_src gather
     rng = np.random.default_rng(0)
     D, Sl, R_int = 4, 2, dec.meta.max_interior
     x_own = rng.random((S, R_int))
     flat_global = x_own.reshape(-1)
-    expect = flat_global[dec.halo_src]
+    expect_full = flat_global[dec.halo_src]
     bufs = {}
     for k, r in enumerate(nx.offsets):
         for e in range(D):
             d = (e + r) % D
             sent = x_own[e * Sl:(e + 1) * Sl].reshape(-1)[nx.send_idx[k][e]]
             bufs[(d, k)] = sent
+    n_rounds = len(nx.offsets)
     for p in range(S):
         d = p // Sl
-        for s_ in dec.valid_ext_slots(p):
-            if nx.is_local[p, s_]:
-                got = x_own[d * Sl:(d + 1) * Sl].reshape(-1)[nx.local_src[p, s_]]
+        for j in range(dec.halo_slots.shape[1]):
+            slot = dec.halo_slots[p, j]
+            if slot == R_ext:       # padding entry
+                assert nx.is_local[p, j]
+                continue
+            if nx.is_local[p, j]:
+                assert nx.recv_round[p, j] == n_rounds
+                got = x_own[d * Sl:(d + 1) * Sl].reshape(-1)[nx.local_src[p, j]]
             else:
-                got = bufs[(d, nx.recv_round[p, s_])][nx.recv_pos[p, s_]]
-            assert got == expect[p, s_], (p, s_)
+                got = bufs[(d, nx.recv_round[p, j])][nx.recv_pos[p, j]]
+            assert got == expect_full[p, slot], (p, j, slot)
 
 
 @pytest.mark.parametrize("partition", [Partition.regular, Partition.regular2d])
