@@ -161,11 +161,15 @@ def decompose(
     partition_indices: Optional[np.ndarray] = None,
 ) -> Decomposition:
     """Build the full decomposition plan from a global CSR matrix + rhs."""
+    from schwarz_tpu.exceptions import assert_eq, assert_valid_partition
+
     N = mat.n
     S = num_subdomains
+    assert_eq(mat.row_ptrs.shape[0], N + 1, "row_ptrs length")
     if partition_indices is None:
         partition_indices = make_partition(mat, S, settings)
     partition_indices = np.asarray(partition_indices, dtype=np.int64)
+    assert_valid_partition(partition_indices, S)
     dtype = settings.value_dtype
 
     # --- permutation & first_row (restricted_schwarz.cpp:97-152) -----------------

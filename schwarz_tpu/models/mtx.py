@@ -34,6 +34,7 @@ def read_mtx(path: str, dtype=np.float64) -> CSRMatrix:
             np.concatenate([cols, rows[off]]),
         )
         vals = np.concatenate([vals, vals[off]])
-    if nrows != ncols:
-        raise ValueError(f"{path}: matrix must be square, got {nrows}x{ncols}")
+    from schwarz_tpu.exceptions import assert_square
+
+    assert_square(nrows, ncols, f"matrix {path}")
     return CSRMatrix.from_coo(rows, cols, vals, nrows)

@@ -137,6 +137,49 @@ def build_neighbor_plan(dec, n_devices: int) -> NeighborPlan:
     )
 
 
+def _rdma_cyclic_shift(
+    buf: jax.Array, offset: int, n_devices: int, axis_name: str,
+    collective_id: int, interpret: bool,
+) -> jax.Array:
+    """Push ``buf`` to device ``(me + offset) % D`` with a one-sided Pallas
+    remote DMA; returns the buffer pushed by ``(me - offset) % D``.
+
+    This is the TPU-native analogue of the reference's gathered MPI_Put into a
+    remote recv window (restricted_schwarz.cpp:735-791 + comm_helpers.hpp:58-127):
+    the transfer is initiated by the sender only, completion is signaled through
+    DMA semaphores (the flush/lock discipline of comm_helpers.hpp:128-180 maps
+    to the send/recv semaphore pair).  ``interpret=True`` runs the same kernel
+    under the Pallas interpreter (CPU meshes / tests).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(x_ref, o_ref, send_sem, recv_sem):
+        me = jax.lax.axis_index(axis_name)
+        dst = jax.lax.rem(me + jnp.int32(offset), jnp.int32(n_devices))
+        rdma = pltpu.make_async_remote_copy(
+            src_ref=x_ref, dst_ref=o_ref,
+            send_sem=send_sem, recv_sem=recv_sem,
+            device_id=dst, device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        rdma.start()
+        rdma.wait()
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(buf.shape, buf.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=collective_id,
+        ),
+        interpret=interpret,
+    )(buf)
+
+
 def exchange_halo_neighbor(
     x_own: jax.Array,            # (Sl, R_int)
     halo_slots: jax.Array,       # (Sl, H) ext-slot index (R_ext = scratch pad)
@@ -151,6 +194,8 @@ def exchange_halo_neighbor(
     r_ext: int,
     halo_dtype=None,
     axis_name: str = SUBD_AXIS,
+    transport: str = "ppermute",   # "ppermute" (two-sided) | "rdma" (one-sided)
+    rdma_interpret: bool = False,
 ) -> jax.Array:
     """Run the offset rounds and assemble x_ext (Sl, R_ext).
 
@@ -167,8 +212,14 @@ def exchange_halo_neighbor(
     bufs = jnp.zeros((n_rounds + 1, max_h), dtype=send.dtype)
     for k, r in enumerate(offsets):
         out = send[send_idx[k].reshape(-1)]          # pack
-        perm = [(d, (d + r) % n_devices) for d in range(n_devices)]
-        got = jax.lax.ppermute(out, axis_name, perm)  # one cyclic shift
+        if transport == "rdma":
+            got = _rdma_cyclic_shift(
+                out, r, n_devices, axis_name,
+                collective_id=k, interpret=rdma_interpret,
+            )
+        else:
+            perm = [(d, (d + r) % n_devices) for d in range(n_devices)]
+            got = jax.lax.ppermute(out, axis_name, perm)  # one cyclic shift
         bufs = bufs.at[k, : got.shape[0]].set(got)
 
     remote = bufs[recv_round, recv_pos].astype(compute_dtype)   # (Sl, H)

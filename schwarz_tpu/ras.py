@@ -170,7 +170,7 @@ class RASolver:
                 plan["rem_vals"] = put(hyb.rem_vals.astype(dtype))
                 plan["rem_cols"] = put(hyb.rem_cols)
         self._neighbor_plan = None
-        if s.comm.strategy == HaloStrategy.neighbor:
+        if s.comm.strategy in (HaloStrategy.neighbor, HaloStrategy.rdma):
             from schwarz_tpu.parallel.neighbor_exchange import build_neighbor_plan
 
             nx = build_neighbor_plan(dec, self.mesh.devices.size)
@@ -308,12 +308,13 @@ class RASolver:
         stale_period = max(1, s.comm.staleness) if s.comm.onesided else 1
 
         def do_exchange(plan, x_own):
-            if s.comm.strategy == HaloStrategy.neighbor:
+            if s.comm.strategy in (HaloStrategy.neighbor, HaloStrategy.rdma):
                 from schwarz_tpu.parallel.neighbor_exchange import (
                     exchange_halo_neighbor,
                 )
 
                 nx = self._neighbor_plan
+                on_cpu = self.mesh.devices.reshape(-1)[0].platform == "cpu"
                 return exchange_halo_neighbor(
                     x_own,
                     plan["halo_slots"],
@@ -327,6 +328,11 @@ class RASolver:
                     nx.max_h,
                     meta.max_ext,
                     halo_dtype=halo_dtype,
+                    transport=(
+                        "rdma" if s.comm.strategy == HaloStrategy.rdma
+                        else "ppermute"
+                    ),
+                    rdma_interpret=on_cpu,
                 )
             return exchange_halo_allgather(
                 x_own, plan["halo_slots"], plan["halo_src_halo"],

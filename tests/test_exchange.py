@@ -69,6 +69,23 @@ def test_neighbor_strategy_matches_allgather(partition):
     np.testing.assert_allclose(r_ag.solution, r_nx.solution, atol=1e-12)
 
 
+def test_rdma_strategy_matches_allgather():
+    # one-sided Pallas remote-DMA transport (interpreted on the CPU mesh);
+    # must agree with the collective strategies exactly
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    base = Settings(overlap=3, tolerance=1e-8, max_iters=200)
+    r_ag = solve(A, b, base, num_subdomains=4)
+    r_rd = solve(
+        A, b,
+        base.replace(comm=CommSettings(strategy=HaloStrategy.rdma)),
+        num_subdomains=4,
+    )
+    assert r_ag.converged and r_rd.converged
+    assert r_ag.iters == r_rd.iters
+    np.testing.assert_allclose(r_ag.solution, r_rd.solution, atol=1e-12)
+
+
 def test_overlap_comm_stale_halo_converges():
     A = laplacian_2d(16)
     b = generate_rhs(A.n)
