@@ -68,6 +68,7 @@ class Decomposition:
     iperm: np.ndarray
     first_row: np.ndarray          # (S+1,) interior row offsets in permuted order
     interior_count: np.ndarray     # (S,)
+    interior_offset: np.ndarray    # (S,) closure slot of the first interior row
     rows_count: np.ndarray         # (S,)  == reference local_size_x
     ghost_count: np.ndarray        # (S,) ghost-ring sizes
     local_to_global: np.ndarray    # (S, R_ext) permuted-global index per slot
@@ -243,6 +244,23 @@ def decompose(
         closures.append(closure)
         ghosts.append(ghost)
 
+    # Closure ordering: the reference orders interior-then-overlap
+    # (restricted_schwarz.cpp:155-180).  For contiguous (regular-1D) partitions
+    # we sort the closure by global index instead: the local matrix then keeps
+    # the global operator's band structure exactly (zero DIA remainder, so the
+    # hot SpMV is fully gather-free) and the interior is a contiguous window at
+    # ``interior_offset``.  Both orderings represent the same operator; only
+    # the internal slot numbering differs.
+    interior_offset = np.zeros(S, dtype=np.int64)
+    if settings.partition == Partition.regular:
+        for p in range(S):
+            closures[p] = np.sort(closures[p])
+            ghosts[p] = np.sort(ghosts[p])
+            interior_offset[p] = np.searchsorted(closures[p], first_row[p])
+            # interior rows are contiguous globals, hence contiguous in the
+            # sorted closure
+            assert closures[p][interior_offset[p]] == first_row[p]
+
     # --- padded sizes (TPU static shapes) ----------------------------------------
     pad = settings.row_pad_multiple
     R_int = _round_up(int((first_row[1:] - first_row[:-1]).max()), pad)
@@ -384,8 +402,12 @@ def decompose(
     halo_slots = np.full((S, H), R_ext, dtype=np.int32)
     halo_src_halo = np.zeros((S, H), dtype=np.int32)
     for p in range(S):
+        row_slots = np.arange(rows_count[p], dtype=np.int64)
+        in_interior = (row_slots >= interior_offset[p]) & (
+            row_slots < interior_offset[p] + interior_count[p]
+        )
         slots = np.concatenate([
-            np.arange(interior_count[p], rows_count[p], dtype=np.int64),
+            row_slots[~in_interior],
             R_rows + np.arange(ghost_count[p], dtype=np.int64),
         ])
         halo_slots[p, : slots.size] = slots.astype(np.int32)
@@ -409,6 +431,7 @@ def decompose(
         iperm=iperm,
         first_row=first_row,
         interior_count=interior_count,
+        interior_offset=interior_offset,
         rows_count=rows_count,
         ghost_count=ghost_count,
         local_to_global=local_to_global,

@@ -29,9 +29,36 @@ import jax.numpy as jnp
 from schwarz_tpu.parallel.mesh import SUBD_AXIS
 
 
+def assemble_x_ext(
+    x_own: jax.Array,          # (Sl, R_int)
+    interior_off: jax.Array,   # (Sl,) closure slot of first interior row
+    halo_slots: jax.Array,     # (Sl, H); padding entries point >= r_ext
+    halo_vals: jax.Array,      # (Sl, H)
+    r_ext: int,
+) -> jax.Array:
+    """Build the extended-local view: interior window insert + halo scatter.
+
+    The interior is one contiguous ``dynamic_update_slice`` per subdomain (slot
+    ``interior_off``; 0 for interior-first orderings).  The buffer carries
+    ``R_int + 1`` scratch columns so neither the window nor padded halo entries
+    can clamp/collide; the final slice drops them.  Halo scatter runs *after*
+    the window write, so window-covered non-interior slots get their true
+    values.
+    """
+    Sl, r_int = x_own.shape
+    buf = jnp.zeros((Sl, r_ext + r_int + 1), x_own.dtype)
+    buf = jax.vmap(
+        lambda b, xo, o: jax.lax.dynamic_update_slice(b, xo, (o,))
+    )(buf, x_own, interior_off)
+    rows = jnp.broadcast_to(jnp.arange(Sl)[:, None], halo_slots.shape)
+    buf = buf.at[rows, halo_slots].set(halo_vals.astype(x_own.dtype))
+    return buf[:, :r_ext]
+
+
 def exchange_halo_allgather(
     x_own: jax.Array,          # (Sl, R_int) this device's interior blocks
-    halo_slots: jax.Array,     # (Sl, H) ext-slot indices (R_ext = scratch pad)
+    interior_off: jax.Array,   # (Sl,) closure slot of first interior row
+    halo_slots: jax.Array,     # (Sl, H) ext-slot indices (>= R_ext = padding)
     halo_src: jax.Array,       # (Sl, H) flat indices into (S * R_int,)
     r_ext: int,
     halo_dtype=None,
@@ -41,19 +68,13 @@ def exchange_halo_allgather(
 
     Only the O(halo) non-interior slots go through gather/scatter (the interior
     is a plain copy) — on TPU, gathers run on the scalar unit, so touching
-    O(R_ext) elements per iteration would dominate the whole solve.  Padded
-    table entries target the scratch slot ``r_ext`` and are dropped by the
-    final slice.  The subdomain's own interior never passes through the
-    (possibly reduced-precision) halo buffer, matching the reference's
-    mixed-precision semantics (restricted_schwarz.cpp:898-908).
+    O(R_ext) elements per iteration would dominate the whole solve.  The
+    subdomain's own interior never passes through the (possibly
+    reduced-precision) halo buffer, matching the reference's mixed-precision
+    semantics (restricted_schwarz.cpp:898-908).
     """
     compute_dtype = x_own.dtype
-    Sl, r_int = x_own.shape
     send = x_own.astype(halo_dtype) if halo_dtype is not None else x_own
     x_all = jax.lax.all_gather(send, axis_name, tiled=True)  # (S, R_int)
     halo_vals = x_all.reshape(-1)[halo_src].astype(compute_dtype)  # (Sl, H)
-    x_ext = jnp.zeros((Sl, r_ext + 1), compute_dtype)
-    x_ext = x_ext.at[:, :r_int].set(x_own)
-    rows = jnp.broadcast_to(jnp.arange(Sl)[:, None], halo_slots.shape)
-    x_ext = x_ext.at[rows, halo_slots].set(halo_vals)
-    return x_ext[:, :r_ext]
+    return assemble_x_ext(x_own, interior_off, halo_slots, halo_vals, r_ext)

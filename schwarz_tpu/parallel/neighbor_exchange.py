@@ -182,6 +182,7 @@ def _rdma_cyclic_shift(
 
 def exchange_halo_neighbor(
     x_own: jax.Array,            # (Sl, R_int)
+    interior_off: jax.Array,     # (Sl,) closure slot of first interior row
     halo_slots: jax.Array,       # (Sl, H) ext-slot index (R_ext = scratch pad)
     local_src: jax.Array,        # (Sl, H)
     is_local: jax.Array,         # (Sl, H)
@@ -225,8 +226,6 @@ def exchange_halo_neighbor(
     remote = bufs[recv_round, recv_pos].astype(compute_dtype)   # (Sl, H)
     local = flat[local_src]                                     # (Sl, H)
     halo_vals = jnp.where(is_local, local, remote)
-    x_ext = jnp.zeros((Sl, r_ext + 1), compute_dtype)
-    x_ext = x_ext.at[:, :r_int].set(x_own)
-    rows = jnp.broadcast_to(jnp.arange(Sl)[:, None], halo_slots.shape)
-    x_ext = x_ext.at[rows, halo_slots].set(halo_vals)
-    return x_ext[:, :r_ext]
+    from schwarz_tpu.parallel.exchange import assemble_x_ext
+
+    return assemble_x_ext(x_own, interior_off, halo_slots, halo_vals, r_ext)

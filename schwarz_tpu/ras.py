@@ -61,6 +61,18 @@ from schwarz_tpu.solvers.precond import Precond, make_preconditioner
 DIVERGENCE_LIMIT = 1e12  # schwarz_base.cpp:424: abort when ||r|| exceeds this
 
 
+def _extract_interior(z: jax.Array, interior_off: jax.Array, r_int: int,
+                      interior_mask: jax.Array) -> jax.Array:
+    """Pull the interior window ``z[off : off + R_int]`` per subdomain (the
+    local->global write of communicate.cpp:64-94; with interior-first ordering
+    off == 0 and this is a plain prefix slice)."""
+    zp = jnp.pad(z, ((0, 0), (0, r_int)))
+    win = jax.vmap(
+        lambda zz, o: jax.lax.dynamic_slice(zz, (o,), (r_int,))
+    )(zp, interior_off)
+    return jnp.where(interior_mask, win, 0.0)
+
+
 def _interface_update(plan, x_ext: jax.Array) -> jax.Array:
     """rhs_eff = local_rhs - A_interface @ x_ext via the row-compacted interface
     (update_boundary, restricted_schwarz.cpp:991-1017).  Only overlap rows carry
@@ -145,6 +157,7 @@ class RASolver:
             "local_rhs": put(dec.local_rhs.astype(dtype)),
             "halo_slots": put(dec.halo_slots),
             "halo_src_halo": put(dec.halo_src_halo),
+            "interior_off": put(dec.interior_offset.astype(np.int32)),
             "ext_mask": put(ext_valid),
             "interior_mask": put(interior_valid),
             "adj_in": put(dec.comm_matrix > 0),
@@ -317,6 +330,7 @@ class RASolver:
                 on_cpu = self.mesh.devices.reshape(-1)[0].platform == "cpu"
                 return exchange_halo_neighbor(
                     x_own,
+                    plan["interior_off"],
                     plan["halo_slots"],
                     plan["nx_local_src"],
                     plan["nx_is_local"],
@@ -335,8 +349,8 @@ class RASolver:
                     rdma_interpret=on_cpu,
                 )
             return exchange_halo_allgather(
-                x_own, plan["halo_slots"], plan["halo_src_halo"],
-                meta.max_ext, halo_dtype=halo_dtype,
+                x_own, plan["interior_off"], plan["halo_slots"],
+                plan["halo_src_halo"], meta.max_ext, halo_dtype=halo_dtype,
             )
 
         def body(plan, st):
@@ -398,8 +412,8 @@ class RASolver:
                 # (an async rank that detected would have stopped iterating)
                 frozen = conv_state.detected[:, None]
                 z = jnp.where(frozen, z_prev, z)
-                z_int = jnp.where(
-                    plan["interior_mask"], z[:, :R_int], 0.0
+                z_int = _extract_interior(
+                    z, plan["interior_off"], R_int, plan["interior_mask"]
                 )
                 if residual_update:
                     x_new = x_own + z_int
@@ -561,8 +575,8 @@ class RASolver:
 
         def exchange(plan, x_own):
             return exchange_halo_allgather(
-                x_own, plan["halo_slots"], plan["halo_src_halo"],
-                meta.max_ext, halo_dtype=halo_dtype,
+                x_own, plan["interior_off"], plan["halo_slots"],
+                plan["halo_src_halo"], meta.max_ext, halo_dtype=halo_dtype,
             )
 
         def update(plan, x_ext):
@@ -589,7 +603,9 @@ class RASolver:
             return z, inner
 
         def scatter_stage(plan, z, x_own, detected):
-            z_int = jnp.where(plan["interior_mask"], z[:, :R_int], 0.0)
+            z_int = _extract_interior(
+                z, plan["interior_off"], R_int, plan["interior_mask"]
+            )
             x_new = x_own + z_int if residual_update else z_int
             return jnp.where(detected[:, None], x_own, x_new)
 

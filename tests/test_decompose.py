@@ -76,15 +76,22 @@ def test_permutation_bijective_and_consistent():
 
 
 def test_interior_rows_are_contiguous_partition():
+    # regular partitions use the sorted-closure ordering: the closure is the
+    # global band restriction and the interior is a contiguous window at
+    # interior_offset (zero DIA remainder; see decompose ordering note)
     A = laplacian_2d(8)
     b = generate_rhs(A.n)
     dec = decompose(A, b, Settings(partition=Partition.regular, overlap=2), 4)
     for p in range(4):
         lo, hi = dec.first_row[p], dec.first_row[p + 1]
+        off = dec.interior_offset[p]
         np.testing.assert_array_equal(
-            dec.local_to_global[p, : hi - lo], np.arange(lo, hi)
+            dec.local_to_global[p, off: off + hi - lo], np.arange(lo, hi)
         )
         assert dec.interior_count[p] == hi - lo
+        rc = int(dec.rows_count[p])
+        closure = dec.local_to_global[p, :rc]
+        assert (np.diff(closure) > 0).all()  # sorted, unique
 
 
 def test_overlap_grows_with_setting():
@@ -100,7 +107,10 @@ def test_overlap_grows_with_setting():
     # overlap rows of subdomain p are owned by other subdomains
     dec = decompose(A, b, Settings(overlap=2), 4)
     for p in range(4):
-        ov_rows = dec.local_to_global[p, dec.interior_count[p]: dec.rows_count[p]]
+        slots = np.arange(dec.rows_count[p])
+        off = dec.interior_offset[p]
+        in_interior = (slots >= off) & (slots < off + dec.interior_count[p])
+        ov_rows = dec.local_to_global[p, slots[~in_interior]]
         owners = np.searchsorted(dec.first_row, ov_rows, side="right") - 1
         assert (owners != p).all()
 
