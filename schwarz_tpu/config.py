@@ -203,6 +203,9 @@ class Settings:
     # remainder (gather-free shifts; the TPU-native format — see ops/dia.py),
     # "ell" = pure padded ELL, "auto" = dia when diagonals cover >= 50% of nnz
     spmv_format: str = "auto"
+    # Pallas kernel for the DIA SpMV: "auto" = on TPU when shape/dtype allow,
+    # "on" / "off" force
+    use_pallas: str = "auto"
 
     @property
     def value_dtype(self):

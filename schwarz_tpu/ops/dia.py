@@ -123,22 +123,44 @@ def dia_ell_spmv(
     rem_vals: jax.Array,            # (S, Or, Wr)
     rem_cols: jax.Array,            # (S, Or, Wr)
     x: jax.Array,                   # (S, Rx) with Rx >= R; padding slots zero
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> jax.Array:
     """y (S, R) = (DIA + row-compact ELL-remainder) @ x.
 
     Shifts use a zero-padded copy of x so out-of-range diagonal reads are 0
     (valid: all true entries have in-range columns; only the shift window
-    over-reads).  The remainder touches only its compact rows.
+    over-reads).  The remainder touches only its compact rows.  With
+    ``use_pallas`` the diagonal part runs as a single-pass Pallas kernel
+    (ops/pallas_kernels.py) when the shape/dtype support it.
     """
     S, K, R = dia_vals.shape
     M = max((abs(o) for o in offsets), default=0)
+    use_pallas_now = False
+    if use_pallas:
+        from schwarz_tpu.ops.pallas_kernels import dia_spmv_supported
+
+        use_pallas_now = dia_spmv_supported(R, x.dtype)
     xp = jnp.pad(x[:, :R], ((0, 0), (M, M)))
-    y = jnp.zeros((S, R), dtype=x.dtype)
-    for k, off in enumerate(offsets):
-        y = y + dia_vals[:, k, :] * jax.lax.dynamic_slice_in_dim(
-            xp, M + off, R, axis=1
-        )
-    # row-compact remainder (gather volume O(Or * Wr))
+    if use_pallas_now:
+        from schwarz_tpu.ops.pallas_kernels import dia_spmv_pallas
+
+        y = dia_spmv_pallas(offsets, dia_vals, xp, interpret=pallas_interpret)
+    else:
+        y = jnp.zeros((S, R), dtype=x.dtype)
+        for k, off in enumerate(offsets):
+            y = y + dia_vals[:, k, :] * jax.lax.dynamic_slice_in_dim(
+                xp, M + off, R, axis=1
+            )
+    return apply_remainder(rem_rows, rem_vals, rem_cols, x, y)
+
+
+def apply_remainder(
+    rem_rows: jax.Array, rem_vals: jax.Array, rem_cols: jax.Array,
+    x: jax.Array, y: jax.Array,
+) -> jax.Array:
+    """Add the row-compact ELL remainder to y (gather volume O(Or * Wr))."""
+    S, R = y.shape
     gathered = jnp.take_along_axis(
         x, rem_cols.reshape(S, -1).astype(jnp.int32), axis=1
     ).reshape(rem_cols.shape)

@@ -182,6 +182,15 @@ class RASolver:
                 plan["rem_rows"] = put(hyb.rem_rows)
                 plan["rem_vals"] = put(hyb.rem_vals.astype(dtype))
                 plan["rem_cols"] = put(hyb.rem_cols)
+        # Pallas single-pass kernel for the diagonal SpMV
+        from schwarz_tpu.ops.pallas_kernels import dia_spmv_supported
+
+        self._use_pallas = (
+            self._dia_offsets is not None
+            and s.use_pallas != "off"
+            and (s.use_pallas == "on" or on_tpu)
+            and dia_spmv_supported(self.meta.max_rows, dtype)
+        )
         self._neighbor_plan = None
         if s.comm.strategy in (HaloStrategy.neighbor, HaloStrategy.rdma):
             from schwarz_tpu.parallel.neighbor_exchange import build_neighbor_plan
@@ -261,7 +270,12 @@ class RASolver:
                 plan_block["dia_vals"], plan_block["rem_rows"],
                 plan_block["rem_vals"], plan_block["rem_cols"],
             )
-            return lambda x: dia_ell_spmv(offsets, dv, rr, rv, rc, x)
+            use_pallas = self._use_pallas
+            interp = self.mesh.devices.reshape(-1)[0].platform == "cpu"
+            return lambda x: dia_ell_spmv(
+                offsets, dv, rr, rv, rc, x,
+                use_pallas=use_pallas, pallas_interpret=interp,
+            )
         lv, lc = plan_block["lmat_vals"], plan_block["lmat_cols"]
         return lambda x: ell_spmv_batched(lv, lc, x)
 
