@@ -449,6 +449,7 @@ class RASolver:
             return {
                 "x_own": x_own_new,
                 "x_ext": x_ext_carry,
+                "it_stop": st["it_stop"],
                 "z": z,
                 "local_rn0": rn0,
                 "conv": conv_state,
@@ -465,8 +466,15 @@ class RASolver:
             def cond(st):
                 # matches the reference loop bound (schwarz_base.cpp:387): at most
                 # max_iters local solves; the pass that detects convergence does
-                # not solve (break at :432 before local_solve)
-                return (st["it"] < max_iters) & (st["nconv"] < S) & ~st["diverged"]
+                # not solve (break at :432 before local_solve).  it_stop allows
+                # chunked execution (bounded single-execution time for TPU
+                # watchdog limits).
+                return (
+                    (st["it"] < max_iters)
+                    & (st["it"] < st["it_stop"])
+                    & (st["nconv"] < S)
+                    & ~st["diverged"]
+                )
 
             return jax.lax.while_loop(cond, lambda st_: body(plan, st_), st)
 
@@ -498,6 +506,7 @@ class RASolver:
             "grn": P(),
             "diverged": P(),
             "it": P(),
+            "it_stop": P(),
             "hist_local": P(None, SUBD_AXIS),
             "hist_global": P(),
             "hist_inner": P(None, SUBD_AXIS),
@@ -523,6 +532,7 @@ class RASolver:
             "grn": jnp.zeros((), dtype),
             "diverged": jnp.array(False),
             "it": jnp.int32(0),
+            "it_stop": jnp.int32(max_iters),
             "hist_local": jnp.zeros((max_iters + 1, S), dtype),
             "hist_global": jnp.zeros((max_iters + 1,), dtype),
             "hist_inner": jnp.zeros((max_iters + 1, S), jnp.int32),
@@ -753,6 +763,7 @@ class RASolver:
         x0: Optional[np.ndarray] = None,
         resume_state: Optional[Dict[str, Any]] = None,
         checkpoint_path: Optional[str] = None,
+        chunk_iters: Optional[int] = None,
     ) -> RASResult:
         """Solve; returns the assembled solution in the original row ordering
         plus the true-residual oracle (cf. SchwarzBase::run + compute_residual_norm).
@@ -760,12 +771,35 @@ class RASolver:
         ``resume_state`` (from :meth:`load_checkpoint` or a previous result's
         saved state) continues a partially-converged solve; ``checkpoint_path``
         saves the final state for later resumption (e.g. with raised max_iters).
+        ``chunk_iters`` caps the outer iterations per XLA execution — use on
+        TPU for very large problems so one execution stays under the device
+        watchdog; results are identical to the unchunked run.
         """
         S = self.meta.num_subdomains
+        max_iters = self.settings.max_iters
         st = resume_state if resume_state is not None else self.init_state(x0)
+        # a resumed/loaded state carries the previous run's stop marker
+        st = dict(st)
+        st["it_stop"] = jnp.int32(max_iters)
 
         t0 = time.perf_counter()
-        final = self._run_fn(self._plan, st)
+        while True:
+            if chunk_iters is not None:
+                st = dict(st)
+                st["it_stop"] = jnp.int32(
+                    min(int(st["it"]) + chunk_iters, max_iters)
+                )
+            final = self._run_fn(self._plan, st)
+            st = final
+            if chunk_iters is None:
+                break
+            it = int(final["it"])
+            if (
+                int(final["nconv"]) >= S
+                or bool(final["diverged"])
+                or it >= max_iters
+            ):
+                break
         x_own = np.asarray(jax.block_until_ready(final["x_own"]))
         elapsed = time.perf_counter() - t0
 

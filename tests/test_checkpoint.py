@@ -34,6 +34,19 @@ def test_checkpoint_resume_equals_uninterrupted(tmp_path):
     np.testing.assert_allclose(resumed.solution, full.solution, atol=1e-8)
 
 
+def test_chunked_run_identical(tmp_path):
+    # chunked execution (watchdog-bounded XLA executions) must be bit-identical
+    A = laplacian_2d(12)
+    b = generate_rhs(A.n)
+    s = Settings(overlap=3, tolerance=1e-8, max_iters=200)
+    solver = RASolver(decompose(A, b, s, 4))
+    full = solver.run()
+    chunked = solver.run(chunk_iters=7)
+    assert chunked.converged == full.converged
+    assert chunked.iters == full.iters
+    np.testing.assert_array_equal(chunked.solution, full.solution)
+
+
 def test_checkpoint_roundtrip_identity(tmp_path):
     A = laplacian_2d(8)
     b = generate_rhs(A.n)
