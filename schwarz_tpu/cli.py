@@ -103,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the final solver state to this .npz")
     p.add_argument("--resume", default=None,
                    help="resume from a solver-state .npz")
+    p.add_argument("--chunk_iters", type=int, default=None,
+                   help="cap outer iterations per device execution")
+    p.add_argument("--baseline_direct", action="store_true",
+                   help="also solve with a host sparse direct solver and "
+                        "report its time/residual (the reference's "
+                        "--dealii_orig comparison baseline, dealii_ex_6.cpp:49)")
     return p
 
 
@@ -203,12 +209,18 @@ def settings_from_args(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.executor == "cpu":
+    if args.executor in ("cpu", "tpu"):
         import os
 
-        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["JAX_PLATFORMS"] = args.executor
 
     import jax
+
+    if args.executor in ("cpu", "tpu"):
+        try:
+            jax.config.update("jax_platforms", args.executor)
+        except Exception:
+            pass
 
     from schwarz_tpu import generate_rhs, read_mtx
     from schwarz_tpu.models import (
@@ -274,8 +286,30 @@ def main(argv=None):
             result = solver.run_instrumented()
         else:
             result = solver.run(
-                resume_state=resume_state, checkpoint_path=args.checkpoint
+                resume_state=resume_state, checkpoint_path=args.checkpoint,
+                chunk_iters=args.chunk_iters,
             )
+
+    if args.baseline_direct:
+        import time as _time
+
+        import scipy.sparse.linalg as spla
+
+        t0 = _time.perf_counter()
+        x_direct = spla.spsolve(mat.to_scipy().tocsc(), rhs)
+        t_direct = _time.perf_counter() - t0
+        res_d = np.linalg.norm(rhs - mat.to_scipy() @ x_direct) / max(
+            np.linalg.norm(rhs), 1e-300
+        )
+        err = float(
+            np.linalg.norm(result.solution - x_direct)
+            / max(np.linalg.norm(x_direct), 1e-300)
+        )
+        print(
+            f" direct baseline: time {t_direct:.6f}s rel residual {res_d:.3e} "
+            f"| RAS-vs-direct solution error {err:.3e}",
+            file=sys.stderr,
+        )
 
     status = "converged" if result.converged else (
         "DIVERGED" if result.diverged else "did not converge")
