@@ -115,6 +115,32 @@ def test_onesided_staleness_emulation():
     assert r.relative_residual_norm < 1e-4
 
 
+@pytest.mark.parametrize("strategy", [HaloStrategy.all_gather,
+                                      HaloStrategy.neighbor])
+def test_multiple_subdomains_per_device(strategy):
+    # Sl = S / D > 1: 8 subdomains on a 2-device mesh
+    import jax
+
+    from schwarz_tpu.core.decompose import decompose as _dec
+    from schwarz_tpu.parallel.mesh import make_mesh
+    from schwarz_tpu.ras import RASolver
+
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    s = Settings(overlap=3, tolerance=1e-8, max_iters=300,
+                 comm=CommSettings(strategy=strategy))
+    dec = _dec(A, b, s, 8)
+    mesh = make_mesh(jax.devices()[:2])
+    r = RASolver(dec, mesh=mesh).run()
+    assert r.converged
+    assert r.relative_residual_norm < 1e-6
+    # must equal the one-subdomain-per-device result
+    mesh8 = make_mesh(jax.devices()[:8])
+    r8 = RASolver(_dec(A, b, s, 8), mesh=mesh8).run()
+    assert r.iters == r8.iters
+    np.testing.assert_allclose(r.solution, r8.solution, atol=1e-12)
+
+
 def test_neighbor_rounds_are_few_for_regular_partition():
     A = laplacian_2d(16)
     b = generate_rhs(A.n)
