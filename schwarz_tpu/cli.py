@@ -31,7 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--set_1d_laplacian_size", type=int, default=16,
                    help="grid side n; global size n^2")
     p.add_argument("--problem", default="laplacian",
-                   choices=["laplacian", "anisotropic", "advection"],
+                   choices=["laplacian", "laplacian3d", "anisotropic",
+                            "advection", "helmholtz"],
                    help="generated problem family (replaces the deal.II drivers)")
     p.add_argument("--enable_random_rhs", action="store_true")
     # decomposition (bench_base.hpp:91-96)
@@ -226,7 +227,9 @@ def main(argv=None):
     from schwarz_tpu.models import (
         advection_diffusion_2d,
         anisotropic_diffusion_2d,
+        helmholtz_2d,
         laplacian_2d,
+        laplacian_3d,
     )
     from schwarz_tpu.core.decompose import decompose
     from schwarz_tpu.ras import RASolver
@@ -252,8 +255,10 @@ def main(argv=None):
         n = args.set_1d_laplacian_size
         gen = {
             "laplacian": laplacian_2d,
+            "laplacian3d": laplacian_3d,
             "anisotropic": anisotropic_diffusion_2d,
             "advection": advection_diffusion_2d,
+            "helmholtz": helmholtz_2d,
         }[args.problem]
         mat = gen(n)
         print(f"{args.problem} 2D matrix (generated in house), n={mat.n}",

@@ -9,13 +9,20 @@ advection-diffusion) as host CSR, which then feed the decomposition pipeline.
 
 from schwarz_tpu.models.csr import CSRMatrix
 from schwarz_tpu.models.laplacian import laplacian_2d
-from schwarz_tpu.models.fem import anisotropic_diffusion_2d, advection_diffusion_2d
+from schwarz_tpu.models.fem import (
+    advection_diffusion_2d,
+    anisotropic_diffusion_2d,
+    helmholtz_2d,
+    laplacian_3d,
+)
 from schwarz_tpu.models.mtx import read_mtx
 from schwarz_tpu.models.rhs import generate_rhs
 
 __all__ = [
     "CSRMatrix",
     "laplacian_2d",
+    "laplacian_3d",
+    "helmholtz_2d",
     "anisotropic_diffusion_2d",
     "advection_diffusion_2d",
     "read_mtx",

@@ -66,6 +66,51 @@ def anisotropic_diffusion_2d(
     )
 
 
+def laplacian_3d(n: int, dtype=np.float64) -> CSRMatrix:
+    """7-point Laplacian on an ``n^3`` grid — the 3-D scale-up of the
+    reference's generated problem family (initialization.cpp:214-265 is 2-D)."""
+    N = n * n * n
+    i = np.arange(N, dtype=np.int64)
+    x = i % n
+    y = (i // n) % n
+    z = i // (n * n)
+    entries = [
+        (0, 0, 0, 6.0),
+        (1, 0, 0, -1.0), (-1, 0, 0, -1.0),
+        (0, 1, 0, -1.0), (0, -1, 0, -1.0),
+        (0, 0, 1, -1.0), (0, 0, -1, -1.0),
+    ]
+    rows, cols, vals = [], [], []
+    for dx, dy, dz, v in entries:
+        ok = (
+            (x + dx >= 0) & (x + dx < n)
+            & (y + dy >= 0) & (y + dy < n)
+            & (z + dz >= 0) & (z + dz < n)
+        )
+        rows.append(i[ok])
+        cols.append(i[ok] + dx + dy * n + dz * n * n)
+        vals.append(np.full(int(ok.sum()), v, dtype=dtype))
+    return CSRMatrix.from_coo(
+        np.concatenate(rows), np.concatenate(cols), np.concatenate(vals), N
+    )
+
+
+def helmholtz_2d(n: int, k: float = 5.0, dtype=np.float64) -> CSRMatrix:
+    """Shifted Laplacian ``-lap(u) - k^2 u`` — indefinite for large ``k``;
+    exercises the GMRES path beyond mild non-symmetry (symmetric indefinite)."""
+    from schwarz_tpu.models.laplacian import laplacian_2d
+
+    A = laplacian_2d(n, dtype=dtype)
+    h = 1.0 / (n + 1)
+    shift = (k * h) ** 2
+    # subtract k^2 h^2 from the diagonal
+    for r in range(A.n):
+        for j in range(A.row_ptrs[r], A.row_ptrs[r + 1]):
+            if A.col_idxs[j] == r:
+                A.values[j] -= shift
+    return A
+
+
 def advection_diffusion_2d(
     n: int, peclet: float = 10.0, bx: float = 1.0, by: float = 0.5, dtype=np.float64
 ) -> CSRMatrix:

@@ -64,6 +64,29 @@ def test_advection_nonsymmetric():
     assert abs(A - A.T).max() > 1e-10
 
 
+def test_laplacian_3d_structure():
+    from schwarz_tpu.models import laplacian_3d
+
+    A = laplacian_3d(4)
+    S = A.to_scipy()
+    assert A.n == 64
+    assert (S != S.T).nnz == 0
+    assert np.linalg.eigvalsh(S.toarray()).min() > 0
+    # interior node has 7 entries
+    assert S.getrow(21).nnz == 7
+
+
+def test_helmholtz_indefinite_shift():
+    from schwarz_tpu.models import helmholtz_2d, laplacian_2d
+
+    A = helmholtz_2d(6, k=3.0)
+    L = laplacian_2d(6)
+    # same off-diagonals, shifted diagonal
+    dA, dL = A.to_scipy().diagonal(), L.to_scipy().diagonal()
+    assert np.allclose(dA, dL - dA[0] * 0 - (dL[0] - dA[0]))
+    assert (dA < dL).all()
+
+
 def test_generate_rhs_deterministic():
     a = generate_rhs(100)
     b = generate_rhs(100)
