@@ -829,9 +829,16 @@ def solve(
     partition_indices: Optional[np.ndarray] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
 ) -> RASResult:
-    """One-call API: decompose + setup + run (cf. bench_ras.cpp:161-180)."""
-    from schwarz_tpu.core.decompose import decompose
+    """One-call API: decompose + setup + run (cf. bench_ras.cpp:161-180).
 
+    ``mat`` may be a :class:`~schwarz_tpu.models.CSRMatrix` or any
+    scipy-sparse-convertible matrix.
+    """
+    from schwarz_tpu.core.decompose import decompose
+    from schwarz_tpu.models import CSRMatrix
+
+    if not isinstance(mat, CSRMatrix) and hasattr(mat, "tocsr"):
+        mat = CSRMatrix.from_scipy(mat)
     if num_subdomains is None:
         num_subdomains = max(1, len(jax.devices()))
     dec = decompose(mat, rhs, settings, num_subdomains, partition_indices)
