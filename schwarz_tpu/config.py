@@ -206,6 +206,11 @@ class Settings:
     # Pallas kernel for the DIA SpMV: "auto" = on TPU when shape/dtype allow,
     # "on" / "off" force
     use_pallas: str = "auto"
+    # Two-level RAS: additive Nicolaides (piecewise-constant per subdomain)
+    # coarse correction each iteration.  BEYOND the reference (which is
+    # strictly one-level); off by default for parity, on for scalability in
+    # the subdomain count.
+    two_level: bool = False
 
     @property
     def value_dtype(self):

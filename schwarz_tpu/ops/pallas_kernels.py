@@ -48,18 +48,22 @@ def dia_spmv_pallas(
     T = _pick_tile(R)
     assert T > 0, f"R={R} not tileable"
     n_tiles = R // T
+    # Mosaic requires the last two block dims to divide (8, 128) or equal the
+    # array dims; a singleton middle axis makes the per-subdomain row blocks
+    # (1, 1, W) legal.
+    xpad3 = xpad.reshape(S, 1, R + 2 * M)
 
     def kernel(dia_ref, x_ref, o_ref):
         t = pl.program_id(1)
         base = t * T
-        acc = dia_ref[0, 0, :] * x_ref[0, pl.ds(base + M + offsets[0], T)]
+        acc = dia_ref[0, 0, :] * x_ref[0, 0, pl.ds(base + M + offsets[0], T)]
         for k in range(1, K):
             acc = acc + dia_ref[0, k, :] * x_ref[
-                0, pl.ds(base + M + offsets[k], T)
+                0, 0, pl.ds(base + M + offsets[k], T)
             ]
-        o_ref[0, :] = acc
+        o_ref[0, 0, :] = acc
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(S, n_tiles),
         in_specs=[
@@ -68,12 +72,14 @@ def dia_spmv_pallas(
             ),
             # whole padded x row per subdomain; constant in t -> fetched once
             pl.BlockSpec(
-                (1, R + 2 * M), lambda s, t: (s, 0), memory_space=pltpu.VMEM
+                (1, 1, R + 2 * M), lambda s, t: (s, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, T), lambda s, t: (s, t), memory_space=pltpu.VMEM
+            (1, 1, T), lambda s, t: (s, 0, t), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((S, R), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((S, 1, R), jnp.float32),
         interpret=interpret,
-    )(dia_vals, xpad)
+    )(dia_vals, xpad3)
+    return out.reshape(S, R)

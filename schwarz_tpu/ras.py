@@ -182,6 +182,26 @@ class RASolver:
                 plan["rem_rows"] = put(hyb.rem_rows)
                 plan["rem_vals"] = put(hyb.rem_vals.astype(dtype))
                 plan["rem_cols"] = put(hyb.rem_cols)
+        if s.two_level:
+            # Nicolaides coarse space: R_c = piecewise-constant per subdomain;
+            # A_c[p, q] = sum_{i in int(p), j in int(q)} A[i, j].  The S x S
+            # coarse solve is replicated and trivially cheap; the correction
+            # kills the low-frequency error the one-level method propagates
+            # only one overlap-width per iteration (beyond-reference feature).
+            gm = dec.global_matrix
+            rows_of = np.repeat(
+                np.arange(gm.n, dtype=np.int64), np.diff(gm.row_ptrs)
+            )
+            po = np.searchsorted(dec.first_row, rows_of, side="right") - 1
+            qo = np.searchsorted(dec.first_row, gm.col_idxs, side="right") - 1
+            S = self.meta.num_subdomains
+            A_c = np.zeros((S, S), dtype=np.float64)
+            np.add.at(A_c, (po, qo), gm.values)
+            try:
+                coarse_inv = np.linalg.inv(A_c)
+            except np.linalg.LinAlgError:
+                coarse_inv = np.linalg.pinv(A_c)
+            plan["coarse_inv"] = put(coarse_inv.astype(dtype))
         # Pallas single-pass kernel for the diagonal SpMV
         from schwarz_tpu.ops.pallas_kernels import dia_spmv_supported
 
@@ -408,8 +428,27 @@ class RASolver:
             # --- local_solve + local_to_global (skipped on the exit pass) ----
             do_solve = (nconv < S) & ~diverged
 
+            # two-level (multiplicative): coarse-correct x from the fresh
+            # residual, re-exchange, and let the local solves act on the
+            # corrected boundary data.  (Additive combination of coarse + local
+            # updates from ONE residual double-corrects and diverges.)
+            if "coarse_inv" in plan:
+                r_int_win = _extract_interior(
+                    r, plan["interior_off"], R_int, plan["interior_mask"]
+                )
+                r_c = jnp.sum(r_int_win, axis=1)                    # (Sl,)
+                r_c_all = jax.lax.all_gather(r_c, SUBD_AXIS, tiled=True)
+                coarse_c = plan["coarse_inv"] @ r_c_all             # (Sl,)
+                corr = jnp.where(
+                    conv_state.detected[:, None], 0.0,
+                    jnp.where(plan["interior_mask"], coarse_c[:, None], 0.0),
+                )
+                x_own = x_own + corr
+                x_ext2 = do_exchange(plan, x_own)
+                rhs_eff = _interface_update(plan, x_ext2)
+
             def solve_branch(args):
-                z_prev, x_own = args
+                z_prev, x_own, _ = args
                 if residual_update:
                     # residual-based: solve the correction equation
                     # A_local z = r and apply x += z.  (The reference's
@@ -437,11 +476,13 @@ class RASolver:
                 return z, x_new, inner
 
             def skip_branch(args):
-                z_prev, x_own = args
-                return z_prev, x_own, jnp.zeros(Sl, jnp.int32)
+                # exit pass: leave the iterate exactly as it was detected
+                z_prev, _, x_orig = args
+                return z_prev, x_orig, jnp.zeros(Sl, jnp.int32)
 
             z, x_own_new, inner = jax.lax.cond(
-                do_solve, solve_branch, skip_branch, (st["z"], x_own)
+                do_solve, solve_branch, skip_branch,
+                (st["z"], x_own, st["x_own"]),
             )
             hist_inner = jax.lax.dynamic_update_index_in_dim(
                 st["hist_inner"], inner, st["it"], 0
