@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--restart_iter", type=int, default=30)
     p.add_argument("--reset_local_crit_iter", type=int, default=-1)
     p.add_argument("--use_precond", action="store_true")
+    p.add_argument("--two_level", action="store_true",
+                   help="multiplicative Nicolaides coarse correction "
+                        "(beyond-reference scalability feature)")
     p.add_argument("--precond", default="block-jacobi",
                    choices=["jacobi", "block-jacobi"])
     p.add_argument("--precond_max_block_size", type=int, default=16)
@@ -175,6 +178,7 @@ def settings_from_args(args):
         ),
         block_jacobi_block_size=args.precond_max_block_size,
         max_iters=args.num_iters,
+        two_level=args.two_level,
         tolerance=args.set_tol,
         local_tolerance=args.local_tol,
         local_max_iters=args.local_max_iters,
