@@ -700,7 +700,12 @@ class RASolver:
         }
 
     def run_instrumented(self, x0: Optional[np.ndarray] = None) -> RASResult:
-        """Python-driven loop with per-stage host timing (measurement mode)."""
+        """Python-driven loop with per-stage host timing (measurement mode).
+
+        Limitations vs the fused loop: always uses the all_gather exchange and
+        the one-level update (no two_level / stale-halo modes) — it exists to
+        attribute time to the reference's five stages, not to be the fast path.
+        """
         from schwarz_tpu.utils.timing import StageTimer
 
         s = self.settings
