@@ -24,10 +24,17 @@ tolerance 0.1, capped inner iterations).
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+# Wall-clock guard: remote TPU compiles can take many minutes for new shapes.
+# The measurement runs in a child process; on timeout we fall back to smaller
+# shapes (which compile quickly) so the driver always gets its JSON line.
+INNER_TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT_S", "1500"))
 
 
 def main():
@@ -46,9 +53,10 @@ def main():
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
     dtype = "float32"
+    small = "--small" in sys.argv
 
     # ---- headline: batched ELL SpMV nnz/s on the decomposed 1M-row operator ----
-    n1d = 1024 if on_tpu else 192
+    n1d = (512 if small else 1024) if on_tpu else 192
     S = 16
     settings = Settings(overlap=3, dtype=dtype, row_pad_multiple=128)
     t0 = time.time()
@@ -110,7 +118,7 @@ def main():
     # ---- secondary: RAS time-to-solution, paper-campaign two-stage config ------
     ras_info = {}
     try:
-        n1d_ras = 256 if on_tpu else 64
+        n1d_ras = (128 if small else 256) if on_tpu else 64
         A2 = laplacian_2d(n1d_ras)
         b2 = generate_rhs(A2.n)
         s2 = Settings(
@@ -159,5 +167,33 @@ def main():
     )
 
 
+def guarded():
+    """Run the measurement in a child with a timeout; fall back to --small."""
+    for args in ([], ["--small"]):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner", *args],
+                capture_output=True, text=True, timeout=INNER_TIMEOUT_S,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"bench timed out ({args}); falling back", file=sys.stderr)
+            continue
+        sys.stderr.write(proc.stderr)
+        lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        print(f"bench child failed rc={proc.returncode} ({args})",
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": "local_spmv_nnz_per_s_per_chip",
+        "value": 0.0, "unit": "nnz/s", "vs_baseline": 0.0,
+    }))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        sys.exit(guarded())
