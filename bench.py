@@ -77,7 +77,7 @@ def main():
     R_rows = dec.meta.max_rows
     x0 = jnp.ones((S, dec.meta.max_ext), jnp.float32)
 
-    use_pallas = on_tpu
+    use_pallas = False  # XLA shift formulation; see ras.py note on "auto"
 
     @jax.jit
     def chain(reps, x):
@@ -122,10 +122,10 @@ def main():
         A2 = laplacian_2d(n1d_ras)
         b2 = generate_rhs(A2.n)
         s2 = Settings(
-            overlap=6, tolerance=1e-6, max_iters=400, dtype=dtype,
-            local_tolerance=1e-2, local_max_iters=70,
+            overlap=6, tolerance=1e-6, max_iters=300, dtype=dtype,
+            local_tolerance=1e-6,
             precond=Precond.block_jacobi, block_jacobi_block_size=32,
-            row_pad_multiple=128,
+            row_pad_multiple=128, two_level=True,
         )
         dec2 = decompose(A2, b2, s2, S)
         solver = RASolver(dec2)

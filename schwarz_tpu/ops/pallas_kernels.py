@@ -50,18 +50,31 @@ def dia_spmv_pallas(
     n_tiles = R // T
     # Mosaic requires the last two block dims to divide (8, 128) or equal the
     # array dims; a singleton middle axis makes the per-subdomain row blocks
-    # (1, 1, W) legal.
-    xpad3 = xpad.reshape(S, 1, R + 2 * M)
+    # (1, 1, W) legal.  The extra 128 tail covers the aligned-window over-read.
+    W_x = R + 2 * M + 128
+    xpad3 = jnp.pad(xpad, ((0, 0), (0, 128))).reshape(S, 1, W_x)
 
     def kernel(dia_ref, x_ref, o_ref):
         t = pl.program_id(1)
-        base = t * T
-        acc = dia_ref[0, 0, :] * x_ref[0, 0, pl.ds(base + M + offsets[0], T)]
+        base = pl.multiple_of(t * T, T)
+
+        def shifted_window(off):
+            # Mosaic requires 128-aligned vector loads: load the aligned
+            # 128-padded window (kept 2-D — 1-D rotates are unsupported) and
+            # rotate the lanes into place
+            aligned = (M + off) // 128 * 128
+            rem = (M + off) - aligned
+            w = x_ref[0, :, pl.ds(base + aligned, T + 128)]   # (1, T+128)
+            if rem:
+                # roll requires a non-negative shift: left-rotate by rem ==
+                # right-rotate by (len - rem)
+                w = pltpu.roll(w, jnp.int32((T + 128) - rem), 1)
+            return w[:, :T]
+
+        acc = dia_ref[0, 0:1, :] * shifted_window(offsets[0])
         for k in range(1, K):
-            acc = acc + dia_ref[0, k, :] * x_ref[
-                0, 0, pl.ds(base + M + offsets[k], T)
-            ]
-        o_ref[0, 0, :] = acc
+            acc = acc + dia_ref[0, k: k + 1, :] * shifted_window(offsets[k])
+        o_ref[0, :, :] = acc
 
     out = pl.pallas_call(
         kernel,
@@ -72,7 +85,7 @@ def dia_spmv_pallas(
             ),
             # whole padded x row per subdomain; constant in t -> fetched once
             pl.BlockSpec(
-                (1, 1, R + 2 * M), lambda s, t: (s, 0, 0),
+                (1, 1, W_x), lambda s, t: (s, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],

@@ -205,10 +205,13 @@ class RASolver:
         # Pallas single-pass kernel for the diagonal SpMV
         from schwarz_tpu.ops.pallas_kernels import dia_spmv_supported
 
+        # "auto" currently resolves to the XLA shift formulation: it measures
+        # ~70% of the HBM roofline on v5e, and Mosaic's alignment/layout rules
+        # for the unaligned (+-1) diagonal windows make the kernel fragile on
+        # real hardware ("on" keeps it available; interpret-mode tests cover it)
         self._use_pallas = (
             self._dia_offsets is not None
-            and s.use_pallas != "off"
-            and (s.use_pallas == "on" or on_tpu)
+            and s.use_pallas == "on"
             and dia_spmv_supported(self.meta.max_rows, dtype)
         )
         self._neighbor_plan = None
