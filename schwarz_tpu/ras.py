@@ -134,6 +134,15 @@ class RASolver:
         if S % D != 0:
             raise ValueError(f"num_subdomains {S} must be divisible by mesh size {D}")
         self.Sl = S // D
+        s = self.settings
+        if s.two_level and (
+            s.comm.overlap_comm or (s.comm.onesided and s.comm.staleness > 1)
+        ):
+            raise ValueError(
+                "two_level requires fresh halos each iteration; it cannot be "
+                "combined with enable_overlap / staleness > 1 (the coarse "
+                "correction computed from a stale residual diverges)"
+            )
         self._plan = self._build_plan()
         self._run_fn = self._build_run_fn()
 
