@@ -121,7 +121,10 @@ def main():
         n1d_ras = (128 if small else 256) if on_tpu else 64
         A2 = laplacian_2d(n1d_ras)
         b2 = generate_rhs(A2.n)
+        from schwarz_tpu.config import Partition
+
         s2 = Settings(
+            partition=Partition.regular2d,   # 4x4 blocks, not thin strips
             overlap=6, tolerance=1e-6, max_iters=300, dtype=dtype,
             local_tolerance=1e-6,
             precond=Precond.block_jacobi, block_jacobi_block_size=32,

@@ -245,21 +245,22 @@ def decompose(
         ghosts.append(ghost)
 
     # Closure ordering: the reference orders interior-then-overlap
-    # (restricted_schwarz.cpp:155-180).  For contiguous (regular-1D) partitions
-    # we sort the closure by global index instead: the local matrix then keeps
-    # the global operator's band structure exactly (zero DIA remainder, so the
-    # hot SpMV is fully gather-free) and the interior is a contiguous window at
-    # ``interior_offset``.  Both orderings represent the same operator; only
-    # the internal slot numbering differs.
+    # (restricted_schwarz.cpp:155-180).  We sort the closure by permuted-global
+    # index instead: every partitioner's interior is a contiguous block in the
+    # permuted ordering (first_row), so the interior stays one contiguous
+    # window at ``interior_offset``, and the local matrix inherits whatever
+    # band structure the permuted global operator has — for regular-1D
+    # partitions the exact global bands (zero DIA remainder), for regular-2D
+    # grids the block-local bands {+-1, +-width}.  Both orderings represent
+    # the same operator; only the internal slot numbering differs.
     interior_offset = np.zeros(S, dtype=np.int64)
-    if settings.partition == Partition.regular:
-        for p in range(S):
-            closures[p] = np.sort(closures[p])
-            ghosts[p] = np.sort(ghosts[p])
-            interior_offset[p] = np.searchsorted(closures[p], first_row[p])
-            # interior rows are contiguous globals, hence contiguous in the
-            # sorted closure
-            assert closures[p][interior_offset[p]] == first_row[p]
+    for p in range(S):
+        closures[p] = np.sort(closures[p])
+        ghosts[p] = np.sort(ghosts[p])
+        interior_offset[p] = np.searchsorted(closures[p], first_row[p])
+        # interior rows are contiguous in permuted-global numbering, hence
+        # contiguous in the sorted closure
+        assert closures[p][interior_offset[p]] == first_row[p]
 
     # --- padded sizes (TPU static shapes) ----------------------------------------
     pad = settings.row_pad_multiple
