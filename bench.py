@@ -125,7 +125,9 @@ def main():
 
         s2 = Settings(
             partition=Partition.regular2d,   # 4x4 blocks, not thin strips
-            overlap=6, tolerance=1e-6, max_iters=300, dtype=dtype,
+            # f32 compute floors near 1e-4 relative residual (the reference's
+            # 1e-6..1e-8 campaigns run in double; use dtype float64 for those)
+            overlap=6, tolerance=1e-4, max_iters=400, dtype=dtype,
             local_tolerance=1e-6,
             precond=Precond.block_jacobi, block_jacobi_block_size=32,
             row_pad_multiple=128, two_level=True,
