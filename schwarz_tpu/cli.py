@@ -94,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--enable_logging", action="store_true")
     p.add_argument("--write_iters_and_residuals", action="store_true")
     p.add_argument("--write_comm_data", action="store_true")
+    p.add_argument("--print_matrices", action="store_true",
+                   help="dump the (permuted) global matrix to matrix.csv "
+                        "(utils.cpp:93-108)")
+    p.add_argument("--write_perm_data", action="store_true",
+                   help="dump the subdomain permutation to perm.csv")
     p.add_argument("--timings_file", default="null")
     p.add_argument("--print_config", action="store_true", default=True)
     p.add_argument("--debug_print", action="store_true")
@@ -281,6 +286,20 @@ def main(argv=None):
         )
 
     dec = decompose(mat, rhs, settings, S)
+    if args.print_matrices:
+        from schwarz_tpu.utils.validation import dump_csr_csv
+
+        dump_csr_csv(dec.global_matrix, "matrix.csv")
+    if args.write_perm_data:
+        with open("perm.csv", "w") as f:
+            f.write("new,old,subdomain\n")
+            import numpy as _np
+
+            owners = (
+                _np.searchsorted(dec.first_row, _np.arange(mat.n), "right") - 1
+            )
+            for i in range(mat.n):
+                f.write(f"{i},{dec.perm[i]},{owners[i]}\n")
     solver = RASolver(dec)
     resume_state = solver.load_checkpoint(args.resume) if args.resume else None
     import contextlib
