@@ -118,7 +118,7 @@ def main():
     # ---- secondary: RAS time-to-solution, paper-campaign two-stage config ------
     ras_info = {}
     try:
-        n1d_ras = (128 if small else 256) if on_tpu else 64
+        n1d_ras = (128 if small else 192) if on_tpu else 64
         A2 = laplacian_2d(n1d_ras)
         b2 = generate_rhs(A2.n)
         from schwarz_tpu.config import Partition
@@ -127,15 +127,16 @@ def main():
             partition=Partition.regular2d,   # 4x4 blocks, not thin strips
             # f32 compute floors near 1e-4 relative residual (the reference's
             # 1e-6..1e-8 campaigns run in double; use dtype float64 for those)
-            overlap=6, tolerance=1e-4, max_iters=400, dtype=dtype,
+            overlap=6, tolerance=1e-4, max_iters=500, dtype=dtype,
             local_tolerance=1e-6,
             precond=Precond.block_jacobi, block_jacobi_block_size=32,
             row_pad_multiple=128, two_level=True,
         )
         dec2 = decompose(A2, b2, s2, S)
         solver = RASolver(dec2)
-        r = solver.run()       # includes compile
-        r2 = solver.run()      # warm
+        # chunked: keeps each device execution well under the ~60s watchdog
+        r = solver.run(chunk_iters=100)       # includes compile
+        r2 = solver.run(chunk_iters=100)      # warm
         ras_info = {
             "ras_n": A2.n,
             "ras_converged": bool(r2.converged),

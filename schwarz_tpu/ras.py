@@ -323,7 +323,7 @@ class RASolver:
                 precond=self._precond_fn(plan_block),
                 apply_fn=self._apply_local(plan_block),
             )
-            return res.x, res.iters
+            return res.x, res.iters, res.rel_resnorm
         if s.local_solver == LocalSolver.iterative_gmres:
             res = gmres_solve(
                 plan_block.get("lmat_vals"), plan_block.get("lmat_cols"),
@@ -332,15 +332,17 @@ class RASolver:
                 precond=self._precond_fn(plan_block),
                 apply_fn=self._apply_local(plan_block),
             )
-            return res.x, res.iters
+            return res.x, res.iters, res.rel_resnorm
         if s.local_solver == LocalSolver.direct_cholesky:
             z = cholesky_solve(plan_block["factor_L"], rhs_eff)
-            return z, jnp.ones(rhs_eff.shape[0], jnp.int32)
+            zero = jnp.zeros(rhs_eff.shape[0], rhs_eff.dtype)
+            return z, jnp.ones(rhs_eff.shape[0], jnp.int32), zero
         if s.local_solver == LocalSolver.direct_lu:
             z = lu_solve(
                 (plan_block["factor_lu"], plan_block["factor_piv"]), rhs_eff
             )
-            return z, jnp.ones(rhs_eff.shape[0], jnp.int32)
+            zero = jnp.zeros(rhs_eff.shape[0], rhs_eff.dtype)
+            return z, jnp.ones(rhs_eff.shape[0], jnp.int32), zero
         raise ValueError(f"unsupported local solver {s.local_solver}")
 
     # -------------------------------------------------------------- solve loop --
@@ -468,11 +470,13 @@ class RASolver:
                     # update_residual helper is never called and
                     # communicate.cpp:81-93 double-accumulates; this is the
                     # principled version of the declared mode.)
-                    z, inner = self._local_solve(
+                    z, inner, inner_rel = self._local_solve(
                         plan, r, jnp.zeros_like(z_prev)
                     )
                 else:
-                    z, inner = self._local_solve(plan, rhs_eff, z_prev)
+                    z, inner, inner_rel = self._local_solve(
+                        plan, rhs_eff, z_prev
+                    )
                 # freeze subdomains that already detected global convergence
                 # (an async rank that detected would have stopped iterating)
                 frozen = conv_state.detected[:, None]
@@ -485,19 +489,23 @@ class RASolver:
                 else:
                     x_new = z_int
                 x_new = jnp.where(frozen, x_own, x_new)
-                return z, x_new, inner
+                return z, x_new, inner, inner_rel
 
             def skip_branch(args):
                 # exit pass: leave the iterate exactly as it was detected
                 z_prev, _, x_orig = args
-                return z_prev, x_orig, jnp.zeros(Sl, jnp.int32)
+                return (z_prev, x_orig, jnp.zeros(Sl, jnp.int32),
+                        jnp.zeros(Sl, dtype))
 
-            z, x_own_new, inner = jax.lax.cond(
+            z, x_own_new, inner, inner_rel = jax.lax.cond(
                 do_solve, solve_branch, skip_branch,
                 (st["z"], x_own, st["x_own"]),
             )
             hist_inner = jax.lax.dynamic_update_index_in_dim(
                 st["hist_inner"], inner, st["it"], 0
+            )
+            hist_inner_rel = jax.lax.dynamic_update_index_in_dim(
+                st["hist_inner_rel"], inner_rel, st["it"], 0
             )
             return {
                 "x_own": x_own_new,
@@ -513,6 +521,7 @@ class RASolver:
                 "hist_local": hist_local,
                 "hist_global": hist_global,
                 "hist_inner": hist_inner,
+                "hist_inner_rel": hist_inner_rel,
             }
 
         def solve_fn(plan, st):
@@ -563,6 +572,7 @@ class RASolver:
             "hist_local": P(None, SUBD_AXIS),
             "hist_global": P(),
             "hist_inner": P(None, SUBD_AXIS),
+            "hist_inner_rel": P(None, SUBD_AXIS),
         }
 
     def init_state(self, x0: Optional[jax.Array] = None) -> Dict[str, Any]:
@@ -589,6 +599,7 @@ class RASolver:
             "hist_local": jnp.zeros((max_iters + 1, S), dtype),
             "hist_global": jnp.zeros((max_iters + 1,), dtype),
             "hist_inner": jnp.zeros((max_iters + 1, S), jnp.int32),
+            "hist_inner_rel": jnp.zeros((max_iters + 1, S), dtype),
         }
 
     def save_checkpoint(self, state: Dict[str, Any], path: str) -> None:
@@ -673,9 +684,9 @@ class RASolver:
 
         def solve_stage(plan, rhs_eff, r, z_prev, detected):
             if residual_update:
-                z, inner = self._local_solve(plan, r, jnp.zeros_like(z_prev))
+                z, inner, _ = self._local_solve(plan, r, jnp.zeros_like(z_prev))
             else:
-                z, inner = self._local_solve(plan, rhs_eff, z_prev)
+                z, inner, _ = self._local_solve(plan, rhs_eff, z_prev)
             z = jnp.where(detected[:, None], z_prev, z)
             return z, inner
 
