@@ -150,15 +150,200 @@ def _refine_boundary(row_ptrs, col_idxs, vertices, mask0, rounds: int = 8):
     return side[vertices] == 0
 
 
+def _heavy_edge_matching(row_ptrs, col_idxs, weights):
+    """One coarsening level: greedy heavy-edge matching.  Returns (coarse_map,
+    n_coarse) where coarse_map[v] is v's coarse vertex id."""
+    n = row_ptrs.shape[0] - 1
+    matched = np.full(n, -1, dtype=np.int64)
+    order = np.argsort(weights)          # match light vertices first (METIS HEM)
+    for v in order:
+        if matched[v] >= 0:
+            continue
+        best, best_w = -1, -1
+        for j in range(row_ptrs[v], row_ptrs[v + 1]):
+            u = col_idxs[j]
+            if u != v and matched[u] < 0:
+                if weights[u] > best_w:
+                    best, best_w = u, weights[u]
+        if best >= 0:
+            matched[v] = best
+            matched[best] = v
+        else:
+            matched[v] = v
+    coarse_map = np.full(n, -1, dtype=np.int64)
+    nc = 0
+    for v in range(n):
+        if coarse_map[v] < 0:
+            coarse_map[v] = nc
+            coarse_map[matched[v]] = nc
+            nc += 1
+    return coarse_map, nc
+
+
+def _coarsen(row_ptrs, col_idxs, coarse_map, nc):
+    """Contract the graph along coarse_map (multi-edges merged)."""
+    rows = np.repeat(
+        np.arange(row_ptrs.shape[0] - 1, dtype=np.int64), np.diff(row_ptrs)
+    )
+    cr, cc = coarse_map[rows], coarse_map[col_idxs]
+    off = cr != cc
+    key = cr[off] * nc + cc[off]
+    uniq = np.unique(key)
+    ur, uc = uniq // nc, uniq % nc
+    ptr = np.zeros(nc + 1, dtype=np.int64)
+    np.add.at(ptr, ur + 1, 1)
+    np.cumsum(ptr, out=ptr)
+    return ptr, uc
+
+
+def _bisect_multilevel(row_ptrs, col_idxs, vertices, target: int) -> np.ndarray:
+    """Multilevel bisection: heavy-edge-matching coarsening, BFS-growth split of
+    the coarsest graph, KL-style refinement at every uncoarsening level —
+    the METIS recipe (cf. the PartGraphRecursive role, partition_tools.hpp:182)."""
+    # build the induced subgraph with local ids
+    n_all = row_ptrs.shape[0] - 1
+    g2l = np.full(n_all, -1, dtype=np.int64)
+    g2l[vertices] = np.arange(vertices.size)
+    gidx = _csr_row_gather(row_ptrs, vertices)
+    cols = g2l[col_idxs[gidx]]
+    counts = np.diff(row_ptrs)[vertices]
+    rows = np.repeat(np.arange(vertices.size, dtype=np.int64), counts)
+    keep = cols >= 0
+    rows, cols = rows[keep], cols[keep]
+    ptr = np.zeros(vertices.size + 1, dtype=np.int64)
+    np.add.at(ptr, rows + 1, 1)
+    np.cumsum(ptr, out=ptr)
+
+    levels = []
+    cur_ptr, cur_cols = ptr, cols
+    weights = np.ones(vertices.size, dtype=np.int64)
+    while cur_ptr.shape[0] - 1 > 200:
+        cmap, nc = _heavy_edge_matching(cur_ptr, cur_cols, weights)
+        if nc >= cur_ptr.shape[0] - 1:   # no contraction possible
+            break
+        levels.append(cmap)
+        cur_ptr, cur_cols = _coarsen(cur_ptr, cur_cols, cmap, nc)
+        w_new = np.zeros(nc, dtype=np.int64)
+        np.add.at(w_new, cmap, weights)
+        weights = w_new
+
+    # initial split of the coarsest graph: weighted BFS growth
+    nc = cur_ptr.shape[0] - 1
+    vs = np.arange(nc, dtype=np.int64)
+    frac = target / max(vertices.size, 1)
+    mask0 = _grow_bisection_weighted(cur_ptr, cur_cols, vs, weights, frac)
+    side = mask0
+
+    # uncoarsen + refine (level graphs rebuilt by contracting from the fine end)
+    graphs = [(ptr, cols)]
+    for m in levels:
+        nc = int(m.max()) + 1
+        graphs.append(_coarsen(*graphs[-1], m, nc))
+    for idx in reversed(range(len(levels))):
+        side = side[levels[idx]]
+        lptr, lcols = graphs[idx]
+        side = _refine_side(lptr, lcols, side, target_frac=frac)
+    if not levels:
+        side = _refine_side(ptr, cols, side, target_frac=frac)
+    return side
+
+
+def _grow_bisection_weighted(row_ptrs, col_idxs, vertices, weights, frac):
+    """BFS growth on a weighted (coarse) graph until ~frac of total weight."""
+    total = int(weights.sum())
+    target_w = int(round(total * frac))
+    n = vertices.size
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    vset = np.ones(row_ptrs.shape[0] - 1, dtype=bool)
+    seed = _pseudo_peripheral(row_ptrs, col_idxs, vertices, vset)
+    in0 = np.zeros(n, dtype=bool)
+    in0[seed] = True
+    wsum = int(weights[seed])
+    frontier = np.array([seed], dtype=np.int64)
+    while wsum < target_w and frontier.size:
+        nbr = col_idxs[_csr_row_gather(row_ptrs, frontier)]
+        nbr = nbr[~in0[nbr]]
+        if nbr.size == 0:
+            break
+        _, first = np.unique(nbr, return_index=True)
+        nbr = nbr[np.sort(first)]
+        chosen = []
+        for u in nbr:
+            if wsum >= target_w:
+                break
+            in0[u] = True
+            wsum += int(weights[u])
+            chosen.append(u)
+        frontier = np.array(chosen, dtype=np.int64)
+    if wsum < target_w:
+        rest = np.nonzero(~in0)[0]
+        for u in rest:
+            if wsum >= target_w:
+                break
+            in0[u] = True
+            wsum += int(weights[u])
+    return in0
+
+
+def _refine_side(ptr, cols, side, target_frac, rounds: int = 10):
+    """KL/FM-style gain refinement on a local-id graph with a bool side array."""
+    n = side.shape[0]
+    target0 = int(round(n * target_frac))
+    lo, hi = max(1, int(target0 * 0.98)), int(np.ceil(target0 * 1.02))
+    size0 = int(side.sum())
+    deg = np.diff(ptr)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    # restore balance first if coarse-level granularity left us outside the
+    # window: move best-gain vertices from the heavy side regardless of sign
+    while size0 < lo or size0 > hi:
+        gain = np.zeros(n, dtype=np.int64)
+        np.add.at(gain, rows, np.where(side[rows] == side[cols], -1, 1))
+        from_side = size0 > hi
+        cand = np.nonzero(side == from_side)[0]
+        if cand.size == 0:
+            break
+        v = cand[np.argmax(gain[cand])]
+        side = side.copy()
+        side[v] = not from_side
+        size0 += -1 if from_side else 1
+    for _ in range(rounds):
+        gain = np.zeros(n, dtype=np.int64)
+        np.add.at(gain, rows, np.where(side[rows] == side[cols], -1, 1))
+        movable = gain > 0
+        if not movable.any():
+            break
+        moved = 0
+        for v in np.argsort(-gain):
+            if gain[v] <= 0:
+                break
+            if side[v] and size0 - 1 >= lo:
+                side = side.copy()
+                side[v] = False
+                size0 -= 1
+                moved += 1
+            elif not side[v] and size0 + 1 <= hi:
+                side = side.copy()
+                side[v] = True
+                size0 += 1
+                moved += 1
+            if moved >= max(1, n // 40):
+                break
+        if moved == 0:
+            break
+    return side
+
+
 def partition_metis(
     mat: CSRMatrix, nparts: int, objtype: str = "edgecut"
 ) -> np.ndarray:
-    """METIS-equivalent recursive graph bisection (cf. partition_tools.hpp:109-202).
+    """METIS-equivalent multilevel recursive bisection
+    (cf. partition_tools.hpp:109-202).
 
-    Recursive bisection with BFS-growth initial split + greedy boundary refinement;
-    ``nparts`` need not be a power of two (unbalanced recursion like
-    METIS_PartGraphRecursive).  ``objtype`` accepted for parity; both objectives
-    reduce to edge-cut minimization here.
+    Heavy-edge-matching coarsening, BFS-growth initial partition, KL-style
+    refinement per uncoarsening level; ``nparts`` need not be a power of two
+    (unbalanced recursion like METIS_PartGraphRecursive).  ``objtype`` accepted
+    for parity; both objectives reduce to edge-cut minimization here.
     """
     nparts = min(nparts, mat.n)
     part = np.zeros(mat.n, dtype=np.int32)
@@ -170,8 +355,13 @@ def partition_metis(
             continue
         k0 = k // 2
         target = int(round(vertices.size * (k0 / k)))
-        mask0 = _grow_bisection(mat.row_ptrs, mat.col_idxs, vertices, target)
-        mask0 = _refine_boundary(mat.row_ptrs, mat.col_idxs, vertices, mask0)
+        if vertices.size > 400:
+            mask0 = _bisect_multilevel(
+                mat.row_ptrs, mat.col_idxs, vertices, target
+            )
+        else:
+            mask0 = _grow_bisection(mat.row_ptrs, mat.col_idxs, vertices, target)
+            mask0 = _refine_boundary(mat.row_ptrs, mat.col_idxs, vertices, mask0)
         stack.append((vertices[mask0], base, k0))
         stack.append((vertices[~mask0], base + k0, k - k0))
     return part
