@@ -335,7 +335,8 @@ def _refine_side(ptr, cols, side, target_frac, rounds: int = 10):
 
 
 def partition_metis(
-    mat: CSRMatrix, nparts: int, objtype: str = "edgecut"
+    mat: CSRMatrix, nparts: int, objtype: str = "edgecut",
+    cell_weights=None,
 ) -> np.ndarray:
     """METIS-equivalent multilevel recursive bisection
     (cf. partition_tools.hpp:109-202).
@@ -344,7 +345,12 @@ def partition_metis(
     refinement per uncoarsening level; ``nparts`` need not be a power of two
     (unbalanced recursion like METIS_PartGraphRecursive).  ``objtype`` accepted
     for parity; both objectives reduce to edge-cut minimization here.
+    ``cell_weights`` is accepted for signature parity with the reference
+    (partition_tools.hpp:114) — which itself passes a null weight pointer to
+    METIS (the real pointer is commented out at :185) — and is currently
+    ignored, exactly like there.
     """
+    del cell_weights  # parity-only, see docstring
     nparts = min(nparts, mat.n)
     part = np.zeros(mat.n, dtype=np.int32)
     stack = [(np.arange(mat.n, dtype=np.int64), 0, nparts)]
