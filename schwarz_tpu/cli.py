@@ -362,7 +362,8 @@ def main(argv=None):
             result.inner_iters_history, "",
         )
     if args.write_comm_data:
-        write_comm_data(result.comm_matrix, result.iters, "comm_data.csv")
+        write_comm_data(result.comm_matrix, result.iters, "comm_data.csv",
+                        locality=solver.neighbor_locality())
     if args.timings_file != "null" and getattr(result, "stage_timings", None):
         write_timings(result.stage_timings, args.timings_file)
     return 0 if result.converged else 1

@@ -826,6 +826,17 @@ class RASolver:
             comm_matrix=dec.comm_matrix,
         )
 
+    def neighbor_locality(self) -> np.ndarray:
+        """(S, S) bool: True where the two subdomains' devices share a host —
+        ICI-reachable; False = DCN (the reference's check_subd_locality,
+        utils.cpp:52-66, via MPI_Comm_split_type(SHARED))."""
+        S = self.meta.num_subdomains
+        devs = list(self.mesh.devices.reshape(-1))
+        proc = np.array(
+            [devs[p // self.Sl].process_index for p in range(S)]
+        )
+        return proc[:, None] == proc[None, :]
+
     # --------------------------------------------------------------- interface --
     def run(
         self,

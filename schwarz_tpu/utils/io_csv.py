@@ -24,20 +24,23 @@ def write_timings(summary: Dict[str, Dict[str, float]], path: str) -> None:
 
 
 def write_comm_data(
-    comm_matrix: np.ndarray, iters: int, path: str
+    comm_matrix: np.ndarray, iters: int, path: str,
+    locality: np.ndarray | None = None,
 ) -> None:
-    """subdomain,neighbor,recv_elements,send_elements,iters — per neighbor pair
-    (the reference gathers send/recv element counts per neighbor,
-    schwarz_base.cpp:274-319)."""
+    """subdomain,neighbor,recv_elements,send_elements,iters,is_local — per
+    neighbor pair (the reference gathers send/recv element counts per neighbor,
+    schwarz_base.cpp:274-319; is_local mirrors check_subd_locality,
+    utils.cpp:52-66: same host = ICI, different host = DCN)."""
     S = comm_matrix.shape[0]
     with open(path, "w") as f:
-        f.write("subdomain,neighbor,recv_elements,send_elements,iters\n")
+        f.write("subdomain,neighbor,recv_elements,send_elements,iters,is_local\n")
         for p in range(S):
             for q in range(S):
                 if comm_matrix[p, q] > 0 or comm_matrix[q, p] > 0:
+                    loc = 1 if locality is None else int(locality[p, q])
                     f.write(
                         f"{p},{q},{int(comm_matrix[p, q])},"
-                        f"{int(comm_matrix[q, p])},{iters}\n"
+                        f"{int(comm_matrix[q, p])},{iters},{loc}\n"
                     )
 
 
