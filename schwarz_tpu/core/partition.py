@@ -291,6 +291,7 @@ def _refine_side(ptr, cols, side, target_frac, rounds: int = 10):
     n = side.shape[0]
     target0 = int(round(n * target_frac))
     lo, hi = max(1, int(target0 * 0.98)), int(np.ceil(target0 * 1.02))
+    side = side.copy()
     size0 = int(side.sum())
     deg = np.diff(ptr)
     rows = np.repeat(np.arange(n, dtype=np.int64), deg)
@@ -303,10 +304,10 @@ def _refine_side(ptr, cols, side, target_frac, rounds: int = 10):
         cand = np.nonzero(side == from_side)[0]
         if cand.size == 0:
             break
-        v = cand[np.argmax(gain[cand])]
-        side = side.copy()
-        side[v] = not from_side
-        size0 += -1 if from_side else 1
+        deficit = lo - size0 if size0 < lo else size0 - hi
+        movers = cand[np.argsort(-gain[cand])][: max(1, deficit)]
+        side[movers] = not from_side
+        size0 += (1 if not from_side else -1) * movers.size
     for _ in range(rounds):
         gain = np.zeros(n, dtype=np.int64)
         np.add.at(gain, rows, np.where(side[rows] == side[cols], -1, 1))
@@ -318,12 +319,10 @@ def _refine_side(ptr, cols, side, target_frac, rounds: int = 10):
             if gain[v] <= 0:
                 break
             if side[v] and size0 - 1 >= lo:
-                side = side.copy()
                 side[v] = False
                 size0 -= 1
                 moved += 1
             elif not side[v] and size0 + 1 <= hi:
-                side = side.copy()
                 side[v] = True
                 size0 += 1
                 moved += 1
