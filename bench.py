@@ -35,6 +35,7 @@ import numpy as np
 # The measurement runs in a child process; on timeout we fall back to smaller
 # shapes (which compile quickly) so the driver always gets its JSON line.
 INNER_TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT_S", "1500"))
+T_START = time.time()
 
 
 def main():
@@ -116,8 +117,8 @@ def main():
     padded_nnz = hyb.dia_vals.size
 
     # ---- secondary: RAS time-to-solution, paper-campaign two-stage config ------
-    ras_info = {}
-    try:
+    # informational (stderr only): skipped when the compile budget is half-spent
+    def run_ras_secondary():
         n1d_ras = (128 if small else 192) if on_tpu else 64
         A2 = laplacian_2d(n1d_ras)
         b2 = generate_rhs(A2.n)
@@ -132,20 +133,26 @@ def main():
             precond=Precond.block_jacobi, block_jacobi_block_size=32,
             row_pad_multiple=128, two_level=True,
         )
-        dec2 = decompose(A2, b2, s2, S)
-        solver = RASolver(dec2)
+        solver = RASolver(decompose(A2, b2, s2, S))
         # chunked: keeps each device execution well under the ~60s watchdog
-        r = solver.run(chunk_iters=100)       # includes compile
+        solver.run(chunk_iters=100)           # includes compile
         r2 = solver.run(chunk_iters=100)      # warm
-        ras_info = {
+        return {
             "ras_n": A2.n,
             "ras_converged": bool(r2.converged),
             "ras_iters": int(r2.iters),
             "ras_rel_residual": float(r2.relative_residual_norm),
             "ras_time_s": float(r2.solve_time_s),
         }
-    except Exception as e:  # pragma: no cover
-        ras_info = {"ras_error": str(e)}
+
+    elapsed = time.time() - T_START
+    if elapsed > 0.5 * INNER_TIMEOUT_S:
+        ras_info = {"ras_skipped": f"budget ({elapsed:.0f}s elapsed)"}
+    else:
+        try:
+            ras_info = run_ras_secondary()
+        except Exception as e:  # pragma: no cover
+            ras_info = {"ras_error": str(e)}
 
     print(
         json.dumps(
