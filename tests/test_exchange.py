@@ -53,7 +53,9 @@ def test_neighbor_plan_tables_consistent():
             assert got == expect_full[p, slot], (p, j, slot)
 
 
-@pytest.mark.parametrize("partition", [Partition.regular, Partition.regular2d])
+@pytest.mark.parametrize(
+    "partition", [Partition.regular, Partition.regular2d, Partition.metis]
+)
 def test_neighbor_strategy_matches_allgather(partition):
     A = laplacian_2d(16)
     b = generate_rhs(A.n)
