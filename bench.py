@@ -119,7 +119,9 @@ def main():
     # ---- secondary: RAS time-to-solution, paper-campaign two-stage config ------
     # informational (stderr only): skipped when the compile budget is half-spent
     def run_ras_secondary():
-        n1d_ras = (128 if small else 192) if on_tpu else 64
+        # 128^2 converges to the 1e-4 f32 floor in ~115 iterations; larger
+        # grids stall just above it (the floor grows with row count)
+        n1d_ras = 128 if on_tpu else 64
         A2 = laplacian_2d(n1d_ras)
         b2 = generate_rhs(A2.n)
         from schwarz_tpu.config import Partition
