@@ -311,11 +311,26 @@ class RASolver:
         lv, lc = plan_block["lmat_vals"], plan_block["lmat_cols"]
         return lambda x: ell_spmv_batched(lv, lc, x)
 
-    def _local_solve(self, plan_block, rhs_eff, z_prev):
-        """Dispatch the batched local solver (solve.cpp:666-792)."""
+    def _local_solve(self, plan_block, rhs_eff, z_prev, outer_it=None):
+        """Dispatch the batched local solver (solve.cpp:666-792).
+
+        ``reset_local_crit_iter`` (solve.cpp:729-742): outer iterations beyond
+        the reset point switch the inner budget from the full subdomain size to
+        ``local_max_iters`` — run exact early, two-stage after warmup.  The
+        budget is a traced loop bound, so no extra compilation.
+        """
         s = self.settings
         R = self.meta.max_rows
         max_it = s.local_max_iters if s.local_max_iters > 0 else R
+        if (
+            s.reset_local_crit_iter >= 0
+            and s.local_max_iters > 0
+            and outer_it is not None
+        ):
+            max_it = jnp.where(
+                outer_it > s.reset_local_crit_iter,
+                jnp.int32(s.local_max_iters), jnp.int32(R),
+            )
         if s.local_solver == LocalSolver.iterative_cg:
             res = cg_solve(
                 plan_block.get("lmat_vals"), plan_block.get("lmat_cols"),
@@ -471,11 +486,11 @@ class RASolver:
                     # communicate.cpp:81-93 double-accumulates; this is the
                     # principled version of the declared mode.)
                     z, inner, inner_rel = self._local_solve(
-                        plan, r, jnp.zeros_like(z_prev)
+                        plan, r, jnp.zeros_like(z_prev), outer_it=st["it"]
                     )
                 else:
                     z, inner, inner_rel = self._local_solve(
-                        plan, rhs_eff, z_prev
+                        plan, rhs_eff, z_prev, outer_it=st["it"]
                     )
                 # freeze subdomains that already detected global convergence
                 # (an async rank that detected would have stopped iterating)
