@@ -196,6 +196,9 @@ class Settings:
     print_matrices: bool = False
     write_debug_out: bool = False
     write_iters_and_residuals: bool = False
+    # kept for parity with the reference's Record-logger toggle
+    # (settings.hpp:196): residual/inner-iteration histories are always
+    # recorded here (they live in the loop carry and cost nothing observable)
     enable_logging: bool = False
     # padding multiple for subdomain row counts (TPU lane alignment)
     row_pad_multiple: int = 8

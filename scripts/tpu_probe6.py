@@ -72,6 +72,31 @@ for dtype, jdt in [("float32", jnp.float32), ("float64", jnp.float64)]:
         f"spmv={t_spmv*1e6:.1f}us nnz/s={nnz/t_spmv:.3e} "
         f"roofline_frac={nnz/t_spmv/sol:.2f}")
 
+# direct-solver support matrix on TPU
+from schwarz_tpu.solvers.direct import (  # noqa: E402
+    cholesky_factor, cholesky_solve, lu_factor, lu_solve,
+)
+
+A3 = laplacian_2d(8)
+b3 = generate_rhs(A3.n)
+for dt in ("float32", "float64"):
+    dec3 = decompose(A3, b3, Settings(overlap=2, dtype=dt), 2)
+    v = jnp.asarray(dec3.lmat_vals, dt)
+    c = jnp.asarray(dec3.lmat_cols)
+    rhs = jnp.asarray(dec3.local_rhs, dt)
+    for name, fac, sol in (
+        ("cholesky", cholesky_factor, cholesky_solve),
+        ("lu", lu_factor, lu_solve),
+    ):
+        try:
+            f = fac(v, c)
+            x = sol(f, rhs)
+            jax.block_until_ready(x)
+            log(f"direct[{name},{dt}] OK")
+        except Exception as e:
+            log(f"direct[{name},{dt}] FAILED: {type(e).__name__}: "
+                f"{str(e)[:120]}")
+
 # instrumented per-stage timings (allgather, CG) on a mid-size problem
 from schwarz_tpu.ras import RASolver  # noqa: E402
 

@@ -96,6 +96,23 @@ def test_config5_async_overlapped_block_partition():
     assert r.relative_residual_norm < 1e-4
 
 
+def test_baseline_precision_target_1e8():
+    # the BASELINE convergence target: 1e-8 in double precision (the
+    # reference's compute dtype), two-level, 16 subdomains
+    from schwarz_tpu.config import Precond
+
+    A = laplacian_2d(64)
+    s = Settings(
+        partition=Partition.regular2d, overlap=4, tolerance=1e-8,
+        max_iters=400, dtype="float64", local_tolerance=1e-8,
+        precond=Precond.block_jacobi, block_jacobi_block_size=16,
+        two_level=True,
+    )
+    r = solve(A, generate_rhs(A.n), s, num_subdomains=16)
+    assert r.converged
+    assert r.relative_residual_norm < 1e-7
+
+
 def test_two_level_rejects_stale_halos():
     A = laplacian_2d(16)
     s = Settings(two_level=True, comm=CommSettings(overlap_comm=True))
