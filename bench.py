@@ -5,10 +5,11 @@
 Headline metric (BASELINE.md targets): sustained batched ELL SpMV throughput in
 nnz/s on one chip over the decomposed RAS operator of a 1M-row 2D Laplacian —
 the dominant kernel of the solver loop (every CG step is one SpMV; cf.
-SURVEY.md §6 "nnz/s per chip" north star).  The measurement is a *serialized*
-chain of SpMVs inside one jitted fori_loop (each iteration consumes the
-previous result), so dispatch pipelining cannot overlap iterations and the
-per-iteration time is honest.
+SURVEY.md §6 "nnz/s per chip" north star).  The operator runs in the DIA
+(sorted-closure banded) formulation (ops/dia.py); the measurement is a
+*serialized* chain inside one jitted while_loop with a traced rep count (each
+iteration consumes the previous result, so dispatch pipelining cannot overlap
+iterations, and one compile serves all measurements).
 
 ``vs_baseline`` is the fraction of the HBM-bandwidth speed-of-light for the
 chip (the reference repo ships no numbers — BASELINE.md: "no benchmark numbers
@@ -16,9 +17,8 @@ are stored"), counting the streamed bytes per SpMV (4B value + 4B column index
 per padded ELL slot; the gathered x vector is VMEM-resident).  1.0 == roofline.
 
 Also measured and reported on stderr: full RAS time-to-solution + iteration
-count on a 2D Poisson problem with the reference paper-campaign two-stage
-configuration (run_script:6-56: block-Jacobi preconditioner, loose local
-tolerance 0.1, capped inner iterations).
+count on a 2D Poisson problem (regular-2D blocks, block-Jacobi preconditioned
+CG, two-level coarse correction, chunked execution).
 """
 
 from __future__ import annotations
