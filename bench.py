@@ -11,10 +11,10 @@ SURVEY.md §6 "nnz/s per chip" north star).  The operator runs in the DIA
 iteration consumes the previous result, so dispatch pipelining cannot overlap
 iterations, and one compile serves all measurements).
 
-``vs_baseline`` is the fraction of the HBM-bandwidth speed-of-light for the
-chip (the reference repo ships no numbers — BASELINE.md: "no benchmark numbers
-are stored"), counting the streamed bytes per SpMV (4B value + 4B column index
-per padded ELL slot; the gathered x vector is VMEM-resident).  1.0 == roofline.
+``vs_baseline`` is the fraction of the HBM-bandwidth speed-of-light model for
+the chip (the reference repo ships no numbers — BASELINE.md: "no benchmark
+numbers are stored"): bytes = diagonal values + shifted x reads + output
+write.  1.0 == roofline.
 
 Also measured and reported on stderr: full RAS time-to-solution + iteration
 count on a 2D Poisson problem (regular-2D blocks, block-Jacobi preconditioned
