@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="halo staleness (iterations) in async emulation")
     p.add_argument("--use_mixed_precision", action="store_true",
                    help="float32 halo buffers with float64 compute")
+    p.add_argument("--local_compute_dtype", default=None,
+                   choices=["float32", "float64"],
+                   help="run local solves in this dtype under the outer dtype "
+                        "(iterative refinement: f64 accuracy at f32 speed)")
     p.add_argument("--flush_type", default="flush-all",
                    help="accepted for parity; RDMA flush discipline")
     p.add_argument("--lock_type", default="lock-all",
@@ -210,6 +214,7 @@ def settings_from_args(args):
         ),
         dtype=args.dtype,
         halo_dtype="float32" if args.use_mixed_precision else None,
+        local_compute_dtype=args.local_compute_dtype,
         metis_objtype=args.metis_objtype,
         debug_print=args.debug_print,
         write_iters_and_residuals=args.write_iters_and_residuals,

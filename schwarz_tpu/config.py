@@ -190,6 +190,12 @@ class Settings:
     # Mixed-precision halo dtype (settings.hpp:122 use_mixed_precision pairs double
     # compute with float halo buffers); None = same as dtype.
     halo_dtype: Optional[str] = None
+    # Mixed-precision LOCAL SOLVES (iterative refinement): residuals and the
+    # iterate stay in ``dtype`` while the local subdomain solves run in this
+    # dtype — f64 outer + f32 inner reaches f64 tolerances at f32 local-solve
+    # speed (requires/implies the residual_based correction update).
+    # None = same as dtype.  SURVEY.md §7 "f32-compute/f64-accumulate".
+    local_compute_dtype: Optional[str] = None
     metis_objtype: str = "edgecut"           # (settings.hpp:176)
     # Debug / output toggles (settings.hpp:127-207)
     debug_print: bool = False

@@ -143,6 +143,13 @@ class RASolver:
                 "combined with enable_overlap / staleness > 1 (the coarse "
                 "correction computed from a stale residual diverges)"
             )
+        # mixed-precision local solves (iterative refinement): inner dtype
+        self._lc_dtype = None
+        if (
+            s.local_compute_dtype is not None
+            and np.dtype(s.local_compute_dtype) != s.value_dtype
+        ):
+            self._lc_dtype = np.dtype(s.local_compute_dtype)
         self._plan = self._build_plan()
         self._run_fn = self._build_run_fn()
 
@@ -191,6 +198,13 @@ class RASolver:
                 plan["rem_rows"] = put(hyb.rem_rows)
                 plan["rem_vals"] = put(hyb.rem_vals.astype(dtype))
                 plan["rem_cols"] = put(hyb.rem_cols)
+                if self._lc_dtype is not None:
+                    plan["dia_vals_lc"] = put(
+                        hyb.dia_vals.astype(self._lc_dtype)
+                    )
+                    plan["rem_vals_lc"] = put(
+                        hyb.rem_vals.astype(self._lc_dtype)
+                    )
         if s.two_level:
             # Nicolaides coarse space: R_c = piecewise-constant per subdomain;
             # A_c[p, q] = sum_{i in int(p), j in int(q)} A[i, j].  The S x S
@@ -235,13 +249,17 @@ class RASolver:
             plan["nx_recv_pos"] = put(nx.recv_pos)
             for k, tbl in enumerate(nx.send_idx):
                 plan[f"nx_send_{k}"] = put(tbl)
-        # direct-solver factorizations happen once at setup (solve.cpp:237-238)
+        # direct-solver factorizations happen once at setup (solve.cpp:237-238);
+        # with mixed local compute the factors live in the inner dtype
+        # (iterative refinement with a low-precision factorization)
+        fac_dtype = self._lc_dtype or dtype
+        fac_vals = plan["lmat_vals"].astype(fac_dtype)
         if s.local_solver == LocalSolver.direct_cholesky:
             plan["factor_L"] = jax.jit(cholesky_factor)(
-                plan["lmat_vals"], plan["lmat_cols"]
+                fac_vals, plan["lmat_cols"]
             )
         elif s.local_solver == LocalSolver.direct_lu:
-            lu, piv = jax.jit(lu_factor)(plan["lmat_vals"], plan["lmat_cols"])
+            lu, piv = jax.jit(lu_factor)(fac_vals, plan["lmat_cols"])
             plan["factor_lu"], plan["factor_piv"] = lu, piv
         if s.precond != Precond.none and s.local_solver in (
             LocalSolver.iterative_cg,
@@ -253,9 +271,12 @@ class RASolver:
                 extract_diagonal,
             )
 
+            pdtype = self._lc_dtype or dtype   # preconditioner feeds the inner
             if s.precond == Precond.jacobi:
                 d = jax.jit(extract_diagonal)(plan["lmat_vals"], plan["lmat_cols"])
-                plan["precond_dinv"] = jnp.where(jnp.abs(d) > 0, 1.0 / d, 1.0)
+                plan["precond_dinv"] = jnp.where(
+                    jnp.abs(d) > 0, 1.0 / d, 1.0
+                ).astype(pdtype)
             else:
                 bs = s.block_jacobi_block_size
                 blocks = jax.jit(
@@ -263,7 +284,11 @@ class RASolver:
                 )(plan["lmat_vals"], plan["lmat_cols"])
                 eye = jnp.eye(bs, dtype=dtype)
                 absent = jnp.all(blocks == 0.0, axis=-1, keepdims=True)
-                plan["precond_blockinv"] = jnp.linalg.inv(blocks + absent * eye)
+                plan["precond_blockinv"] = jnp.linalg.inv(
+                    blocks + absent * eye
+                ).astype(pdtype)
+        if self._lc_dtype is not None and self._dia_offsets is None:
+            plan["lmat_vals_lc"] = put(dec.lmat_vals.astype(self._lc_dtype))
         # with the DIA operator and an iterative solver, the wide ELL arrays are
         # no longer touched in the solve loop — drop them from device memory
         if self._dia_offsets is not None and s.local_solver in (
@@ -291,16 +316,18 @@ class RASolver:
             return apply
         return None
 
-    def _apply_local(self, plan_block):
+    def _apply_local(self, plan_block, inner: bool = False):
         """Operator application y = A_local @ x for this device's batch:
-        gather-free DIA when extracted, ELL otherwise."""
+        gather-free DIA when extracted, ELL otherwise.  ``inner`` selects the
+        low-precision operator copy for mixed-precision local solves."""
+        lc_suffix = "_lc" if (inner and self._lc_dtype is not None) else ""
         if self._dia_offsets is not None:
             from schwarz_tpu.ops.dia import dia_ell_spmv
 
             offsets = self._dia_offsets
             dv, rr, rv, rc = (
-                plan_block["dia_vals"], plan_block["rem_rows"],
-                plan_block["rem_vals"], plan_block["rem_cols"],
+                plan_block["dia_vals" + lc_suffix], plan_block["rem_rows"],
+                plan_block["rem_vals" + lc_suffix], plan_block["rem_cols"],
             )
             use_pallas = self._use_pallas
             interp = self.mesh.devices.reshape(-1)[0].platform == "cpu"
@@ -308,7 +335,8 @@ class RASolver:
                 offsets, dv, rr, rv, rc, x,
                 use_pallas=use_pallas, pallas_interpret=interp,
             )
-        lv, lc = plan_block["lmat_vals"], plan_block["lmat_cols"]
+        lv = plan_block["lmat_vals" + lc_suffix]
+        lc = plan_block["lmat_cols"]
         return lambda x: ell_spmv_batched(lv, lc, x)
 
     def _local_solve(self, plan_block, rhs_eff, z_prev, outer_it=None):
@@ -331,33 +359,43 @@ class RASolver:
                 outer_it > s.reset_local_crit_iter,
                 jnp.int32(s.local_max_iters), jnp.int32(R),
             )
+        out_dtype = rhs_eff.dtype
+        if self._lc_dtype is not None:
+            # mixed-precision inner solve (iterative refinement): the rhs is
+            # the f64 residual/restriction; the solve runs in the inner dtype
+            rhs_eff = rhs_eff.astype(self._lc_dtype)
+            z_prev = z_prev.astype(self._lc_dtype)
         if s.local_solver == LocalSolver.iterative_cg:
             res = cg_solve(
-                plan_block.get("lmat_vals"), plan_block.get("lmat_cols"),
+                None, None,
                 rhs_eff, z_prev, s.local_tolerance, max_it,
                 precond=self._precond_fn(plan_block),
-                apply_fn=self._apply_local(plan_block),
+                apply_fn=self._apply_local(plan_block, inner=True),
             )
-            return res.x, res.iters, res.rel_resnorm
+            return (res.x.astype(out_dtype), res.iters,
+                    res.rel_resnorm.astype(out_dtype))
         if s.local_solver == LocalSolver.iterative_gmres:
             res = gmres_solve(
-                plan_block.get("lmat_vals"), plan_block.get("lmat_cols"),
+                None, None,
                 rhs_eff, z_prev, s.local_tolerance, max_it,
                 restart=s.restart_iter,
                 precond=self._precond_fn(plan_block),
-                apply_fn=self._apply_local(plan_block),
+                apply_fn=self._apply_local(plan_block, inner=True),
             )
-            return res.x, res.iters, res.rel_resnorm
+            return (res.x.astype(out_dtype), res.iters,
+                    res.rel_resnorm.astype(out_dtype))
         if s.local_solver == LocalSolver.direct_cholesky:
             z = cholesky_solve(plan_block["factor_L"], rhs_eff)
-            zero = jnp.zeros(rhs_eff.shape[0], rhs_eff.dtype)
-            return z, jnp.ones(rhs_eff.shape[0], jnp.int32), zero
+            zero = jnp.zeros(rhs_eff.shape[0], out_dtype)
+            return (z.astype(out_dtype),
+                    jnp.ones(rhs_eff.shape[0], jnp.int32), zero)
         if s.local_solver == LocalSolver.direct_lu:
             z = lu_solve(
                 (plan_block["factor_lu"], plan_block["factor_piv"]), rhs_eff
             )
-            zero = jnp.zeros(rhs_eff.shape[0], rhs_eff.dtype)
-            return z, jnp.ones(rhs_eff.shape[0], jnp.int32), zero
+            zero = jnp.zeros(rhs_eff.shape[0], out_dtype)
+            return (z.astype(out_dtype),
+                    jnp.ones(rhs_eff.shape[0], jnp.int32), zero)
         raise ValueError(f"unsupported local solver {s.local_solver}")
 
     # -------------------------------------------------------------- solve loop --
@@ -375,6 +413,10 @@ class RASolver:
         )
         residual_update = (
             s.convergence.criterion == LocalCriterion.residual_based
+            # mixed-precision inner solves require the correction form: a
+            # solution_based replace would quantize the iterate to the inner
+            # dtype, flooring convergence (classic iterative refinement)
+            or self._lc_dtype is not None
         )
         # stale-halo modes: enable_overlap uses last iteration's halo so the
         # collective overlaps with this iteration's local solve
@@ -475,6 +517,10 @@ class RASolver:
                 x_own = x_own + corr
                 x_ext2 = do_exchange(plan, x_own)
                 rhs_eff = _interface_update(plan, x_ext2)
+                # the correction-form update solves against the residual, which
+                # must reflect the coarse step (the pre-coarse r stays the one
+                # reported/checked)
+                r = rhs_eff - self._apply_local(plan)(x_ext2[:, :R_rows])
 
             def solve_branch(args):
                 z_prev, x_own, _ = args
