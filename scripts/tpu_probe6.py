@@ -72,6 +72,27 @@ for dtype, jdt in [("float32", jnp.float32), ("float64", jnp.float64)]:
         f"spmv={t_spmv*1e6:.1f}us nnz/s={nnz/t_spmv:.3e} "
         f"roofline_frac={nnz/t_spmv/sol:.2f}")
 
+# variant: roll-based DIA (no padded copy; wrapped reads hit zero diagonals)
+dec32 = decompose(A, b, Settings(overlap=3, dtype="float32",
+                                 row_pad_multiple=128), 16)
+hyb32 = split_dia_ell(dec32.lmat_vals, dec32.lmat_cols, dec32.rows_count)
+dv32 = jnp.asarray(hyb32.dia_vals, jnp.float32)
+R32 = dec32.meta.max_rows
+nnz32 = int((dec32.lmat_vals != 0).sum())
+x32 = jnp.ones((16, dec32.meta.max_ext), jnp.float32)
+
+
+def spmv_roll(xx):
+    xr = xx[:, :R32]
+    y = jnp.zeros_like(xr)
+    for k, off in enumerate(hyb32.offsets):
+        y = y + dv32[:, k, :] * jnp.roll(xr, -off, axis=1)
+    return xx.at[:, :R32].set(y * 1e-6 + 1.0)
+
+
+t_roll = chain_time(spmv_roll, x32)
+log(f"[roll-variant f32] per={t_roll*1e6:.1f}us nnz/s={nnz32/t_roll:.3e}")
+
 # direct-solver support matrix on TPU
 from schwarz_tpu.solvers.direct import (  # noqa: E402
     cholesky_factor, cholesky_solve, lu_factor, lu_solve,

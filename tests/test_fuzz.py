@@ -1,0 +1,46 @@
+"""Light fuzz: random SPD sparse systems, random partitions — the true-residual
+oracle must hold for every draw."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from schwarz_tpu import Settings, solve
+from schwarz_tpu.models import CSRMatrix
+
+
+def random_spd(n, density, rng):
+    """Diagonally-dominant random symmetric matrix (SPD by construction)."""
+    m = sp.random(n, n, density=density, random_state=rng, format="coo")
+    m = (m + m.T) * 0.5
+    m = m.tocsr()
+    m.setdiag(np.abs(m).sum(axis=1).A1 + 1.0)
+    return CSRMatrix.from_scipy(m.tocsr())
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_spd_systems(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(60, 200))
+    A = random_spd(n, 0.05, np.random.RandomState(seed))
+    b = rng.standard_normal(n)
+    S = int(rng.choice([2, 3, 4]))
+    overlap = int(rng.integers(2, 5))
+    r = solve(A, b, Settings(overlap=overlap, tolerance=1e-8, max_iters=300),
+              num_subdomains=S)
+    assert r.converged, (n, S, overlap)
+    x_ref = sp.linalg.spsolve(A.to_scipy().tocsc(), b)
+    np.testing.assert_allclose(r.solution, x_ref, rtol=1e-5, atol=1e-7)
+
+
+def test_random_partition_indices():
+    # user-supplied (custom) partition: random assignment, still correct
+    rng = np.random.default_rng(7)
+    A = random_spd(120, 0.06, np.random.RandomState(7))
+    b = rng.standard_normal(120)
+    part = rng.integers(0, 4, 120).astype(np.int32)
+    r = solve(A, b, Settings(overlap=3, tolerance=1e-8, max_iters=300),
+              num_subdomains=4, partition_indices=part)
+    assert r.converged
+    x_ref = sp.linalg.spsolve(A.to_scipy().tocsc(), b)
+    np.testing.assert_allclose(r.solution, x_ref, rtol=1e-5, atol=1e-7)
