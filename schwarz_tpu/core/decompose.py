@@ -51,13 +51,14 @@ class Decomposition:
     """Host-side decomposition plan: everything the device solve needs, padded.
 
     Index spaces per subdomain p (sizes per-subdomain in ``*_count``, padded to the
-    common ``meta.max_*``):
-      ``[0, interior_count[p])``            interior rows owned by p
-      ``[interior_count[p], rows_count[p])`` overlap rows (BFS rings)
-      ``[max_rows, max_rows + ghost_count[p])`` ghost ring (exterior columns of
-          overlap rows).  Ghosts start at the *uniform* offset ``max_rows`` so
-          that padded local-matrix rows in ``[rows_count[p], max_rows)`` never
-          alias ghost slots (their identity diagonals must read zeros).
+    common ``meta.max_*``).  The closure (interior + overlap rows) occupies slots
+    ``[0, rows_count[p])`` sorted by permuted-global index, with the interior a
+    contiguous window ``[interior_offset[p], interior_offset[p] +
+    interior_count[p])`` inside it; the ghost ring (exterior columns of overlap
+    rows) occupies ``[max_rows, max_rows + ghost_count[p])``.  Ghosts start at
+    the *uniform* offset ``max_rows`` so that padded local-matrix rows in
+    ``[rows_count[p], max_rows)`` never alias ghost slots (their identity
+    diagonals must read zeros).
     """
 
     meta: Metadata
