@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--two_level", action="store_true",
                    help="multiplicative Nicolaides coarse correction "
                         "(beyond-reference scalability feature)")
+    p.add_argument("--accelerator", default="none", choices=["none", "fgmres"],
+                   help="fgmres: Krylov-accelerate with RAS as preconditioner "
+                        "(several-fold fewer outer iterations)")
     p.add_argument("--precond", default="block-jacobi",
                    choices=["jacobi", "block-jacobi"])
     p.add_argument("--precond_max_block_size", type=int, default=16)
@@ -188,6 +191,7 @@ def settings_from_args(args):
         block_jacobi_block_size=args.precond_max_block_size,
         max_iters=args.num_iters,
         two_level=args.two_level,
+        accelerator=args.accelerator,
         tolerance=args.set_tol,
         local_tolerance=args.local_tol,
         local_max_iters=args.local_max_iters,
@@ -317,6 +321,8 @@ def main(argv=None):
     with prof:
         if args.instrument:
             result = solver.run_instrumented()
+        elif args.accelerator == "fgmres":
+            result = solver.run_accelerated()
         else:
             result = solver.run(
                 resume_state=resume_state, checkpoint_path=args.checkpoint,

@@ -220,6 +220,12 @@ class Settings:
     # strictly one-level); off by default for parity, on for scalability in
     # the subdomain count.
     two_level: bool = False
+    # Krylov acceleration: "none" iterates the RAS fixed point (reference
+    # behavior); "fgmres" solves the global system with flexible GMRES
+    # preconditioned by one RAS application — typically several-fold fewer
+    # outer iterations (Schwarz-as-preconditioner, the standard production
+    # deployment; beyond the reference's stationary-only scope).
+    accelerator: str = "none"
 
     @property
     def value_dtype(self):

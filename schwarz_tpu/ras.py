@@ -398,32 +398,13 @@ class RASolver:
                     jnp.ones(rhs_eff.shape[0], jnp.int32), zero)
         raise ValueError(f"unsupported local solver {s.local_solver}")
 
-    # -------------------------------------------------------------- solve loop --
-    def _build_run_fn(self):
+    def _exchange_fn(self):
+        """Halo exchange closure (strategy dispatch), usable inside shard_map."""
         s = self.settings
         meta = self.meta
-        S = meta.num_subdomains
-        Sl = self.Sl
-        R_int = meta.max_interior
-        R_rows = meta.max_rows
-        dtype = s.value_dtype
-        max_iters = s.max_iters
         halo_dtype = (
             s.halo_value_dtype if s.halo_value_dtype != s.value_dtype else None
         )
-        residual_update = (
-            s.convergence.criterion == LocalCriterion.residual_based
-            # mixed-precision inner solves require the correction form: a
-            # solution_based replace would quantize the iterate to the inner
-            # dtype, flooring convergence (classic iterative refinement)
-            or self._lc_dtype is not None
-        )
-        # stale-halo modes: enable_overlap uses last iteration's halo so the
-        # collective overlaps with this iteration's local solve
-        # (restricted_schwarz.cpp:855-973); onesided staleness > 1 emulates the
-        # asynchronous algorithm's tolerance of aged neighbor data (C10).
-        overlap_comm = s.comm.overlap_comm
-        stale_period = max(1, s.comm.staleness) if s.comm.onesided else 1
 
         def do_exchange(plan, x_own):
             if s.comm.strategy in (HaloStrategy.neighbor, HaloStrategy.rdma):
@@ -457,6 +438,36 @@ class RASolver:
                 x_own, plan["interior_off"], plan["halo_slots"],
                 plan["halo_src_halo"], meta.max_ext, halo_dtype=halo_dtype,
             )
+
+        return do_exchange
+
+    # -------------------------------------------------------------- solve loop --
+    def _build_run_fn(self):
+        s = self.settings
+        meta = self.meta
+        S = meta.num_subdomains
+        Sl = self.Sl
+        R_int = meta.max_interior
+        R_rows = meta.max_rows
+        dtype = s.value_dtype
+        max_iters = s.max_iters
+        halo_dtype = (
+            s.halo_value_dtype if s.halo_value_dtype != s.value_dtype else None
+        )
+        residual_update = (
+            s.convergence.criterion == LocalCriterion.residual_based
+            # mixed-precision inner solves require the correction form: a
+            # solution_based replace would quantize the iterate to the inner
+            # dtype, flooring convergence (classic iterative refinement)
+            or self._lc_dtype is not None
+        )
+        # stale-halo modes: enable_overlap uses last iteration's halo so the
+        # collective overlaps with this iteration's local solve
+        # (restricted_schwarz.cpp:855-973); onesided staleness > 1 emulates the
+        # asynchronous algorithm's tolerance of aged neighbor data (C10).
+        overlap_comm = s.comm.overlap_comm
+        stale_period = max(1, s.comm.staleness) if s.comm.onesided else 1
+        do_exchange = self._exchange_fn()
 
         def body(plan, st):
             x_own = st["x_own"]
@@ -887,6 +898,98 @@ class RASolver:
             comm_matrix=dec.comm_matrix,
         )
 
+    # ------------------------------------------------- Krylov acceleration --
+    def run_accelerated(
+        self, x0: Optional[np.ndarray] = None
+    ) -> RASResult:
+        """Solve the global system with flexible GMRES preconditioned by one
+        RAS application (local solves + optional coarse correction).
+
+        The standard production deployment of Schwarz methods — typically
+        several-fold fewer outer iterations than the stationary fixed point
+        (the reference's only mode).  Uses ``restart_iter`` as the Krylov
+        restart, ``tolerance`` as the global relative-residual target, and the
+        configured local solver / preconditioner / exchange strategy inside
+        the preconditioner.
+        """
+        from schwarz_tpu.solvers.global_krylov import fgmres
+
+        s = self.settings
+        meta = self.meta
+        dec = self.dec
+        S = meta.num_subdomains
+        Sl = self.Sl
+        R_int = meta.max_interior
+        R_rows = meta.max_rows
+        dtype = s.value_dtype
+        do_exchange = self._exchange_fn()
+
+        def accel_fn(plan, b_own, x0_own):
+            def matvec(v):
+                v_ext = do_exchange(plan, v)
+                av = self._apply_local(plan)(v_ext[:, :R_rows])
+                return _extract_interior(
+                    av, plan["interior_off"], R_int, plan["interior_mask"]
+                )
+
+            def precond(r):
+                r_ext = do_exchange(plan, r)
+                z, _, _ = self._local_solve(
+                    plan, r_ext[:, :R_rows], jnp.zeros((Sl, R_rows), dtype)
+                )
+                mr = _extract_interior(
+                    z, plan["interior_off"], R_int, plan["interior_mask"]
+                )
+                if "coarse_inv" in plan:
+                    r_c = jnp.sum(r, axis=1)
+                    r_c_all = jax.lax.all_gather(r_c, SUBD_AXIS, tiled=True)
+                    c = plan["coarse_inv"] @ r_c_all
+                    mr = mr + jnp.where(
+                        plan["interior_mask"], c[:, None], 0.0
+                    )
+                return mr
+
+            res = fgmres(
+                matvec, precond, b_own, x0_own,
+                s.tolerance, s.max_iters, max(s.restart_iter, 2),
+            )
+            return res.x, res.iters, res.rel_resnorm, res.hist
+
+        plan_specs = {k: P(SUBD_AXIS) for k in self._plan}
+        mapped = jax.jit(jax.shard_map(
+            accel_fn, mesh=self.mesh,
+            in_specs=(plan_specs, P(SUBD_AXIS), P(SUBD_AXIS)),
+            out_specs=(P(SUBD_AXIS), P(), P(), P()),
+            check_vma=False,
+        ))
+
+        # rhs in the interior layout
+        b_own = np.zeros((S, R_int), dtype)
+        for p in range(S):
+            lo, hi = dec.first_row[p], dec.first_row[p + 1]
+            b_own[p, : hi - lo] = dec.global_rhs[lo:hi]
+        shard = jax.sharding.NamedSharding(self.mesh, P(SUBD_AXIS))
+        b_dev = jax.device_put(jnp.asarray(b_own), shard)
+        x0_dev = (
+            jax.device_put(jnp.zeros((S, R_int), dtype), shard)
+            if x0 is None else jax.device_put(jnp.asarray(x0, dtype), shard)
+        )
+
+        t0 = time.perf_counter()
+        x, iters, rel, hist = mapped(self._plan, b_dev, x0_dev)
+        x = np.asarray(jax.block_until_ready(x))
+        elapsed = time.perf_counter() - t0
+
+        iters = int(iters)
+        rel_v = float(rel)
+        converged = rel_v <= s.tolerance
+        hist_g = np.asarray(hist)[: iters + 1]
+        return self._assemble_result(
+            x, converged, bool(np.isnan(rel_v)), iters,
+            np.zeros((len(hist_g), S)), hist_g,
+            np.zeros((len(hist_g), S), np.int32), elapsed,
+        )
+
     def neighbor_locality(self) -> np.ndarray:
         """(S, S) bool: True where the two subdomains' devices share a host —
         ICI-reachable; False = DCN (the reference's check_subd_locality,
@@ -983,4 +1086,7 @@ def solve(
     if num_subdomains is None:
         num_subdomains = max(1, len(jax.devices()))
     dec = decompose(mat, rhs, settings, num_subdomains, partition_indices)
-    return RASolver(dec, mesh=mesh).run()
+    solver = RASolver(dec, mesh=mesh)
+    if settings.accelerator == "fgmres":
+        return solver.run_accelerated()
+    return solver.run()

@@ -1,0 +1,74 @@
+"""Krylov-accelerated solve (FGMRES with RAS preconditioner) — must cut outer
+iterations several-fold over the stationary fixed point and stay correct."""
+
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+from schwarz_tpu import (
+    CommSettings,
+    HaloStrategy,
+    LocalSolver,
+    Partition,
+    Settings,
+    advection_diffusion_2d,
+    generate_rhs,
+    laplacian_2d,
+    solve,
+)
+from schwarz_tpu.core.decompose import decompose
+from schwarz_tpu.ras import RASolver
+
+
+def test_fgmres_accelerated_beats_stationary():
+    A = laplacian_2d(48)
+    b = generate_rhs(A.n)
+    s = Settings(partition=Partition.regular2d, overlap=4, tolerance=1e-8,
+                 max_iters=400, restart_iter=30, two_level=True,
+                 dtype="float64")
+    solver = RASolver(decompose(A, b, s, 16))
+    r_stat = solver.run()
+    r_acc = solver.run_accelerated()
+    assert r_stat.converged and r_acc.converged
+    assert r_acc.iters < r_stat.iters / 2
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+    np.testing.assert_allclose(r_acc.solution, x_ref, rtol=1e-6, atol=1e-6)
+
+
+def test_fgmres_nonsymmetric():
+    A = advection_diffusion_2d(24)
+    b = generate_rhs(A.n)
+    s = Settings(
+        overlap=3, tolerance=1e-8, max_iters=300, restart_iter=30,
+        local_solver=LocalSolver.iterative_gmres, non_symmetric_matrix=True,
+        accelerator="fgmres",
+    )
+    r = solve(A, b, s, num_subdomains=4)
+    assert r.converged
+    assert r.relative_residual_norm < 1e-7
+
+
+def test_fgmres_with_mixed_precision_inner():
+    # FGMRES + f32 local solves under f64: the flexible variant tolerates the
+    # inexact low-precision preconditioner
+    A = laplacian_2d(32)
+    b = generate_rhs(A.n)
+    s = Settings(
+        overlap=4, tolerance=1e-8, max_iters=300, restart_iter=30,
+        dtype="float64", local_compute_dtype="float32",
+        local_tolerance=1e-4, accelerator="fgmres", two_level=True,
+    )
+    r = solve(A, b, s, num_subdomains=4)
+    assert r.converged
+    assert r.relative_residual_norm < 1e-7
+
+
+def test_fgmres_neighbor_strategy():
+    A = laplacian_2d(24)
+    b = generate_rhs(A.n)
+    s = Settings(overlap=3, tolerance=1e-8, max_iters=300, restart_iter=20,
+                 comm=CommSettings(strategy=HaloStrategy.neighbor),
+                 accelerator="fgmres")
+    r = solve(A, b, s, num_subdomains=8)
+    assert r.converged
+    assert r.relative_residual_norm < 1e-7
