@@ -63,6 +63,22 @@ def test_fgmres_with_mixed_precision_inner():
     assert r.relative_residual_norm < 1e-7
 
 
+def test_fgmres_metis_multiple_subdomains_per_device():
+    import jax
+
+    from schwarz_tpu.parallel.mesh import make_mesh
+
+    A = laplacian_2d(24)
+    b = generate_rhs(A.n)
+    s = Settings(partition=Partition.metis, overlap=3, tolerance=1e-8,
+                 max_iters=300, restart_iter=25, accelerator="fgmres")
+    dec = decompose(A, b, s, 8)
+    r = RASolver(dec, mesh=make_mesh(jax.devices()[:4])).run_accelerated()
+    assert r.converged
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+    np.testing.assert_allclose(r.solution, x_ref, rtol=1e-5, atol=1e-6)
+
+
 def test_fgmres_neighbor_strategy():
     A = laplacian_2d(24)
     b = generate_rhs(A.n)
