@@ -254,6 +254,17 @@ class RASolver:
         # (iterative refinement with a low-precision factorization)
         fac_dtype = self._lc_dtype or dtype
         fac_vals = plan["lmat_vals"].astype(fac_dtype)
+        if (
+            s.local_solver == LocalSolver.direct_lu
+            and jnp.dtype(fac_dtype) == jnp.float64
+            and on_tpu
+        ):
+            raise ValueError(
+                "TPU XLA implements LU decomposition only for float32: use "
+                "local_compute_dtype='float32' (iterative refinement reaches "
+                "float64 targets with the f32 factorization) or "
+                "local_solver='cholesky' for SPD systems"
+            )
         if s.local_solver == LocalSolver.direct_cholesky:
             plan["factor_L"] = jax.jit(cholesky_factor)(
                 fac_vals, plan["lmat_cols"]
