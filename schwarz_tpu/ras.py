@@ -37,7 +37,6 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from schwarz_tpu.config import (
-    GlobalConvergence,
     HaloStrategy,
     LocalCriterion,
     LocalSolver,
@@ -56,7 +55,7 @@ from schwarz_tpu.solvers.direct import (
     lu_solve,
 )
 from schwarz_tpu.solvers.gmres import gmres_solve
-from schwarz_tpu.solvers.precond import Precond, make_preconditioner
+from schwarz_tpu.solvers.precond import Precond
 
 DIVERGENCE_LIMIT = 1e12  # schwarz_base.cpp:424: abort when ||r|| exceeds this
 
@@ -158,7 +157,7 @@ class RASolver:
         dec = self.dec
         s = self.settings
         dtype = s.value_dtype
-        row_valid, interior_valid, ext_valid = dec.masks()
+        _row_valid, interior_valid, ext_valid = dec.masks()
         shard = jax.sharding.NamedSharding(self.mesh, P(SUBD_AXIS))
 
         def put(x):
