@@ -1,0 +1,86 @@
+"""CLI flag -> Settings mapping tests (C30: bench_base.hpp:50-144 flags mapped
+onto Settings the way bench_ras.cpp:50-150 does)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from schwarz_tpu.cli import build_parser, settings_from_args
+from schwarz_tpu.config import (
+    GlobalConvergence,
+    HaloStrategy,
+    LocalCriterion,
+    LocalSolver,
+    Partition,
+    Precond,
+)
+
+
+def _settings(argv):
+    return settings_from_args(build_parser().parse_args(argv))
+
+
+def test_default_mapping():
+    s = _settings([])
+    assert s.partition == Partition.regular
+    assert s.local_solver == LocalSolver.iterative_cg
+    assert s.overlap == 2
+    assert s.tolerance == 1e-6
+    assert s.convergence.method == GlobalConvergence.allgather
+
+
+def test_solver_aliases():
+    assert _settings(["--local_solver", "iterative-ginkgo"]).local_solver \
+        == LocalSolver.iterative_cg
+    assert _settings(["--local_solver", "direct-cholmod"]).local_solver \
+        == LocalSolver.direct_cholesky
+    assert _settings(["--local_solver", "direct-umfpack"]).local_solver \
+        == LocalSolver.direct_lu
+    # non_symmetric steers iterative to GMRES (solve.cpp:746-752)
+    s = _settings(["--local_solver", "cg", "--non_symmetric_matrix"])
+    assert s.local_solver == LocalSolver.iterative_gmres
+
+
+def test_onesided_convergence_mapping():
+    s = _settings(["--enable_onesided",
+                   "--global_convergence_type", "decentralized",
+                   "--enable_comm_overlap_staleness", "3"])
+    assert s.comm.onesided
+    assert s.comm.staleness == 3
+    assert s.convergence.method == GlobalConvergence.decentralized
+    s2 = _settings(["--enable_onesided"])
+    assert s2.convergence.method == GlobalConvergence.tree  # centralized-tree
+
+
+def test_precision_flags():
+    s = _settings(["--use_mixed_precision", "--dtype", "float64",
+                   "--local_compute_dtype", "float32"])
+    assert s.halo_dtype == "float32"
+    assert s.local_compute_dtype == "float32"
+    assert s.dtype == "float64"
+
+
+def test_precond_flags():
+    s = _settings(["--use_precond", "--precond", "jacobi"])
+    assert s.precond == Precond.jacobi
+    s = _settings(["--use_precond", "--precond_max_block_size", "8"])
+    assert s.precond == Precond.block_jacobi
+    assert s.block_jacobi_block_size == 8
+    assert _settings([]).precond == Precond.none
+
+
+def test_comm_strategy_and_criterion():
+    s = _settings(["--comm_strategy", "neighbor",
+                   "--local_convergence_crit", "residual-based",
+                   "--enable_overlap"])
+    assert s.comm.strategy == HaloStrategy.neighbor
+    assert s.convergence.criterion == LocalCriterion.residual_based
+    assert s.comm.overlap_comm
+
+
+def test_beyond_reference_flags():
+    s = _settings(["--two_level", "--accelerator", "fgmres"])
+    assert s.two_level
+    assert s.accelerator == "fgmres"
