@@ -2,8 +2,9 @@
 """Benchmark driver: prints ONE JSON line
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
 
-Headline metric (BASELINE.md targets): sustained batched ELL SpMV throughput in
-nnz/s on one chip over the decomposed RAS operator of a 1M-row 2D Laplacian —
+Headline metric (BASELINE.md targets): sustained batched local-operator SpMV
+throughput in nnz/s on one chip over the decomposed RAS operator of a 1M-row
+2D Laplacian —
 the dominant kernel of the solver loop (every CG step is one SpMV; cf.
 SURVEY.md §6 "nnz/s per chip" north star).  The operator runs in the DIA
 (sorted-closure banded) formulation (ops/dia.py); the measurement is a
