@@ -143,9 +143,9 @@ def dia_ell_spmv(
         use_pallas_now = dia_spmv_supported(R, x.dtype)
     xp = jnp.pad(x[:, :R], ((0, 0), (M, M)))
     if use_pallas_now:
-        from schwarz_tpu.ops.pallas_kernels import dia_spmv_pallas
+        from schwarz_tpu.ops.pallas_kernels import dia_spmv_pallas2d
 
-        y = dia_spmv_pallas(offsets, dia_vals, xp, interpret=pallas_interpret)
+        y = dia_spmv_pallas2d(offsets, dia_vals, xp, interpret=pallas_interpret)
     else:
         y = jnp.zeros((S, R), dtype=x.dtype)
         for k, off in enumerate(offsets):

@@ -35,6 +35,78 @@ def dia_spmv_supported(r: int, dtype) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+def dia_spmv_pallas2d(
+    offsets: Tuple[int, ...],
+    dia_vals: jax.Array,     # (S, K, R) float32, R % 128 == 0
+    xpad: jax.Array,         # (S, R + 2M) float32, M = max |offset|
+    interpret: bool = False,
+) -> jax.Array:
+    """2-D formulation: one grid step per subdomain; the whole padded x row
+    lives VMEM-resident as (Rx128, 128) and every diagonal's shifted window is
+    an exact lane-roll + sublane-roll + lane-index select (flat shift
+    d = q*128 + r reads row i+q lanes j+r with carry) — all Mosaic-legal ops,
+    no unaligned vector loads.
+
+    Requires M (and hence the x padding) to be a multiple of 128 so the padded
+    row reshapes to whole (sublane, lane) tiles; rows used never wrap (the
+    read offset d = M + off stays within [0, 2M])."""
+    S, K, R = dia_vals.shape
+    M = max((abs(o) for o in offsets), default=0)
+    Mpad = -(-M // 128) * 128
+    if Mpad != M:
+        # re-pad to a 128-aligned margin
+        extra = Mpad - M
+        xpad = jnp.pad(xpad, ((0, 0), (extra, extra)))
+        M = Mpad
+    assert R % 128 == 0
+    W = R + 2 * M
+    Rr_y = R // 128
+    Rr_x = W // 128
+    x3 = xpad.reshape(S, Rr_x, 128)
+    dia4 = dia_vals.reshape(S, K, Rr_y, 128)
+
+    def kernel(dia_ref, x_ref, o_ref):
+        x = x_ref[0]                     # (Rr_x, 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Rr_y, 128), 1)
+        acc = jnp.zeros((Rr_y, 128), jnp.float32)
+        for k in range(K):
+            d = M + offsets[k]           # flat read offset, 0 <= d <= 2M
+            q, rr = divmod(d, 128)
+            if rr:
+                # shifts must be i32 (x64 mode would make python ints i64)
+                a = pltpu.roll(x, jnp.int32(128 - rr), 1)  # lanes left by rr
+            else:
+                a = x
+            # row i of the output reads a[i + q] (no-carry lanes) or
+            # a[i + q + 1] (carried lanes); rows never wrap (d <= 2M)
+            b0 = pltpu.roll(a, jnp.int32(Rr_x - q), 0) if q else a
+            b1 = pltpu.roll(a, jnp.int32(Rr_x - (q + 1)), 0)
+            w = jnp.where(lane < 128 - rr, b0[:Rr_y], b1[:Rr_y])
+            acc = acc + dia_ref[0, k] * w
+        o_ref[0] = acc
+
+    # the global x64 flag taints grid/index lowering with i64 scalars, which
+    # Mosaic rejects ("failed to legalize func.return"); trace the kernel with
+    # x64 disabled — all operands are explicit f32/i32 anyway
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(S,),
+            in_specs=[
+                pl.BlockSpec((1, K, Rr_y, 128), lambda s: (s, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Rr_x, 128), lambda s: (s, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, Rr_y, 128), lambda s: (s, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((S, Rr_y, 128), jnp.float32),
+            interpret=interpret,
+        )(dia4, x3)
+    return out.reshape(S, R)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
 def dia_spmv_pallas(
     offsets: Tuple[int, ...],
     dia_vals: jax.Array,     # (S, K, R) float32
