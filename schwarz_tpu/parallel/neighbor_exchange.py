@@ -165,19 +165,22 @@ def _rdma_cyclic_shift(
         rdma.start()
         rdma.wait()
 
-    return pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct(buf.shape, buf.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=collective_id,
-        ),
-        interpret=interpret,
-    )(buf)
+    # trace with x64 disabled: the global x64 flag taints index/grid lowering
+    # with i64 scalars that Mosaic rejects (see ops/pallas_kernels.py)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(buf.shape, buf.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, collective_id=collective_id,
+            ),
+            interpret=interpret,
+        )(buf)
 
 
 def exchange_halo_neighbor(
