@@ -12,12 +12,21 @@ from schwarz_tpu.ras import RASolver
 from tests.reference_emulator import reference_ras
 
 
-@pytest.mark.parametrize("S,overlap", [(2, 2), (4, 3), (4, 4)])
-def test_history_matches_reference_emulation(S, overlap):
+@pytest.mark.parametrize(
+    "partition,S,overlap",
+    [
+        (Partition.regular, 2, 2),
+        (Partition.regular, 4, 3),
+        (Partition.regular, 4, 4),
+        (Partition.metis, 4, 3),
+        (Partition.regular2d, 4, 2),
+    ],
+)
+def test_history_matches_reference_emulation(partition, S, overlap):
     A = laplacian_2d(12)
     b = generate_rhs(A.n)
     s = Settings(
-        partition=Partition.regular, overlap=overlap, tolerance=1e-8,
+        partition=partition, overlap=overlap, tolerance=1e-8,
         max_iters=300,
         # exact local solves to match the emulator's sparse LU
         local_solver=LocalSolver.direct_lu,
@@ -29,9 +38,13 @@ def test_history_matches_reference_emulation(S, overlap):
     closures = [
         dec.local_to_global[p, : dec.rows_count[p]] for p in range(S)
     ]
-    x_ref, lh, gh, it_ref = reference_ras(
-        A.to_scipy(), b, dec.first_row, closures, 1e-8, 300
+    # the emulator works in the permuted ordering (dec.global_matrix/global_rhs)
+    x_ref_perm, lh, gh, it_ref = reference_ras(
+        dec.global_matrix.to_scipy(), dec.global_rhs, dec.first_row,
+        closures, 1e-8, 300,
     )
+    x_ref = np.zeros_like(x_ref_perm)
+    x_ref[dec.perm] = x_ref_perm
     # same detection iteration and matching residual histories
     assert ours.iters == it_ref
     n = min(len(gh), len(ours.global_resnorm_history))
