@@ -186,4 +186,49 @@ int schwz_permute_csr(
     return 0;
 }
 
+// Greedy heavy-edge matching for one multilevel-partitioner coarsening level
+// (cf. core/partition.py _heavy_edge_matching — python loop is the setup
+// bottleneck at 10^6 vertices).  order must hold vertex ids sorted by weight
+// ascending (METIS HEM visits light vertices first).  Returns the coarse
+// vertex count; coarse_map[v] gets v's coarse id.
+int64_t schwz_hem(
+    int64_t n,
+    const int64_t* indptr,
+    const int64_t* indices,
+    const int64_t* weights,
+    const int64_t* order,
+    int64_t* matched,      // workspace, length n (overwritten)
+    int64_t* coarse_map)   // output, length n
+{
+    for (int64_t i = 0; i < n; ++i) matched[i] = -1;
+    for (int64_t oi = 0; oi < n; ++oi) {
+        const int64_t v = order[oi];
+        if (matched[v] >= 0) continue;
+        int64_t best = -1, best_w = -1;
+        for (int64_t j = indptr[v]; j < indptr[v + 1]; ++j) {
+            const int64_t u = indices[j];
+            if (u != v && matched[u] < 0 && weights[u] > best_w) {
+                best = u;
+                best_w = weights[u];
+            }
+        }
+        if (best >= 0) {
+            matched[v] = best;
+            matched[best] = v;
+        } else {
+            matched[v] = v;
+        }
+    }
+    int64_t nc = 0;
+    for (int64_t v = 0; v < n; ++v) coarse_map[v] = -1;
+    for (int64_t v = 0; v < n; ++v) {
+        if (coarse_map[v] < 0) {
+            coarse_map[v] = nc;
+            coarse_map[matched[v]] = nc;
+            ++nc;
+        }
+    }
+    return nc;
+}
+
 }  // extern "C"

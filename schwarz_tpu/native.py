@@ -74,6 +74,8 @@ def load() -> Optional[ctypes.CDLL]:
         c, _I64, _I64, _F64, _I64, _I64, _I64, _I64, _F64,
     ]
     lib.schwz_permute_csr.restype = ctypes.c_int
+    lib.schwz_hem.argtypes = [c, _I64, _I64, _I64, _I64, _I64, _I64]
+    lib.schwz_hem.restype = c
     _LIB = lib
     return _LIB
 
@@ -122,6 +124,23 @@ def ell_fill(indptr, indices, values, g2l, closure_rows, rows_count,
         icols.reshape(-1), ivals.reshape(-1),
     )
     assert rc == 0
+
+
+def heavy_edge_matching(indptr, indices, weights, order):
+    """Native HEM coarsening level; returns (coarse_map, n_coarse)."""
+    lib = load()
+    n = indptr.shape[0] - 1
+    matched = np.empty(n, dtype=np.int64)
+    coarse_map = np.empty(n, dtype=np.int64)
+    nc = lib.schwz_hem(
+        n,
+        np.ascontiguousarray(indptr, np.int64),
+        np.ascontiguousarray(indices, np.int64),
+        np.ascontiguousarray(weights, np.int64),
+        np.ascontiguousarray(order, np.int64),
+        matched, coarse_map,
+    )
+    return coarse_map, int(nc)
 
 
 def permute_csr(n, indptr, indices, values, perm, iperm):
