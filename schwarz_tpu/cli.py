@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(several-fold fewer outer iterations)")
     p.add_argument("--precond", default="block-jacobi",
                    choices=["jacobi", "block-jacobi"])
+    p.add_argument("--fused_local_cg", action="store_true",
+                   help="run each local CG solve as ONE Pallas kernel launch "
+                        "(VMEM-resident state; needs --local_solver cg, a "
+                        "pure-DIA operator, f32 local compute; "
+                        "implies row padding to 128)")
     p.add_argument("--precond_max_block_size", type=int, default=16)
     # communication (bench_base.hpp:97-130)
     p.add_argument("--enable_onesided", action="store_true")
@@ -192,6 +197,10 @@ def settings_from_args(args):
         max_iters=args.num_iters,
         two_level=args.two_level,
         accelerator=args.accelerator,
+        fused_local_cg=args.fused_local_cg,
+        # the fused kernel needs 128-aligned rows and the DIA operator
+        **({"row_pad_multiple": 128, "spmv_format": "dia"}
+           if args.fused_local_cg else {}),
         tolerance=args.set_tol,
         local_tolerance=args.local_tol,
         local_max_iters=args.local_max_iters,
@@ -309,7 +318,12 @@ def main(argv=None):
             )
             for i in range(mat.n):
                 f.write(f"{i},{dec.perm[i]},{owners[i]}\n")
-    solver = RASolver(dec)
+    try:
+        solver = RASolver(dec)
+    except ValueError as e:
+        # configuration validation (e.g. fused_local_cg gating): exit with the
+        # message, not a traceback
+        sys.exit(f"error: {e}")
     resume_state = solver.load_checkpoint(args.resume) if args.resume else None
     import contextlib
 

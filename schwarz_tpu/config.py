@@ -215,6 +215,14 @@ class Settings:
     # Pallas kernel for the DIA SpMV: "auto" = on TPU when shape/dtype allow,
     # "on" / "off" force
     use_pallas: str = "auto"
+    # Fused whole-solve CG Pallas kernel (ops/fused_cg.py): runs the entire
+    # batched local CG loop in ONE kernel launch with all state VMEM-resident.
+    # Targets the launch-bound small-subdomain regime (each XLA inner iteration
+    # otherwise costs ~10 dispatches).  Opt-in; requires local_solver='cg', a
+    # pure-DIA operator (zero ELL remainder), f32 local compute,
+    # none/jacobi preconditioner, and row_pad_multiple=128 — the constructor
+    # raises with the recipe when a requirement is missing.
+    fused_local_cg: bool = False
     # Two-level RAS: additive Nicolaides (piecewise-constant per subdomain)
     # coarse correction each iteration.  BEYOND the reference (which is
     # strictly one-level); off by default for parity, on for scalability in

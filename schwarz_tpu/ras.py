@@ -180,6 +180,7 @@ class RASolver:
         # DIA+remainder local operator (gather-free SpMV; ops/dia.py) — the
         # hot-path format on TPU, where XLA's gather is scalar-unit bound
         self._dia_offsets = None
+        self._dia_has_remainder = True
         # "auto": DIA pays off on TPU (XLA gathers are scalar-unit bound there);
         # on CPU the gather-based ELL is faster, so auto keeps ELL
         on_tpu = self.mesh.devices.reshape(-1)[0].platform != "cpu"
@@ -193,6 +194,9 @@ class RASolver:
             total_nnz = max(int((dec.lmat_vals != 0).sum()), 1)
             if s.spmv_format == "dia" or dia_nnz >= 0.5 * total_nnz:
                 self._dia_offsets = hyb.offsets
+                self._dia_has_remainder = (
+                    int(np.count_nonzero(hyb.rem_vals)) > 0
+                )
                 plan["dia_vals"] = put(hyb.dia_vals.astype(dtype))
                 plan["rem_rows"] = put(hyb.rem_rows)
                 plan["rem_vals"] = put(hyb.rem_vals.astype(dtype))
@@ -297,6 +301,42 @@ class RASolver:
                 plan["precond_blockinv"] = jnp.linalg.inv(
                     blocks + absent * eye
                 ).astype(pdtype)
+        # fused whole-solve CG kernel (ops/fused_cg.py): one launch per local
+        # solve instead of ~10 XLA dispatches per inner iteration.  Opt-in and
+        # strictly gated; an unsatisfiable request fails loudly with the recipe.
+        self._use_fused_cg = False
+        if s.fused_local_cg:
+            from schwarz_tpu.ops.fused_cg import fused_cg_supported
+
+            if s.local_solver != LocalSolver.iterative_cg:
+                raise ValueError("fused_local_cg requires local_solver='cg'")
+            if self._dia_offsets is None:
+                raise ValueError(
+                    "fused_local_cg requires the DIA operator "
+                    "(spmv_format='dia' or a banded matrix under 'auto')"
+                )
+            n_dev = self.mesh.devices.size
+            s_loc = -(-self.meta.num_subdomains // n_dev)
+            inner_dtype = self._lc_dtype or dtype
+            pk = {Precond.none: "none", Precond.jacobi: "jacobi"}.get(
+                s.precond, s.precond.value
+            )
+            if not fused_cg_supported(
+                s_loc, self.meta.max_rows, len(self._dia_offsets),
+                inner_dtype, self._dia_has_remainder, pk,
+            ):
+                raise ValueError(
+                    "fused_local_cg requirements not met: needs f32 local "
+                    "compute (dtype='float32' or local_compute_dtype="
+                    "'float32'), a pure-DIA operator with zero ELL remainder "
+                    "(regular partitions of stencil matrices; got remainder="
+                    f"{self._dia_has_remainder}), rows % 128 == 0 (set "
+                    f"row_pad_multiple=128; got {self.meta.max_rows}), "
+                    "precond in (none, jacobi), and VMEM-resident state "
+                    f"({s_loc} subdomains x {self.meta.max_rows} rows x "
+                    f"{len(self._dia_offsets)} diagonals per device)"
+                )
+            self._use_fused_cg = True
         if self._lc_dtype is not None and self._dia_offsets is None:
             plan["lmat_vals_lc"] = put(dec.lmat_vals.astype(self._lc_dtype))
         # with the DIA operator and an iterative solver, the wide ELL arrays are
@@ -375,6 +415,24 @@ class RASolver:
             # the f64 residual/restriction; the solve runs in the inner dtype
             rhs_eff = rhs_eff.astype(self._lc_dtype)
             z_prev = z_prev.astype(self._lc_dtype)
+        if s.local_solver == LocalSolver.iterative_cg and self._use_fused_cg:
+            from schwarz_tpu.ops.fused_cg import fused_cg_solve
+
+            lc_suffix = "_lc" if self._lc_dtype is not None else ""
+            dinv = plan_block.get("precond_dinv")
+            res = fused_cg_solve(
+                self._dia_offsets,
+                plan_block["dia_vals" + lc_suffix],
+                rhs_eff, z_prev, dinv,
+                s.local_tolerance,
+                jnp.asarray(max_it, jnp.int32),
+                has_dinv=dinv is not None,
+                interpret=(
+                    self.mesh.devices.reshape(-1)[0].platform == "cpu"
+                ),
+            )
+            return (res.x.astype(out_dtype), res.iters,
+                    res.rel_resnorm.astype(out_dtype))
         if s.local_solver == LocalSolver.iterative_cg:
             res = cg_solve(
                 None, None,
