@@ -161,21 +161,29 @@ def decompose(
     settings: Settings,
     num_subdomains: int,
     partition_indices: Optional[np.ndarray] = None,
+    cell_weights: Optional[np.ndarray] = None,
 ) -> Decomposition:
-    """Build the full decomposition plan from a global CSR matrix + rhs."""
+    """Build the full decomposition plan from a global CSR matrix + rhs.
+
+    ``cell_weights``: per-row work weights for weight-balanced partitioning
+    (regular-1D / metis; see :func:`make_partition`)."""
     from schwarz_tpu.exceptions import assert_eq, assert_valid_partition
 
     N = mat.n
     S = num_subdomains
     assert_eq(mat.row_ptrs.shape[0], N + 1, "row_ptrs length")
+    custom_blocks = partition_indices is not None or cell_weights is not None
     if partition_indices is None:
-        partition_indices = make_partition(mat, S, settings)
+        partition_indices = make_partition(mat, S, settings, cell_weights)
     partition_indices = np.asarray(partition_indices, dtype=np.int64)
     assert_valid_partition(partition_indices, S)
     dtype = settings.value_dtype
 
     # --- permutation & first_row (restricted_schwarz.cpp:97-152) -----------------
-    if settings.partition == Partition.regular and S > 1:
+    # the nb-block fast path only applies to the *default* regular partition;
+    # explicit indices or weighted blocks go through the general (stable
+    # argsort) path, which handles any contiguous or scattered partition
+    if settings.partition == Partition.regular and S > 1 and not custom_blocks:
         # contiguous blocks: identity permutation, nb-sized blocks
         nb = -(-N // S)
         first_row = np.minimum(np.arange(S + 1, dtype=np.int64) * nb, N)

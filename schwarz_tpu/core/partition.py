@@ -14,11 +14,35 @@ import numpy as np
 from schwarz_tpu.models.csr import CSRMatrix
 
 
-def partition_regular_1d(n: int, nparts: int) -> np.ndarray:
+def partition_regular_1d(
+    n: int, nparts: int, cell_weights=None,
+) -> np.ndarray:
     """Contiguous equal blocks of ``ceil(n/nparts)`` rows
-    (restricted_schwarz.cpp:84,98-102: ``nb = (n + S - 1) / S``)."""
-    nb = -(-n // nparts)
-    return np.minimum(np.arange(n, dtype=np.int64) // nb, nparts - 1).astype(np.int32)
+    (restricted_schwarz.cpp:84,98-102: ``nb = (n + S - 1) / S``).
+
+    With ``cell_weights`` the block boundaries equalize cumulative *weight*
+    instead of row count (beyond the reference, whose weight pointer is null —
+    partition_tools.hpp:185); parts stay contiguous and non-empty.
+    """
+    if cell_weights is None:
+        nb = -(-n // nparts)
+        return np.minimum(
+            np.arange(n, dtype=np.int64) // nb, nparts - 1
+        ).astype(np.int32)
+    w = np.asarray(cell_weights, dtype=np.float64)
+    assert w.shape == (n,), (w.shape, n)
+    cw = np.cumsum(w)
+    total = cw[-1] if cw[-1] > 0 else 1.0
+    bounds = np.searchsorted(
+        cw, total * np.arange(1, nparts) / nparts, side="left"
+    ).astype(np.int64)
+    # enforce non-empty contiguous parts
+    for k in range(bounds.size):
+        lo = (bounds[k - 1] if k else 0) + 1
+        bounds[k] = min(max(bounds[k], lo), n - (bounds.size - k))
+    part = np.zeros(n, dtype=np.int32)
+    part[bounds] += 1
+    return np.cumsum(part).astype(np.int32)
 
 
 def partition_regular_2d(n: int, nparts: int) -> np.ndarray:
@@ -205,10 +229,15 @@ def _coarsen(row_ptrs, col_idxs, coarse_map, nc):
     return ptr, uc
 
 
-def _bisect_multilevel(row_ptrs, col_idxs, vertices, target: int) -> np.ndarray:
+def _bisect_multilevel(
+    row_ptrs, col_idxs, vertices, target: int, vweights=None,
+) -> np.ndarray:
     """Multilevel bisection: heavy-edge-matching coarsening, BFS-growth split of
     the coarsest graph, KL-style refinement at every uncoarsening level —
-    the METIS recipe (cf. the PartGraphRecursive role, partition_tools.hpp:182)."""
+    the METIS recipe (cf. the PartGraphRecursive role, partition_tools.hpp:182).
+
+    ``vweights`` (per entry of ``vertices``): balance on vertex weight instead
+    of count; ``target`` is then a weight target."""
     # build the induced subgraph with local ids
     n_all = row_ptrs.shape[0] - 1
     g2l = np.full(n_all, -1, dtype=np.int64)
@@ -225,7 +254,13 @@ def _bisect_multilevel(row_ptrs, col_idxs, vertices, target: int) -> np.ndarray:
 
     levels = []
     cur_ptr, cur_cols = ptr, cols
-    weights = np.ones(vertices.size, dtype=np.int64)
+    fine_w = (
+        np.ones(vertices.size, dtype=np.int64)
+        if vweights is None
+        else np.asarray(vweights, dtype=np.int64)
+    )
+    weights = fine_w
+    w_levels = [fine_w]
     while cur_ptr.shape[0] - 1 > 200:
         cmap, nc = _heavy_edge_matching(cur_ptr, cur_cols, weights)
         if nc >= cur_ptr.shape[0] - 1:   # no contraction possible
@@ -235,11 +270,13 @@ def _bisect_multilevel(row_ptrs, col_idxs, vertices, target: int) -> np.ndarray:
         w_new = np.zeros(nc, dtype=np.int64)
         np.add.at(w_new, cmap, weights)
         weights = w_new
+        w_levels.append(weights)
 
     # initial split of the coarsest graph: weighted BFS growth
     nc = cur_ptr.shape[0] - 1
     vs = np.arange(nc, dtype=np.int64)
-    frac = target / max(vertices.size, 1)
+    denom = vertices.size if vweights is None else max(int(fine_w.sum()), 1)
+    frac = target / max(denom, 1)
     mask0 = _grow_bisection_weighted(cur_ptr, cur_cols, vs, weights, frac)
     side = mask0
 
@@ -248,12 +285,16 @@ def _bisect_multilevel(row_ptrs, col_idxs, vertices, target: int) -> np.ndarray:
     for m in levels:
         nc = int(m.max()) + 1
         graphs.append(_coarsen(*graphs[-1], m, nc))
+    # balance refinement on counts (reference behavior) or weights
+    wl = (lambda i: None) if vweights is None else (lambda i: w_levels[i])
     for idx in reversed(range(len(levels))):
         side = side[levels[idx]]
         lptr, lcols = graphs[idx]
-        side = _refine_side(lptr, lcols, side, target_frac=frac)
+        side = _refine_side(lptr, lcols, side, target_frac=frac,
+                            weights=wl(idx))
     if not levels:
-        side = _refine_side(ptr, cols, side, target_frac=frac)
+        side = _refine_side(ptr, cols, side, target_frac=frac,
+                            weights=wl(0))
     return side
 
 
@@ -295,13 +336,20 @@ def _grow_bisection_weighted(row_ptrs, col_idxs, vertices, weights, frac):
     return in0
 
 
-def _refine_side(ptr, cols, side, target_frac, rounds: int = 10):
-    """KL/FM-style gain refinement on a local-id graph with a bool side array."""
+def _refine_side(ptr, cols, side, target_frac, rounds: int = 10,
+                 weights=None):
+    """KL/FM-style gain refinement on a local-id graph with a bool side array.
+
+    ``weights``: balance on vertex weight (weighted partitioning) instead of
+    vertex count; the unweighted path is bit-identical to weights of ones."""
     n = side.shape[0]
-    target0 = int(round(n * target_frac))
+    w = None if weights is None else np.asarray(weights, dtype=np.int64)
+    total = n if w is None else int(w.sum())
+    target0 = int(round(total * target_frac))
     lo, hi = max(1, int(target0 * 0.98)), int(np.ceil(target0 * 1.02))
     side = side.copy()
-    size0 = int(side.sum())
+    size0 = int(side.sum()) if w is None else int(w[side].sum())
+    wt = (lambda v: 1) if w is None else (lambda v: int(w[v]))
     deg = np.diff(ptr)
     rows = np.repeat(np.arange(n, dtype=np.int64), deg)
     # restore balance first if coarse-level granularity left us outside the
@@ -314,9 +362,15 @@ def _refine_side(ptr, cols, side, target_frac, rounds: int = 10):
         if cand.size == 0:
             break
         deficit = lo - size0 if size0 < lo else size0 - hi
-        movers = cand[np.argsort(-gain[cand])][: max(1, deficit)]
+        ordered = cand[np.argsort(-gain[cand])]
+        if w is None:
+            movers = ordered[: max(1, deficit)]
+        else:
+            take = np.searchsorted(np.cumsum(w[ordered]), deficit) + 1
+            movers = ordered[: max(1, min(int(take), ordered.size))]
         side[movers] = not from_side
-        size0 += (1 if not from_side else -1) * movers.size
+        mw = movers.size if w is None else int(w[movers].sum())
+        size0 += (1 if not from_side else -1) * mw
     for _ in range(rounds):
         gain = np.zeros(n, dtype=np.int64)
         np.add.at(gain, rows, np.where(side[rows] == side[cols], -1, 1))
@@ -327,13 +381,13 @@ def _refine_side(ptr, cols, side, target_frac, rounds: int = 10):
         for v in np.argsort(-gain):
             if gain[v] <= 0:
                 break
-            if side[v] and size0 - 1 >= lo:
+            if side[v] and size0 - wt(v) >= lo:
                 side[v] = False
-                size0 -= 1
+                size0 -= wt(v)
                 moved += 1
-            elif not side[v] and size0 + 1 <= hi:
+            elif not side[v] and size0 + wt(v) <= hi:
                 side[v] = True
-                size0 += 1
+                size0 += wt(v)
                 moved += 1
             if moved >= max(1, n // 40):
                 break
@@ -353,13 +407,17 @@ def partition_metis(
     refinement per uncoarsening level; ``nparts`` need not be a power of two
     (unbalanced recursion like METIS_PartGraphRecursive).  ``objtype`` accepted
     for parity; both objectives reduce to edge-cut minimization here.
-    ``cell_weights`` is accepted for signature parity with the reference
-    (partition_tools.hpp:114) — which itself passes a null weight pointer to
-    METIS (the real pointer is commented out at :185) — and is currently
-    ignored, exactly like there.
+    ``cell_weights`` (beyond the reference, which passes a null weight pointer
+    to METIS — the real pointer is commented out at partition_tools.hpp:185):
+    per-row work weights; when given, every bisection balances cumulative
+    weight instead of row count (heterogeneous-cost rows, e.g. locally-refined
+    meshes).
     """
-    del cell_weights  # parity-only, see docstring
     nparts = min(nparts, mat.n)
+    w = (
+        None if cell_weights is None
+        else np.asarray(cell_weights, dtype=np.int64)
+    )
     part = np.zeros(mat.n, dtype=np.int32)
     stack = [(np.arange(mat.n, dtype=np.int64), 0, nparts)]
     while stack:
@@ -368,30 +426,60 @@ def partition_metis(
             part[vertices] = base
             continue
         k0 = k // 2
-        target = int(round(vertices.size * (k0 / k)))
-        if vertices.size > 400:
-            mask0 = _bisect_multilevel(
-                mat.row_ptrs, mat.col_idxs, vertices, target
-            )
+        if w is None:
+            target = int(round(vertices.size * (k0 / k)))
+            if vertices.size > 400:
+                mask0 = _bisect_multilevel(
+                    mat.row_ptrs, mat.col_idxs, vertices, target
+                )
+            else:
+                mask0 = _grow_bisection(
+                    mat.row_ptrs, mat.col_idxs, vertices, target
+                )
+                mask0 = _refine_boundary(
+                    mat.row_ptrs, mat.col_idxs, vertices, mask0
+                )
         else:
-            mask0 = _grow_bisection(mat.row_ptrs, mat.col_idxs, vertices, target)
-            mask0 = _refine_boundary(mat.row_ptrs, mat.col_idxs, vertices, mask0)
+            target = int(round(int(w[vertices].sum()) * (k0 / k)))
+            mask0 = _bisect_multilevel(
+                mat.row_ptrs, mat.col_idxs, vertices, target,
+                vweights=w[vertices],
+            )
         stack.append((vertices[mask0], base, k0))
         stack.append((vertices[~mask0], base + k0, k - k0))
     return part
 
 
-def make_partition(mat: CSRMatrix, nparts: int, settings) -> np.ndarray:
+def make_partition(
+    mat: CSRMatrix, nparts: int, settings, cell_weights=None,
+) -> np.ndarray:
     """Dispatch on Settings.partition (cf. Initialize::partition,
-    source/initialization.cpp:278-329)."""
+    source/initialization.cpp:278-329).  ``cell_weights``: per-row work
+    weights for weight-balanced partitioning (regular-1D and metis)."""
     from schwarz_tpu.config import Partition
 
+    if cell_weights is not None:
+        cell_weights = np.asarray(cell_weights)
+        if cell_weights.shape != (mat.n,):
+            raise ValueError(
+                f"cell_weights must have shape ({mat.n},) — one weight per "
+                f"matrix row — got {cell_weights.shape}"
+            )
+        if (cell_weights < 0).any():
+            raise ValueError("cell_weights must be non-negative")
     if nparts == 1:
         return np.zeros(mat.n, dtype=np.int32)
     if settings.partition == Partition.regular:
-        return partition_regular_1d(mat.n, nparts)
+        return partition_regular_1d(mat.n, nparts, cell_weights)
     if settings.partition == Partition.regular2d:
+        if cell_weights is not None:
+            raise ValueError(
+                "cell_weights: use partition='regular' or 'metis' "
+                "(regular2d blocks are fixed squares)"
+            )
         return partition_regular_2d(mat.n, nparts)
     if settings.partition == Partition.metis:
-        return partition_metis(mat, nparts, settings.metis_objtype)
+        return partition_metis(
+            mat, nparts, settings.metis_objtype, cell_weights
+        )
     raise ValueError(f"unsupported partition {settings.partition}")

@@ -134,33 +134,39 @@ def fused_cg_solve(
         rho0 = dot(r0, z0)
         rn0 = dot(r0, r0)
         tol2rn0 = (tol * tol) * rn0
-        act0 = rn0 > jnp.maximum(tol2rn0, 0.0)
-        act0 = jnp.logical_and(act0, rn0 > 0.0)
+        # active mask carried as f32 {0,1}: Mosaic lowers bool reductions
+        # (reduce_or) through a float proxy that picks up the *global* x64
+        # flag at lowering time and dies on f64 — a pure f32 sum avoids the
+        # proxy entirely
+        act0 = jnp.where(
+            jnp.logical_and(rn0 > jnp.maximum(tol2rn0, 0.0), rn0 > 0.0),
+            1.0, 0.0,
+        ).astype(jnp.float32)
 
         def cond(c):
             it, _, _, _, _, _, act, _ = c
-            return jnp.logical_and(it < maxit_ref[0], jnp.any(act))
+            return jnp.logical_and(it < maxit_ref[0], jnp.sum(act) > 0.0)
 
         def body(c):
             it, x, r, z, p, st, act, iters = c
             rn, rho = st
+            actb = act > 0.0
             ap = apply_a(p)
             pap = dot(p, ap)
             alpha = jnp.where(pap > 0, rho / jnp.maximum(pap, eps), 0.0)
-            a = jnp.where(act, alpha, 0.0)
+            a = act * alpha
             x = x + a * p
             r = r - a * ap
             zn = precond(r)
             rho_new = dot(r, zn)
             beta = jnp.where(rho > 0, rho_new / jnp.maximum(rho, eps), 0.0)
-            p = jnp.where(act, zn + beta * p, p)
+            p = jnp.where(actb, zn + beta * p, p)
             rn_new = dot(r, r)
-            rn = jnp.where(act, rn_new, rn)
-            rho = jnp.where(act, rho_new, rho)
-            iters = iters + act.astype(jnp.float32)
-            still = rn > tol2rn0
-            return (it + 1, x, r, zn, p, (rn, rho),
-                    jnp.logical_and(act, still), iters)
+            rn = jnp.where(actb, rn_new, rn)
+            rho = jnp.where(actb, rho_new, rho)
+            iters = iters + act
+            still = jnp.where(rn > tol2rn0, 1.0, 0.0).astype(jnp.float32)
+            return (it + 1, x, r, zn, p, (rn, rho), act * still, iters)
 
         init = (jnp.int32(0), xx, r0, z0, z0, (rn0, rho0), act0,
                 jnp.zeros((S, 1, 1), jnp.float32))

@@ -1140,11 +1140,13 @@ def solve(
     num_subdomains: Optional[int] = None,
     partition_indices: Optional[np.ndarray] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
+    cell_weights: Optional[np.ndarray] = None,
 ) -> RASResult:
     """One-call API: decompose + setup + run (cf. bench_ras.cpp:161-180).
 
     ``mat`` may be a :class:`~schwarz_tpu.models.CSRMatrix` or any
-    scipy-sparse-convertible matrix.
+    scipy-sparse-convertible matrix.  ``cell_weights``: per-row work weights
+    for weight-balanced partitioning.
     """
     from schwarz_tpu.core.decompose import decompose
     from schwarz_tpu.models import CSRMatrix
@@ -1153,7 +1155,10 @@ def solve(
         mat = CSRMatrix.from_scipy(mat)
     if num_subdomains is None:
         num_subdomains = max(1, len(jax.devices()))
-    dec = decompose(mat, rhs, settings, num_subdomains, partition_indices)
+    dec = decompose(
+        mat, rhs, settings, num_subdomains, partition_indices,
+        cell_weights=cell_weights,
+    )
     solver = RASolver(dec, mesh=mesh)
     if settings.accelerator == "fgmres":
         return solver.run_accelerated()
