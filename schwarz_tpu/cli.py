@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(several-fold fewer outer iterations)")
     p.add_argument("--precond", default="block-jacobi",
                    choices=["jacobi", "block-jacobi"])
+    p.add_argument("--oras_weight", type=float, default=0.0,
+                   help="O-RAS Robin transmission coefficient c: local solves "
+                        "see diag += c*sum|dropped couplings| on boundary "
+                        "rows (0 = classical Dirichlet RAS, -1 = Neumann; "
+                        "optimum typically c ~ -0.85, ~3-4x fewer outer "
+                        "iterations)")
     p.add_argument("--fused_local_cg", action="store_true",
                    help="run each local CG solve as ONE Pallas kernel launch "
                         "(VMEM-resident state; needs --local_solver cg, a "
@@ -198,6 +204,7 @@ def settings_from_args(args):
         two_level=args.two_level,
         accelerator=args.accelerator,
         fused_local_cg=args.fused_local_cg,
+        oras_weight=args.oras_weight,
         # the fused kernel needs 128-aligned rows and the DIA operator
         **({"row_pad_multiple": 128, "spmv_format": "dia"}
            if args.fused_local_cg else {}),

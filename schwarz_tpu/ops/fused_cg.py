@@ -108,17 +108,24 @@ def fused_cg_solve(
     # offsets normalized to non-negative flat shifts (wrap annihilated by the
     # zero band entries)
     shifts = tuple(int(o) % R for o in offsets)
-    maxit = jnp.asarray(max_iters, jnp.int32).reshape(1)
+    # (1, 1): Mosaic's custom-call boundary rejects rank-1 operands
+    # ("arr.size() >= layout_rank" check), so even SMEM scalars travel 2-D
+    maxit = jnp.asarray(max_iters, jnp.int32).reshape(1, 1)
 
     def kernel(maxit_ref, dia_ref, b_ref, x0_ref, dinv_ref,
                x_out, aux_out):
         bb = b_ref[:]
         xx = x0_ref[:]
+        # hoist every ref read out of the while cond/body: Mosaic's
+        # custom-call emitter dies (layout.h rank check) on ref reads living
+        # in loop cond/body consts; captured VALUES lower cleanly
+        maxit = maxit_ref[0, 0]
+        dia_k = [dia_ref[:, k] for k in range(K)]
 
         def apply_a(p):
-            acc = dia_ref[:, 0] * _flat_shift(p, shifts[0])
+            acc = dia_k[0] * _flat_shift(p, shifts[0])
             for k in range(1, K):
-                acc = acc + dia_ref[:, k] * _flat_shift(p, shifts[k])
+                acc = acc + dia_k[k] * _flat_shift(p, shifts[k])
             return acc
 
         def precond(r):
@@ -145,7 +152,7 @@ def fused_cg_solve(
 
         def cond(c):
             it, _, _, _, _, _, act, _ = c
-            return jnp.logical_and(it < maxit_ref[0], jnp.sum(act) > 0.0)
+            return jnp.logical_and(it < maxit, jnp.sum(act) > 0.0)
 
         def body(c):
             it, x, r, z, p, st, act, iters = c
@@ -174,12 +181,13 @@ def fused_cg_solve(
             cond, body, init)
         x_out[:] = x
         rel = jnp.sqrt(rn / jnp.where(rn0 > 0, rn0, 1.0))
-        # pack per-subdomain scalars as (S, 1, 128) broadcast rows:
-        # lane 0 = iters (as f32 — exact for any realistic count), rest = rel
-        lane = jax.lax.broadcasted_iota(jnp.int32, (S, 1, 128), 2)
+        # pack per-subdomain scalars as a full (S, 8, 128) tile (whole
+        # sublane groups keep the layout native): lane 0 = iters (as f32 —
+        # exact for any realistic count), other lanes = rel
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, 8, 128), 2)
         aux_out[:] = jnp.where(lane == 0,
-                               jnp.broadcast_to(iters, (S, 1, 128)),
-                               jnp.broadcast_to(rel, (S, 1, 128)))
+                               jnp.broadcast_to(iters, (S, 8, 128)),
+                               jnp.broadcast_to(rel, (S, 8, 128)))
 
     # the global x64 flag taints index lowering with i64 scalars, which
     # Mosaic rejects — trace with x64 off (operands are explicit f32/i32)
@@ -199,7 +207,7 @@ def fused_cg_solve(
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((S, Rr, 128), jnp.float32),
-                jax.ShapeDtypeStruct((S, 1, 128), jnp.float32),
+                jax.ShapeDtypeStruct((S, 8, 128), jnp.float32),
             ),
             interpret=interpret,
         )(maxit, dia4, b3, x3, d3)

@@ -208,6 +208,57 @@ class RASolver:
                     plan["rem_vals_lc"] = put(
                         hyb.rem_vals.astype(self._lc_dtype)
                     )
+        # O-RAS (optimized Schwarz / Robin transmission): shift the diagonal
+        # of subdomain-boundary rows in the LOCAL SOLVE operator only by
+        # c * sum_j |dropped couplings| (solve-operator vs check-operator
+        # split — residuals and convergence keep the true A).  Ghost
+        # elimination of a Robin condition gives c in (-1, 0]: 0 = Dirichlet
+        # (classical RAS), -1 = Neumann, optimum in between.  The matching
+        # c*D*trace rhs term (neighbor trace from the halo) is added in
+        # _local_solve, so the fixed point is exactly A x = b.  The reference
+        # lists O-RAS as an unimplemented checkbox; this is the standard
+        # algebraic ORAS form (cf. Cai/Dubois/Gander/Sarkis).
+        self._oras = s.oras_weight != 0
+        if s.oras_weight < -1.0:
+            raise ValueError(
+                f"oras_weight={s.oras_weight} is below -1 (the Neumann "
+                "limit): the Robin ghost elimination gives coefficients in "
+                "(-1, 0]; values beyond -1 make the local solve operator "
+                "indefinite and the iteration diverges"
+            )
+        if self._oras:
+            S_ = self.meta.num_subdomains
+            R_rows = self.meta.max_rows
+            srows = np.broadcast_to(
+                np.arange(S_)[:, None], dec.iface_rows.shape
+            )
+            boost_pad = np.zeros((S_, R_rows + 1), dtype=np.float64)
+            np.add.at(
+                boost_pad, (srows, dec.iface_rows),
+                np.abs(dec.iface_vals).sum(axis=2),
+            )
+            boost = float(s.oras_weight) * boost_pad[:, :R_rows]
+            plan["oras_diag"] = put(boost.astype(dtype))
+            if self._dia_offsets is not None:
+                k0 = self._dia_offsets.index(0)
+                dv = hyb.dia_vals.copy()
+                dv[:, k0, :] += boost
+                plan["dia_vals_solve"] = put(dv.astype(dtype))
+                if self._lc_dtype is not None:
+                    plan["dia_vals_solve_lc"] = put(dv.astype(self._lc_dtype))
+            # ELL solve copy (direct factorizations, preconditioner
+            # extraction, and the ELL-routed iterative apply)
+            rows_idx = np.arange(R_rows, dtype=dec.lmat_cols.dtype)[None, :, None]
+            dmask = dec.lmat_cols == rows_idx
+            # guard against a padded duplicate hitting col==row twice: only
+            # the first match per row carries the boost
+            first = dmask & (np.cumsum(dmask, axis=2) == 1)
+            lv_solve = dec.lmat_vals + boost[:, :, None] * first
+            plan["lmat_vals_solve"] = put(lv_solve.astype(dtype))
+            if self._lc_dtype is not None:
+                plan["lmat_vals_solve_lc"] = put(
+                    lv_solve.astype(self._lc_dtype)
+                )
         if s.two_level:
             # Nicolaides coarse space: R_c = piecewise-constant per subdomain;
             # A_c[p, q] = sum_{i in int(p), j in int(q)} A[i, j].  The S x S
@@ -256,7 +307,8 @@ class RASolver:
         # with mixed local compute the factors live in the inner dtype
         # (iterative refinement with a low-precision factorization)
         fac_dtype = self._lc_dtype or dtype
-        fac_vals = plan["lmat_vals"].astype(fac_dtype)
+        fac_src = "lmat_vals_solve" if self._oras else "lmat_vals"
+        fac_vals = plan[fac_src].astype(fac_dtype)
         if (
             s.local_solver == LocalSolver.direct_lu
             and jnp.dtype(fac_dtype) == jnp.float64
@@ -286,8 +338,9 @@ class RASolver:
             )
 
             pdtype = self._lc_dtype or dtype   # preconditioner feeds the inner
+            pv = plan[fac_src]                 # solve-operator copy under O-RAS
             if s.precond == Precond.jacobi:
-                d = jax.jit(extract_diagonal)(plan["lmat_vals"], plan["lmat_cols"])
+                d = jax.jit(extract_diagonal)(pv, plan["lmat_cols"])
                 plan["precond_dinv"] = jnp.where(
                     jnp.abs(d) > 0, 1.0 / d, 1.0
                 ).astype(pdtype)
@@ -295,7 +348,7 @@ class RASolver:
                 bs = s.block_jacobi_block_size
                 blocks = jax.jit(
                     functools.partial(extract_diag_blocks, bs=bs)
-                )(plan["lmat_vals"], plan["lmat_cols"])
+                )(pv, plan["lmat_cols"])
                 eye = jnp.eye(bs, dtype=dtype)
                 absent = jnp.all(blocks == 0.0, axis=-1, keepdims=True)
                 plan["precond_blockinv"] = jnp.linalg.inv(
@@ -345,6 +398,10 @@ class RASolver:
             LocalSolver.iterative_cg, LocalSolver.iterative_gmres,
         ):
             del plan["lmat_vals"], plan["lmat_cols"]
+            # the O-RAS ELL solve copies fed the (eager) preconditioner /
+            # factor setup; the iterative inner apply uses dia_vals_solve
+            plan.pop("lmat_vals_solve", None)
+            plan.pop("lmat_vals_solve_lc", None)
         return plan
 
     def _precond_fn(self, plan_block):
@@ -371,12 +428,16 @@ class RASolver:
         gather-free DIA when extracted, ELL otherwise.  ``inner`` selects the
         low-precision operator copy for mixed-precision local solves."""
         lc_suffix = "_lc" if (inner and self._lc_dtype is not None) else ""
+        # inner solves see the Robin-modified solve operator under O-RAS;
+        # residual/check applications (inner=False) always see the true A
+        solve_sfx = "_solve" if (inner and self._oras) else ""
         if self._dia_offsets is not None:
             from schwarz_tpu.ops.dia import dia_ell_spmv
 
             offsets = self._dia_offsets
             dv, rr, rv, rc = (
-                plan_block["dia_vals" + lc_suffix], plan_block["rem_rows"],
+                plan_block["dia_vals" + solve_sfx + lc_suffix],
+                plan_block["rem_rows"],
                 plan_block["rem_vals" + lc_suffix], plan_block["rem_cols"],
             )
             use_pallas = self._use_pallas
@@ -385,11 +446,12 @@ class RASolver:
                 offsets, dv, rr, rv, rc, x,
                 use_pallas=use_pallas, pallas_interpret=interp,
             )
-        lv = plan_block["lmat_vals" + lc_suffix]
+        lv = plan_block["lmat_vals" + solve_sfx + lc_suffix]
         lc = plan_block["lmat_cols"]
         return lambda x: ell_spmv_batched(lv, lc, x)
 
-    def _local_solve(self, plan_block, rhs_eff, z_prev, outer_it=None):
+    def _local_solve(self, plan_block, rhs_eff, z_prev, outer_it=None,
+                     robin_trace=None):
         """Dispatch the batched local solver (solve.cpp:666-792).
 
         ``reset_local_crit_iter`` (solve.cpp:729-742): outer iterations beyond
@@ -410,6 +472,16 @@ class RASolver:
                 jnp.int32(s.local_max_iters), jnp.int32(R),
             )
         out_dtype = rhs_eff.dtype
+        if self._oras and robin_trace is not None:
+            # Robin transmission data: the solve operator carries +p*D on
+            # boundary rows, and the rhs carries the matching +p*D*trace with
+            # the NEIGHBOR's trace (the exchanged x_ext value of the boundary
+            # row — the owner's iterate).  Fixed point: at consistency
+            # trace == x_local, so (A+pD)x = rhs + pD x  =>  A x = rhs.  In
+            # the residual/correction and preconditioner forms robin_trace is
+            # None: corrections carry zero Robin data (the standard ORAS
+            # preconditioner M^-1 = sum R~^T (A_i + p D_i)^-1 R_i).
+            rhs_eff = rhs_eff + plan_block["oras_diag"] * robin_trace
         if self._lc_dtype is not None:
             # mixed-precision inner solve (iterative refinement): the rhs is
             # the f64 residual/restriction; the solve runs in the inner dtype
@@ -419,10 +491,11 @@ class RASolver:
             from schwarz_tpu.ops.fused_cg import fused_cg_solve
 
             lc_suffix = "_lc" if self._lc_dtype is not None else ""
+            solve_sfx = "_solve" if self._oras else ""
             dinv = plan_block.get("precond_dinv")
             res = fused_cg_solve(
                 self._dia_offsets,
-                plan_block["dia_vals" + lc_suffix],
+                plan_block["dia_vals" + solve_sfx + lc_suffix],
                 rhs_eff, z_prev, dinv,
                 s.local_tolerance,
                 jnp.asarray(max_it, jnp.int32),
@@ -552,6 +625,7 @@ class RASolver:
                 x_ext = x_ext_carry = fresh
             # --- update_boundary: rhs_eff = b_loc - A_interface x_ext -------
             rhs_eff = _interface_update(plan, x_ext)
+            x_trace = x_ext[:, :R_rows]     # Robin data under O-RAS
             # --- local residual (solve.cpp:795-856) -------------------------
             r = rhs_eff - self._apply_local(plan)(x_ext[:, :R_rows])
             local_rn = jnp.sqrt(jnp.sum(r * r, axis=-1))
@@ -596,6 +670,7 @@ class RASolver:
                 x_own = x_own + corr
                 x_ext2 = do_exchange(plan, x_own)
                 rhs_eff = _interface_update(plan, x_ext2)
+                x_trace = x_ext2[:, :R_rows]
                 # the correction-form update solves against the residual, which
                 # must reflect the coarse step (the pre-coarse r stays the one
                 # reported/checked)
@@ -615,7 +690,8 @@ class RASolver:
                     )
                 else:
                     z, inner, inner_rel = self._local_solve(
-                        plan, rhs_eff, z_prev, outer_it=st["it"]
+                        plan, rhs_eff, z_prev, outer_it=st["it"],
+                        robin_trace=x_trace,
                     )
                 # freeze subdomains that already detected global convergence
                 # (an async rank that detected would have stopped iterating)
@@ -822,11 +898,13 @@ class RASolver:
                 nconv = jnp.int32(0)
             return r, local_rn, rn0, conv_state, nconv, grn
 
-        def solve_stage(plan, rhs_eff, r, z_prev, detected):
+        def solve_stage(plan, rhs_eff, r, z_prev, detected, x_ext):
             if residual_update:
                 z, inner, _ = self._local_solve(plan, r, jnp.zeros_like(z_prev))
             else:
-                z, inner, _ = self._local_solve(plan, rhs_eff, z_prev)
+                z, inner, _ = self._local_solve(
+                    plan, rhs_eff, z_prev, robin_trace=x_ext[:, :R_rows]
+                )
             z = jnp.where(detected[:, None], z_prev, z)
             return z, inner
 
@@ -854,7 +932,7 @@ class RASolver:
             "local_solve": jax.jit(sm(
                 solve_stage,
                 in_specs=(plan_specs, P(SUBD_AXIS), P(SUBD_AXIS), P(SUBD_AXIS),
-                          P(SUBD_AXIS)),
+                          P(SUBD_AXIS), P(SUBD_AXIS)),
                 out_specs=(P(SUBD_AXIS), P(SUBD_AXIS)))),
             "expand_local_vec": jax.jit(sm(
                 scatter_stage,
@@ -914,7 +992,7 @@ class RASolver:
                 break
             with timer.time("local_solve"):
                 z, inner = stages["local_solve"](
-                    self._plan, rhs_eff, r, z, conv_state.detected)
+                    self._plan, rhs_eff, r, z, conv_state.detected, x_ext)
                 jax.block_until_ready(z)
             with timer.time("expand_local_vec"):
                 x_own = jax.block_until_ready(stages["expand_local_vec"](
