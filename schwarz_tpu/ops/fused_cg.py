@@ -134,7 +134,11 @@ def fused_cg_solve(
             return r
 
         def dot(u, v):
-            return jnp.sum(u * v, axis=(1, 2), keepdims=True)  # (S,1,1)
+            # chained single-axis sums: Mosaic compiles lane- and
+            # sublane-reductions fine but SIGABRTs on a fused multi-axis
+            # reduce_sum (axes=(1,2)) — verified on v5e
+            s = jnp.sum(u * v, axis=2, keepdims=True)          # (S,Rr,1)
+            return jnp.sum(s, axis=1, keepdims=True)           # (S,1,1)
 
         r0 = bb - apply_a(xx)
         z0 = precond(r0)
@@ -152,7 +156,10 @@ def fused_cg_solve(
 
         def cond(c):
             it, _, _, _, _, _, act, _ = c
-            return jnp.logical_and(it < maxit, jnp.sum(act) > 0.0)
+            # scalarize via a single-axis (batch) reduction — a fused
+            # all-axes jnp.sum(act) crashes the same compiler check
+            nact = jnp.sum(act, axis=0, keepdims=True)         # (1,1,1)
+            return jnp.logical_and(it < maxit, nact[0, 0, 0] > 0.0)
 
         def body(c):
             it, x, r, z, p, st, act, iters = c
