@@ -63,11 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(several-fold fewer outer iterations)")
     p.add_argument("--precond", default="block-jacobi",
                    choices=["jacobi", "block-jacobi"])
-    p.add_argument("--oras_weight", type=float, default=0.0,
+    p.add_argument("--oras_weight",
+                   type=lambda v: v if v == "auto" else float(v),
+                   default=0.0,
                    help="O-RAS Robin transmission coefficient c: local solves "
                         "see diag += c*sum|dropped couplings| on boundary "
                         "rows (0 = classical Dirichlet RAS, -1 = Neumann; "
-                        "optimum typically c ~ -0.85, ~3-4x fewer outer "
+                        "'auto' = -0.8, typically 2-4x fewer outer "
                         "iterations)")
     p.add_argument("--fused_local_cg", action="store_true",
                    help="run each local CG solve as ONE Pallas kernel launch "

@@ -218,10 +218,22 @@ class RASolver:
         # _local_solve, so the fixed point is exactly A x = b.  The reference
         # lists O-RAS as an unimplemented checkbox; this is the standard
         # algebraic ORAS form (cf. Cai/Dubois/Gander/Sarkis).
-        self._oras = s.oras_weight != 0
-        if s.oras_weight < -1.0:
+        if s.oras_weight == "auto":
+            # robust default: improved every measured config, never regressed
+            oras_c = -0.8
+        else:
+            try:
+                oras_c = float(s.oras_weight)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"oras_weight must be a float or 'auto', got "
+                    f"{s.oras_weight!r}"
+                ) from None
+        self._oras_c = oras_c
+        self._oras = oras_c != 0
+        if oras_c < -1.0:
             raise ValueError(
-                f"oras_weight={s.oras_weight} is below -1 (the Neumann "
+                f"oras_weight={oras_c} is below -1 (the Neumann "
                 "limit): the Robin ghost elimination gives coefficients in "
                 "(-1, 0]; values beyond -1 make the local solve operator "
                 "indefinite and the iteration diverges"
@@ -237,7 +249,7 @@ class RASolver:
                 boost_pad, (srows, dec.iface_rows),
                 np.abs(dec.iface_vals).sum(axis=2),
             )
-            boost = float(s.oras_weight) * boost_pad[:, :R_rows]
+            boost = self._oras_c * boost_pad[:, :R_rows]
             plan["oras_diag"] = put(boost.astype(dtype))
             if self._dia_offsets is not None:
                 k0 = self._dia_offsets.index(0)

@@ -86,6 +86,20 @@ def test_oras_with_fused_cg_kernel():
     )
 
 
+def test_oras_auto():
+    """oras_weight='auto' resolves to a coefficient that beats classical."""
+    A = laplacian_2d(32)
+    b = generate_rhs(A.n)
+    base = Settings(overlap=2, tolerance=1e-8, max_iters=400)
+    r0 = solve(A, b, base, num_subdomains=8)
+    r1 = solve(A, b, base.replace(oras_weight="auto"), num_subdomains=8)
+    assert r1.converged
+    assert r1.iters < 0.5 * r0.iters
+    assert _true_res(A, b, r1) < 1e-6
+    with pytest.raises(ValueError, match="float or 'auto'"):
+        solve(A, b, base.replace(oras_weight="fast"), num_subdomains=8)
+
+
 def test_oras_zero_is_classical():
     """oras_weight=0 must be bit-identical to the classical path."""
     A = laplacian_2d(20)
