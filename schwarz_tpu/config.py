@@ -235,9 +235,12 @@ class Settings:
     # optimum c ~ -0.85 cuts outer iterations ~3-4x on Laplacian/advection
     # model problems.  Convergence checks keep the true A (solve-operator /
     # check-operator split).  "auto" selects c = -0.8, which improved every
-    # measured configuration (1.1-4.5x fewer iterations across
+    # measured ONE-LEVEL configuration (1.1-4.5x fewer iterations across
     # Laplacian/anisotropic/advection x overlaps 2-8 x 4-16 subdomains and
-    # never regressed); pass an explicit float to tune per problem.
+    # never regressed); pass an explicit float to tune per problem.  With
+    # two_level=True near the precision floor, prefer classical (0): the
+    # Robin speedup targets the error modes the coarse space already removes
+    # (BENCHMARKING.md has the measured interaction).
     oras_weight: object = 0.0   # float, or the string "auto"
     # Two-level RAS: additive Nicolaides (piecewise-constant per subdomain)
     # coarse correction each iteration.  BEYOND the reference (which is
