@@ -44,3 +44,27 @@ def test_random_partition_indices():
     assert r.converged
     x_ref = sp.linalg.spsolve(A.to_scipy().tocsc(), b)
     np.testing.assert_allclose(r.solution, x_ref, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_random_systems_with_new_features(seed):
+    """Random SPD draws through O-RAS / weighted partitioning / mixed
+    precision: the true-residual oracle must hold for every combination."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(80, 180))
+    A = random_spd(n, 0.05, np.random.RandomState(seed))
+    b = rng.standard_normal(n)
+    S = int(rng.choice([2, 4]))
+    kw = {}
+    s = Settings(
+        overlap=int(rng.integers(2, 5)), tolerance=1e-8, max_iters=400,
+        oras_weight=float(rng.uniform(-0.9, 0.0)),
+    )
+    if rng.random() < 0.5:
+        kw["cell_weights"] = rng.uniform(0.5, 5.0, n)
+    if rng.random() < 0.5:
+        s = s.replace(local_compute_dtype="float32")
+    r = solve(A, b, s, num_subdomains=S, **kw)
+    assert r.converged, (n, S, s.oras_weight)
+    x_ref = sp.linalg.spsolve(A.to_scipy().tocsc(), b)
+    np.testing.assert_allclose(r.solution, x_ref, rtol=1e-5, atol=1e-6)
