@@ -63,9 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(several-fold fewer outer iterations)")
     p.add_argument("--precond", default="block-jacobi",
                    choices=["jacobi", "block-jacobi"])
-    p.add_argument("--oras_weight",
-                   type=lambda v: v if v == "auto" else float(v),
-                   default=0.0,
+    def float_or_auto(v):
+        return v if v == "auto" else float(v)
+
+    p.add_argument("--oras_weight", type=float_or_auto, default=0.0,
                    help="O-RAS Robin transmission coefficient c: local solves "
                         "see diag += c*sum|dropped couplings| on boundary "
                         "rows (0 = classical Dirichlet RAS, -1 = Neumann; "

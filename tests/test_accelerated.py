@@ -88,3 +88,30 @@ def test_fgmres_neighbor_strategy():
     r = solve(A, b, s, num_subdomains=8)
     assert r.converged
     assert r.relative_residual_norm < 1e-7
+
+
+def test_fgmres_solves_helmholtz_where_stationary_diverges():
+    """Indefinite Helmholtz: the stationary RAS iteration diverges (as it
+    would in the stationary-only reference), but FGMRES with the RAS
+    preconditioner converges — and O-RAS Robin conditions (absorbing-ish
+    boundaries, the classic Helmholtz remedy) cut iterations further."""
+    import numpy as np
+    from schwarz_tpu import Settings, generate_rhs, solve
+    from schwarz_tpu.config import LocalSolver
+    from schwarz_tpu.models import helmholtz_2d
+
+    A = helmholtz_2d(32)
+    b = generate_rhs(A.n)
+    base = Settings(overlap=3, tolerance=1e-8, max_iters=200,
+                    local_solver=LocalSolver.iterative_gmres)
+    r_st = solve(A, b, base.replace(max_iters=120), num_subdomains=4)
+    assert not r_st.converged     # stationary diverges/stalls on Helmholtz
+    r_k = solve(A, b, base.replace(accelerator="fgmres"), num_subdomains=4)
+    r_ko = solve(A, b, base.replace(accelerator="fgmres", oras_weight=-0.5),
+                 num_subdomains=4)
+    for r in (r_k, r_ko):
+        assert r.converged
+        x = np.asarray(r.solution)
+        res = np.linalg.norm(A.to_scipy() @ x - np.asarray(b))
+        assert res / np.linalg.norm(np.asarray(b)) < 1e-6
+    assert r_ko.iters <= r_k.iters
