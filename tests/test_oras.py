@@ -124,3 +124,17 @@ def test_oras_jacobi_precond_uses_solve_operator():
     r = solve(A, b, s, num_subdomains=4)
     assert r.converged
     assert _true_res(A, b, r) < 1e-6
+
+
+def test_oras_3d_laplacian():
+    """7-point 3-D stencil: auto coefficient still cuts iterations."""
+    from schwarz_tpu.models import laplacian_3d
+
+    A = laplacian_3d(12)
+    b = generate_rhs(A.n)
+    base = Settings(overlap=2, tolerance=1e-8, max_iters=400)
+    r0 = solve(A, b, base, num_subdomains=4)
+    r1 = solve(A, b, base.replace(oras_weight="auto"), num_subdomains=4)
+    assert r0.converged and r1.converged
+    assert r1.iters < r0.iters          # measured: 27 -> 16
+    assert _true_res(A, b, r1) < 1e-6
