@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "rows (0 = classical Dirichlet RAS, -1 = Neumann; "
                         "'auto' = -0.8, typically 2-4x fewer outer "
                         "iterations)")
+    p.add_argument("--dia_max_diags", type=int, default=16,
+                   help="max dense diagonals in the DIA split (more = smaller "
+                        "scalar-gather remainder)")
+    p.add_argument("--inner_operator", default="exact",
+                   choices=["exact", "dia_only"],
+                   help="dia_only drops the ELL remainder from the INNER "
+                        "solve operator (convergence checks keep exact A)")
     p.add_argument("--fused_local_cg", action="store_true",
                    help="run each local CG solve as ONE Pallas kernel launch "
                         "(VMEM-resident state; needs --local_solver cg, a "
@@ -208,6 +215,8 @@ def settings_from_args(args):
         accelerator=args.accelerator,
         fused_local_cg=args.fused_local_cg,
         oras_weight=args.oras_weight,
+        dia_max_diags=args.dia_max_diags,
+        inner_operator=args.inner_operator,
         # the fused kernel needs 128-aligned rows and the DIA operator
         **({"row_pad_multiple": 128, "spmv_format": "dia"}
            if args.fused_local_cg else {}),

@@ -212,6 +212,21 @@ class Settings:
     # remainder (gather-free shifts; the TPU-native format — see ops/dia.py),
     # "ell" = pure padded ELL, "auto" = dia when diagonals cover >= 50% of nnz
     spmv_format: str = "auto"
+    # max dense diagonals extracted by the DIA split: more diagonals shrink
+    # the (scalar-gather-bound) ELL remainder at the cost of denser bands —
+    # worth raising for wide-overlap regular2d/metis closures
+    dia_max_diags: int = 16
+    # operator used INSIDE iterative local solves: "exact" applies
+    # DIA + remainder; "dia_only" drops the ELL remainder from the inner
+    # operator ONLY (residuals/convergence keep exact A — another
+    # solve/check split).  Requires the residual-based criterion (the
+    # correction form keeps the fixed point under any preconditioner; the
+    # solution-based form would drift and stall — the constructor enforces
+    # this).  Measured on the flagship regular2d/overlap-6 config the
+    # remainder coupling IS the preconditioner quality (14 -> 101 outer
+    # iterations when dropped), so "exact" stays the default; "dia_only" is
+    # for closures whose remainder is genuinely marginal.
+    inner_operator: str = "exact"
     # Pallas kernel for the DIA SpMV: "auto" = on TPU when shape/dtype allow,
     # "on" / "off" force
     use_pallas: str = "auto"

@@ -188,7 +188,8 @@ class RASolver:
             from schwarz_tpu.ops.dia import split_dia_ell
 
             hyb = split_dia_ell(
-                dec.lmat_vals, dec.lmat_cols, dec.rows_count
+                dec.lmat_vals, dec.lmat_cols, dec.rows_count,
+                max_diags=s.dia_max_diags,
             )
             dia_nnz = int((hyb.dia_vals != 0).sum())
             total_nnz = max(int((dec.lmat_vals != 0).sum()), 1)
@@ -218,6 +219,24 @@ class RASolver:
         # _local_solve, so the fixed point is exactly A x = b.  The reference
         # lists O-RAS as an unimplemented checkbox; this is the standard
         # algebraic ORAS form (cf. Cai/Dubois/Gander/Sarkis).
+        if s.inner_operator not in ("exact", "dia_only"):
+            raise ValueError(
+                f"inner_operator must be 'exact' or 'dia_only', got "
+                f"{s.inner_operator!r}"
+            )
+        if (
+            s.inner_operator == "dia_only"
+            and s.convergence.criterion == LocalCriterion.solution_based
+        ):
+            # measured: the perturbed inner operator shifts the solution-based
+            # fixed point — the (exact) global check then stalls forever.  The
+            # correction form keeps the fixed point for any preconditioner.
+            raise ValueError(
+                "inner_operator='dia_only' requires the residual-based local "
+                "criterion (local_convergence_crit='residual-based'): "
+                "solution-based updates take the perturbed operator's fixed "
+                "point and the exact convergence check never detects"
+            )
         if s.oras_weight == "auto":
             # robust default: improved every measured config, never regressed
             oras_c = -0.8
@@ -452,6 +471,12 @@ class RASolver:
                 plan_block["rem_rows"],
                 plan_block["rem_vals" + lc_suffix], plan_block["rem_cols"],
             )
+            if inner and self.settings.inner_operator == "dia_only":
+                # drop the (scalar-gather-bound) remainder from the inner
+                # operator only — the preconditioner solves a slightly
+                # perturbed subdomain problem; residual/convergence keep
+                # the exact A (config.py: inner_operator)
+                rr, rv, rc = rr[:, :0], rv[:, :0], rc[:, :0]
             use_pallas = self._use_pallas
             interp = self.mesh.devices.reshape(-1)[0].platform == "cpu"
             return lambda x: dia_ell_spmv(
