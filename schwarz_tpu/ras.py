@@ -382,9 +382,12 @@ class RASolver:
                 )(pv, plan["lmat_cols"])
                 eye = jnp.eye(bs, dtype=dtype)
                 absent = jnp.all(blocks == 0.0, axis=-1, keepdims=True)
-                plan["precond_blockinv"] = jnp.linalg.inv(
-                    blocks + absent * eye
-                ).astype(pdtype)
+                # invert on the HOST at setup: TPU XLA implements
+                # LuDecomposition only for f32, so a device jnp.linalg.inv
+                # breaks f64 block-Jacobi; host numpy gives exact f64
+                # inverses and this is a one-time setup cost
+                binv = np.linalg.inv(np.asarray(blocks + absent * eye))
+                plan["precond_blockinv"] = put(binv.astype(pdtype))
         # fused whole-solve CG kernel (ops/fused_cg.py): one launch per local
         # solve instead of ~10 XLA dispatches per inner iteration.  Opt-in and
         # strictly gated; an unsatisfiable request fails loudly with the recipe.

@@ -118,3 +118,20 @@ def test_two_level_rejects_stale_halos():
     s = Settings(two_level=True, comm=CommSettings(overlap_comm=True))
     with pytest.raises(ValueError, match="two_level"):
         solve(A, generate_rhs(A.n), s, num_subdomains=4)
+
+
+@pytest.mark.skipif(not have_mats, reason="reference matrices absent")
+def test_baseline_target_ani4_1e8():
+    """BASELINE.md target: converge ani4_crop (3081x3081 anisotropic FEM)
+    to 1e-8 in double precision."""
+    from schwarz_tpu.config import Precond
+
+    A = read_mtx(ANI4)
+    s = Settings(
+        partition=Partition.metis, overlap=3, tolerance=1e-8, max_iters=600,
+        dtype="float64", local_tolerance=1e-10,
+        precond=Precond.block_jacobi, block_jacobi_block_size=16,
+    )
+    r = solve(A, generate_rhs(A.n), s, num_subdomains=4)
+    assert r.converged, (r.iters, r.relative_residual_norm)
+    assert r.relative_residual_norm < 1e-7
