@@ -1,0 +1,35 @@
+"""run_instrumented (C29): the five-stage measurement mode must converge to
+the same answer as the fused loop and report all five reference stages
+(schwarz_base.cpp:393-450)."""
+
+import numpy as np
+import pytest
+
+from schwarz_tpu import Settings, generate_rhs, laplacian_2d
+from schwarz_tpu.core.decompose import decompose
+from schwarz_tpu.ras import RASolver
+
+STAGES = [
+    "boundary_exchange", "boundary_update", "convergence_check",
+    "local_solve", "expand_local_vec",
+]
+
+
+@pytest.mark.parametrize("oras", [0.0, -0.5])
+def test_instrumented_matches_fused_loop(oras):
+    A = laplacian_2d(20)
+    b = generate_rhs(A.n)
+    s = Settings(overlap=3, tolerance=1e-6, max_iters=200, oras_weight=oras)
+    dec = decompose(A, b, s, 4)
+    solver = RASolver(dec)
+    r_fused = solver.run()
+    r_inst = solver.run_instrumented()
+    assert r_inst.converged and r_fused.converged
+    assert r_inst.iters == r_fused.iters
+    np.testing.assert_allclose(
+        r_inst.solution, r_fused.solution, rtol=1e-10, atol=1e-12
+    )
+    assert r_inst.stage_timings is not None
+    for st in STAGES:
+        assert st in r_inst.stage_timings, st
+        assert r_inst.stage_timings[st]["total"] > 0
