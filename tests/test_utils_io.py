@@ -73,3 +73,33 @@ def test_validation_helpers(tmp_path):
     lines = (tmp_path / "m.csv").read_text().splitlines()
     assert lines[0] == "row,col,value"
     assert len(lines) == A.nnz + 1
+
+
+def test_solve_accepts_scipy_matrix():
+    """solve() converts scipy-sparse inputs (bench_ras.cpp's matrix path)."""
+    import numpy as np
+
+    from schwarz_tpu import Settings, laplacian_2d, solve
+
+    A = laplacian_2d(16).to_scipy()
+    b = np.ones(A.shape[0])
+    r = solve(A, b, Settings(overlap=2, tolerance=1e-8, max_iters=200),
+              num_subdomains=4)
+    assert r.converged
+    res = np.linalg.norm(A @ np.asarray(r.solution) - b) / np.linalg.norm(b)
+    assert res < 1e-7
+
+
+def test_neighbor_locality_shape():
+    """C22 analogue: ICI/DCN locality matrix is (S, S) bool, True on-diagonal."""
+    import numpy as np
+
+    from schwarz_tpu import Settings, generate_rhs, laplacian_2d
+    from schwarz_tpu.core.decompose import decompose
+    from schwarz_tpu.ras import RASolver
+
+    A = laplacian_2d(16)
+    dec = decompose(A, generate_rhs(A.n), Settings(overlap=2), 4)
+    loc = RASolver(dec).neighbor_locality()
+    assert loc.shape == (4, 4) and loc.dtype == bool
+    assert np.all(np.diag(loc))    # a subdomain is local to itself
