@@ -106,7 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--comm_strategy", default="all_gather",
                    choices=["all_gather", "neighbor", "rdma"])
     # convergence (bench_base.hpp:131-140)
-    p.add_argument("--enable_global_check", action="store_true", default=True)
+    p.add_argument("--enable_global_check", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="trust-local allgather detection; "
+                        "--no-enable_global_check selects the two-sided "
+                        "allreduce convergence branch (solve.cpp:949-953)")
     p.add_argument("--global_convergence_type", default="centralized-tree",
                    help="allgather | allreduce | tree | decentralized")
     p.add_argument("--enable_decentralized_accumulate", action="store_true")

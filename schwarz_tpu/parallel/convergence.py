@@ -102,6 +102,11 @@ def conv_step(
     method = settings.convergence.method
     tol = settings.tolerance
     ever = state.ever_local | locally_converged
+    # current norms everywhere (solve.cpp:890-905: MPI_Allgather + sum); the
+    # returned global norm must be the CURRENT sum so the divergence abort
+    # (schwarz_base.cpp:424) fires on residual growth, for every method
+    cur_all = jax.lax.all_gather(local_resnorm, SUBD_AXIS, tiled=True)  # (S,)
+    grn_cur = jnp.sum(cur_all)
     # residual-norm table (history/post-processing, conv_tools.hpp:55-82): every
     # subdomain publishes its min-so-far norm
     norms_all = jax.lax.all_gather(
@@ -112,9 +117,7 @@ def conv_step(
     res_table = jnp.minimum(state.res_table, norms_all[None, :])
 
     if method == GlobalConvergence.allgather:
-        # sum of current local norms (solve.cpp:890-905: MPI_Allgather + sum)
-        cur_all = jax.lax.all_gather(local_resnorm, SUBD_AXIS, tiled=True)
-        global_resnorm = jnp.sum(cur_all)
+        global_resnorm = grn_cur
         g0 = jnp.where(
             state.global_resnorm0 < 0, global_resnorm, state.global_resnorm0
         )
@@ -133,7 +136,7 @@ def conv_step(
             detected=jnp.broadcast_to(num_conv >= S, state.detected.shape),
             ever_local=ever, res_table=res_table,
         )
-        return new, num_conv, jnp.sum(norms_all)
+        return new, num_conv, grn_cur
 
     Sl = local_resnorm.shape[0]
     ids = _subd_ids(Sl)
@@ -164,7 +167,7 @@ def conv_step(
             got_left=got_left, got_right=got_right,
             ever_local=ever, res_table=res_table,
         )
-        return new, num_conv, jnp.sum(norms_all)
+        return new, num_conv, grn_cur
 
     if method == GlobalConvergence.decentralized:
         if settings.convergence.enable_accumulate:
@@ -182,7 +185,7 @@ def conv_step(
                 counter=counter, counted=state.counted | newly,
                 detected=counter >= S, ever_local=ever, res_table=res_table,
             )
-            return new, num_conv, jnp.sum(norms_all)
+            return new, num_conv, grn_cur
         # gossip: broadcast newly-known bits to out-neighbors (conv_tools.hpp:249-274)
         known = state.known.at[jnp.arange(Sl), ids].max(ever)
         to_send = known & ~state.sent                    # (Sl, S)
@@ -199,6 +202,6 @@ def conv_step(
             known=new_known, sent=known, detected=count >= S,
             ever_local=ever, res_table=res_table,
         )
-        return new, num_conv, jnp.sum(norms_all)
+        return new, num_conv, grn_cur
 
     raise ValueError(f"unknown convergence method {method}")

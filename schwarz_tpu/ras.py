@@ -72,22 +72,27 @@ def _extract_interior(z: jax.Array, interior_off: jax.Array, r_int: int,
     return jnp.where(interior_mask, win, 0.0)
 
 
-def _interface_update(plan, x_ext: jax.Array) -> jax.Array:
-    """rhs_eff = local_rhs - A_interface @ x_ext via the row-compacted interface
-    (update_boundary, restricted_schwarz.cpp:991-1017).  Only overlap rows carry
-    interface entries, so gather/scatter volume is O(interface nnz)."""
-    rhs = plan["local_rhs"]
+def _interface_apply(plan, x_ext: jax.Array, base: jax.Array) -> jax.Array:
+    """``base + A_interface @ x_ext`` scattered onto the interface rows via the
+    row-compacted tables (O(interface nnz) gather/scatter volume)."""
     iface_rows = plan["iface_rows"]              # (Sl, Oi)
     iface_cols = plan["iface_cols"]              # (Sl, Oi, Wi)
     iface_vals = plan["iface_vals"]
-    Sl, R = rhs.shape
+    Sl, R = base.shape
     gathered = jnp.take_along_axis(
         x_ext, iface_cols.reshape(Sl, -1).astype(jnp.int32), axis=1
     ).reshape(iface_cols.shape)
     contrib = jnp.einsum("sow,sow->so", iface_vals, gathered)   # (Sl, Oi)
     srows = jnp.broadcast_to(jnp.arange(Sl)[:, None], iface_rows.shape)
-    rhs_pad = jnp.pad(rhs, ((0, 0), (0, 1)))
-    return rhs_pad.at[srows, iface_rows].add(-contrib)[:, :R]
+    base_pad = jnp.pad(base, ((0, 0), (0, 1)))
+    return base_pad.at[srows, iface_rows].add(contrib)[:, :R]
+
+
+def _interface_update(plan, x_ext: jax.Array) -> jax.Array:
+    """rhs_eff = local_rhs - A_interface @ x_ext via the row-compacted interface
+    (update_boundary, restricted_schwarz.cpp:991-1017).  Only overlap rows carry
+    interface entries, so gather/scatter volume is O(interface nnz)."""
+    return _interface_apply(plan, -x_ext, plan["local_rhs"])
 
 
 @dataclasses.dataclass
@@ -1114,6 +1119,12 @@ class RASolver:
             def matvec(v):
                 v_ext = do_exchange(plan, v)
                 av = self._apply_local(plan)(v_ext[:, :R_rows])
+                # interface couplings: exterior-column entries scattered onto
+                # their (interface) rows.  With overlap >= 2 interior rows are
+                # closed and this only touches discarded overlap rows; with
+                # overlap == 1 interior rows DO carry interface entries and
+                # dropping them would make the operator block-diagonal.
+                av = _interface_apply(plan, v_ext, av)
                 return _extract_interior(
                     av, plan["interior_off"], R_int, plan["interior_mask"]
                 )
@@ -1242,11 +1253,14 @@ class RASolver:
         converged = (nconv >= S) and not diverged
         iters = it - 1 if converged else it
 
+        # body writes histories at index st["it"] BEFORE incrementing, so after
+        # `it` body passes indices 0..it-1 are populated (the detecting pass is
+        # the last one); [:it] avoids a trailing all-zero row
         return self._assemble_result(
             x_own, converged, diverged, iters,
-            np.asarray(final["hist_local"])[: it + 1],
-            np.asarray(final["hist_global"])[: it + 1],
-            np.asarray(final["hist_inner"])[: it + 1],
+            np.asarray(final["hist_local"])[:it],
+            np.asarray(final["hist_global"])[:it],
+            np.asarray(final["hist_inner"])[:it],
             elapsed,
         )
 

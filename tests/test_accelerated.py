@@ -115,3 +115,18 @@ def test_fgmres_solves_helmholtz_where_stationary_diverges():
         res = np.linalg.norm(A.to_scipy() @ x - np.asarray(b))
         assert res / np.linalg.norm(np.asarray(b)) < 1e-6
     assert r_ko.iters <= r_k.iters
+
+
+def test_fgmres_overlap1_exact_operator():
+    # regression (ADVICE r1): the FGMRES matvec must include the interface
+    # term — at overlap=1 interior rows carry interface entries and dropping
+    # them makes the operator block-diagonal (converged=True, wrong answer)
+    A = laplacian_2d(24)
+    b = generate_rhs(A.n)
+    s = Settings(overlap=1, tolerance=1e-8, max_iters=400, restart_iter=40,
+                 dtype="float64", accelerator="fgmres")
+    r = solve(A, b, s, num_subdomains=4)
+    assert r.converged
+    assert r.relative_residual_norm < 1e-7
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+    np.testing.assert_allclose(r.solution, x_ref, rtol=1e-6, atol=1e-6)

@@ -84,3 +84,14 @@ def test_beyond_reference_flags():
     s = _settings(["--two_level", "--accelerator", "fgmres"])
     assert s.two_level
     assert s.accelerator == "fgmres"
+
+
+def test_disable_global_check_selects_allreduce():
+    # regression (ADVICE r1): the flag was store_true with default=True and
+    # could never select the two-sided allreduce branch (solve.cpp:949-953)
+    from schwarz_tpu.config import GlobalConvergence
+
+    s = _settings(["--no-enable_global_check"])
+    assert s.convergence.method == GlobalConvergence.allreduce
+    s2 = _settings([])
+    assert s2.convergence.method == GlobalConvergence.allgather

@@ -80,3 +80,54 @@ def test_protocols_agree_on_solution():
         sols.append(r.solution)
     # same fixed-point iteration, different detection: solutions close
     np.testing.assert_allclose(sols[0], sols[1], atol=1e-4)
+
+
+def test_global_resnorm_is_current_not_min_so_far():
+    # regression (ADVICE r1): every protocol must report the CURRENT summed
+    # norm (so the divergence abort can fire on growth), not the
+    # monotonically non-increasing min-so-far from res_table
+    import jax
+    import jax.numpy as jnp
+
+    from schwarz_tpu.parallel.convergence import conv_step, init_conv_state
+    from schwarz_tpu.parallel.mesh import SUBD_AXIS, make_mesh
+
+    S = 8
+    mesh = make_mesh(jax.devices())
+    s = Settings(
+        tolerance=1e-6,
+        convergence=ConvergenceSettings(method=GlobalConvergence.decentralized),
+    )
+
+    def two_rounds(rn_a, rn_b):
+        from jax.sharding import PartitionSpec as P
+
+        def fn(rn1, rn2):
+            st = init_conv_state(1, S, jnp.float64)
+            rn0 = jnp.abs(rn1)
+            lc = jnp.zeros(1, bool)
+            adj = jnp.ones((1, S), bool)
+            st, _, g1 = conv_step(s, S, st, rn1, rn0, lc, adj)
+            st, _, g2 = conv_step(s, S, st, rn2, rn0, lc, adj)
+            return g1, g2
+
+        mapped = jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=(P(SUBD_AXIS), P(SUBD_AXIS)),
+            out_specs=(P(), P()), check_vma=False,
+        ))
+        return mapped(jnp.asarray(rn_a), jnp.asarray(rn_b))
+
+    rn1 = np.full(S, 1.0)
+    rn2 = np.full(S, 5.0)          # residual GREW
+    g1, g2 = two_rounds(rn1, rn2)
+    assert float(g1) == pytest.approx(S * 1.0)
+    assert float(g2) == pytest.approx(S * 5.0)   # current, not min-so-far
+
+
+def test_history_has_no_trailing_zero_row():
+    # regression (ADVICE r1): histories are sliced to the populated prefix;
+    # a trailing all-zero global-resnorm row could be misread as exact conv
+    r = _solve_with(GlobalConvergence.allgather)
+    assert r.converged
+    assert len(r.global_resnorm_history) == r.iters + 1  # incl. detecting pass
+    assert np.all(r.global_resnorm_history > 0)
