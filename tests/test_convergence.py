@@ -131,3 +131,76 @@ def test_history_has_no_trailing_zero_row():
     assert r.converged
     assert len(r.global_resnorm_history) == r.iters + 1  # incl. detecting pass
     assert np.all(r.global_resnorm_history > 0)
+
+
+def test_res_table_put_all_vs_neighbor_propagate():
+    # C17: put-to-all shares every norm globally in one round
+    # (conv_tools.hpp:55-82); neighbor-propagate moves information one
+    # halo-graph edge per round (hpp:85-142)
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from schwarz_tpu.parallel.convergence import conv_step, init_conv_state
+    from schwarz_tpu.parallel.mesh import SUBD_AXIS, make_mesh
+
+    S = 8
+    mesh = make_mesh(jax.devices())
+    big = np.finfo(np.float64).max
+
+    def run_rounds(put_all, n_rounds):
+        s = Settings(
+            tolerance=1e-6,
+            convergence=ConvergenceSettings(
+                method=GlobalConvergence.decentralized,
+                put_all_local_residual_norms=put_all,
+            ),
+        )
+        # 1-D chain adjacency: i receives from i-1 and i+1
+        chain = np.zeros((S, S), bool)
+        for i in range(S):
+            for j in (i - 1, i + 1):
+                if 0 <= j < S:
+                    chain[i, j] = True
+
+        def fn(rn, adj):
+            st = init_conv_state(1, S, jnp.float64)
+            for _ in range(n_rounds):
+                st, _, _ = conv_step(
+                    s, S, st, rn, jnp.abs(rn), jnp.zeros(1, bool), adj)
+            return st.res_table
+
+        mapped = jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=(P(SUBD_AXIS), P(SUBD_AXIS)),
+            out_specs=P(SUBD_AXIS), check_vma=False,
+        ), static_argnums=())
+        rn = jnp.arange(1, S + 1, dtype=jnp.float64)
+        return np.asarray(mapped(rn, jnp.asarray(chain)))
+
+    # put-to-all: after ONE round every table row is fully populated
+    t1 = run_rounds(True, 1)
+    assert np.all(t1 < big)
+
+    # neighbor-propagate: after one round subdomain 0 knows itself + both
+    # endpoints of its in-edges' tables; distant entries still unknown
+    t2 = run_rounds(False, 1)
+    assert t2[0, 0] == 1.0 and t2[0, 1] == 2.0
+    assert t2[0, 5] == big          # 5 is 5 hops away — unknown after 1 round
+    # after S rounds everything propagated down the chain
+    t3 = run_rounds(False, S)
+    assert np.all(t3 < big)
+
+
+def test_neighbor_propagate_solver_converges():
+    A = laplacian_2d(12)
+    b = generate_rhs(A.n)
+    s = Settings(
+        overlap=3, tolerance=1e-6, max_iters=300,
+        convergence=ConvergenceSettings(
+            method=GlobalConvergence.decentralized,
+            put_all_local_residual_norms=False,
+        ),
+    )
+    r = solve(A, b, s, num_subdomains=8)
+    assert r.converged
+    assert r.relative_residual_norm < 1e-4

@@ -154,3 +154,52 @@ def test_neighbor_rounds_are_few_for_regular_partition():
     dec3 = decompose(A, b, Settings(overlap=3), 8)
     nx3 = build_neighbor_plan(dec3, 8)
     assert set(nx3.offsets) <= {1, 2, 6, 7}
+
+
+@pytest.mark.parametrize("mode,one_by_one,flush", [
+    ("put", False, "flush-all"),
+    ("get", False, "flush-all"),
+    ("put", True, "flush-all"),
+    ("put", True, "flush-local"),
+    ("get", True, "flush-local"),
+])
+def test_rdma_strategy_matrix(mode, one_by_one, flush):
+    # the reference's one-sided strategy matrix (README.md:63-79): put/get x
+    # gathered/one-by-one x flush discipline — all must agree exactly with
+    # the all_gather exchange
+    A = laplacian_2d(12)
+    b = generate_rhs(A.n)
+    base = Settings(overlap=2, tolerance=1e-8, max_iters=200)
+    r_ag = solve(A, b, base, num_subdomains=4)
+    r_rd = solve(
+        A, b,
+        base.replace(comm=CommSettings(
+            strategy=HaloStrategy.rdma,
+            enable_put=(mode == "put"), enable_get=(mode == "get"),
+            enable_one_by_one=one_by_one, flush_type=flush,
+        )),
+        num_subdomains=4,
+    )
+    assert r_ag.converged and r_rd.converged
+    assert r_ag.iters == r_rd.iters
+    np.testing.assert_allclose(r_ag.solution, r_rd.solution, atol=1e-12)
+
+
+def test_inert_knobs_fail_loudly():
+    from schwarz_tpu.exceptions import NotImplementedFeature
+    from schwarz_tpu.ras import RASolver
+
+    A = laplacian_2d(8)
+    b = generate_rhs(A.n)
+
+    def build(comm):
+        return RASolver(decompose(A, b, Settings(overlap=2, comm=comm), 2))
+
+    with pytest.raises(NotImplementedFeature, match="stage_through_host"):
+        build(CommSettings(stage_through_host=True))
+    with pytest.raises(NotImplementedFeature, match="lock-all"):
+        build(CommSettings(lock_type="lock-local"))
+    with pytest.raises(ValueError, match="flush"):
+        build(CommSettings(flush_type="bogus"))
+    with pytest.raises(ValueError, match="enable_put"):
+        build(CommSettings(enable_put=True, enable_get=True))

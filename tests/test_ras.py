@@ -165,3 +165,18 @@ def test_residual_based_criterion():
     )
     # residual_based accumulates corrections; must still converge
     _check(r, 1e-4)
+
+
+def test_enable_logging_and_write_debug_out(tmp_path, capfd, monkeypatch):
+    # both output toggles must have observable behavior (round-1 verdict:
+    # no silently-inert settings)
+    monkeypatch.chdir(tmp_path)
+    A = laplacian_2d(8)
+    b = generate_rhs(A.n)
+    s = Settings(overlap=2, tolerance=1e-6, max_iters=100,
+                 enable_logging=True, write_debug_out=True)
+    r = solve(A, b, s, num_subdomains=2)
+    assert r.converged
+    err = capfd.readouterr().err
+    assert "[schwarz_tpu]" in err and "grn=" in err
+    assert (tmp_path / "schwarz_debug_out.npz").exists()
