@@ -87,6 +87,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precond_max_block_size", type=int, default=16)
     # communication (bench_base.hpp:97-130)
     p.add_argument("--enable_onesided", action="store_true")
+    p.add_argument("--free_running", action="store_true",
+                   help="TRUE asynchronous mode: multi-iteration Pallas RDMA "
+                        "kernel, devices iterate at independent rates with "
+                        "bounded-staleness one-sided halos and in-band gossip "
+                        "detection (restricted_schwarz.cpp:714-852; needs a "
+                        "banded matrix, regular partition, one subdomain per "
+                        "device)")
+    p.add_argument("--async_chunk_rounds", type=int, default=16,
+                   help="free-running iterations per kernel launch")
+    p.add_argument("--async_ninner", type=int, default=16,
+                   help="inner CG iterations per free-running outer iteration")
     p.add_argument("--enable_overlap", action="store_true",
                    help="overlap communication with computation")
     p.add_argument("--enable_put_all_local_residual_norms", action="store_true")
@@ -336,6 +347,38 @@ def main(argv=None):
             f"devices={len(jax.devices())}",
             file=sys.stderr,
         )
+
+    if args.free_running:
+        from schwarz_tpu.exceptions import SchwarzError
+        from schwarz_tpu.ops.async_ras import AsyncRASolver
+
+        try:
+            fr = AsyncRASolver(
+                mat, rhs, num_subdomains=S, overlap=settings.overlap,
+                tolerance=settings.tolerance,
+                staleness=max(settings.comm.staleness, 1),
+                ninner=args.async_ninner,
+                chunk_rounds=args.async_chunk_rounds,
+            )
+        except (ValueError, SchwarzError) as e:
+            sys.exit(f"error: {e}")
+        x, info = fr.run(max_rounds=settings.max_iters)
+        print(
+            f" free-running async: converged={info['converged']} "
+            f"done_at={info['done_at'].tolist()} rounds={info['rounds']}\n"
+            f" relative residual norm of solution "
+            f"{info['relative_residual_norm']:.6e}\n"
+            f" Time taken for solve {info['time_s']:.6f}",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "converged": info["converged"],
+            "iters": int(max(info["done_at"].max(), 0)),
+            "done_at": info["done_at"].tolist(),
+            "relative_residual_norm": info["relative_residual_norm"],
+            "solve_time_s": info["time_s"],
+        }))
+        return 0 if info["converged"] else 1
 
     dec = decompose(mat, rhs, settings, S)
     if args.print_matrices:

@@ -1,0 +1,591 @@
+"""Free-running asynchronous RAS — multi-iteration Pallas RDMA kernel.
+
+The reference's research core is the *asynchronous* Schwarz iteration: each
+MPI rank loops {exchange -> update -> solve} at its own pace on one-sided
+windows, consuming whatever halo data its neighbors last delivered
+(source/restricted_schwarz.cpp:714-852, README.md:63-79), with convergence
+detected by decentralized gossip (include/conv_tools.hpp:212-275, Bahi 2005).
+Round 1 emulated this inside one bulk-synchronous XLA program (stale-halo
+emulation); this module is the real thing on TPU terms: ONE Pallas kernel
+launch runs T outer iterations per device with **no cross-device barrier
+inside the loop** — devices proceed at independent rates, coupled only by
+
+  - per-neighbor one-sided remote DMAs of boundary strips into slot rings
+    (the MPI_Put window, with DMA semaphores playing flush/lock),
+  - a bounded-staleness wait: at its own iteration ``t`` a device consumes
+    the message its neighbor pushed at iteration ``t - B`` and nothing newer
+    is required (B = ``staleness``); a fast device can run up to ~B+1
+    iterations ahead of a slow neighbor before a semaphore blocks it,
+  - ack mini-DMAs for ring flow control (credits; remote scalar signals are
+    kept off the data path so the same kernel runs under the interpreter).
+
+Convergence detection is the decentralized protocol run *in-band*: each
+message carries the sender's known-converged bit-vector (one lane per
+subdomain); a device latches its own bit when its local residual passes the
+tolerance, merges incoming vectors, records the iteration at which it first
+knew of global convergence (``done_at`` — genuinely different per device),
+and freezes its state from then on — the async rank that detected would have
+stopped iterating.  All devices run the same uniform T DMA rounds per launch
+so semaphore bookkeeping is static; the host driver relaunches chunks until
+every device reports detection (each launch boundary is the only global
+sync, exactly like the reference's bounded ``max_iters`` loop).
+
+Scope (gated, fail-loudly): banded operators (pure-DIA global matrix),
+regular 1-D partition with one subdomain per device, f32 compute.  This
+covers the reference's flagship generated problems (2-D/3-D Laplacians,
+anisotropic/advection stencils); unstructured matrices use the round-1
+staleness emulation instead.
+
+Local solves are a fixed number of Jacobi-preconditioned CG iterations on
+the overlapped subdomain (two-stage/inexact inner solves — the reference's
+own paper campaign configuration, run_script:35-44), using the lane/sublane
+roll SpMV of ops/fused_cg.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from schwarz_tpu.exceptions import NotImplementedFeature
+
+MAX_DIAGS = 16
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class AsyncPlan:
+    """Host-side static data for the free-running kernel (stacked over S)."""
+
+    S: int
+    N: int                  # true global size
+    R: int                  # padded interior rows per device (R % 128 == 0)
+    hw: int                 # halo strip width (hw % 128 == 0, >= ovp + bw)
+    ovp: int                # effective overlap (>= requested; 2*ovp % 128 == 0)
+    total: int              # R + 2*hw
+    offsets: Tuple[int, ...]   # DIA offsets in TOTAL (= global) row space
+    dia: np.ndarray         # (S, K, total) f32 — extended-domain rows of A
+    b: np.ndarray           # (S, total) f32
+    dinv: np.ndarray        # (S, total) f32 Jacobi inverse diagonal
+    mask_dom: np.ndarray    # (S, total) f32 — local solve domain
+    mask_int: np.ndarray    # (S, total) f32 — owned interior rows
+
+
+def build_async_plan(mat, rhs, num_subdomains: int, overlap: int) -> AsyncPlan:
+    """Extract the banded extended-domain operators for each device.
+
+    ``mat``: CSRMatrix (models/). Raises NotImplementedFeature when the
+    matrix is not banded enough for the DIA-only kernel.
+    """
+    S = num_subdomains
+    N = mat.n
+    rows_of = np.repeat(np.arange(N, dtype=np.int64), np.diff(mat.row_ptrs))
+    diffs = mat.col_idxs.astype(np.int64) - rows_of
+    offs = np.unique(diffs)
+    if len(offs) > MAX_DIAGS:
+        raise NotImplementedFeature(
+            f"free-running async kernel requires a banded operator with at "
+            f"most {MAX_DIAGS} diagonals; this matrix has {len(offs)} "
+            "distinct (col - row) offsets — use the bounded-staleness "
+            "emulation (comm.onesided + staleness) for unstructured matrices"
+        )
+    offsets = tuple(int(o) for o in offs)
+    K = len(offsets)
+    bw = max(abs(o) for o in offsets) if offsets else 1
+
+    R = _round_up(_round_up(N, S) // S, 128)
+    Np = S * R
+    ovp = _round_up(max(overlap, 1), 64)
+    hw = _round_up(ovp + bw, 128)
+    if hw > R:
+        raise NotImplementedFeature(
+            f"halo strip ({hw}) exceeds the per-device interior ({R}): "
+            "bandwidth/overlap too large for this many subdomains"
+        )
+
+    # global DIA on the padded row space; padding rows get identity diagonals
+    gdia = np.zeros((K, Np), dtype=np.float32)
+    off_pos = {o: k for k, o in enumerate(offsets)}
+    cols_ok = diffs + rows_of  # == col_idxs
+    for k, o in enumerate(offsets):
+        sel = diffs == o
+        gdia[k, rows_of[sel]] = mat.values[sel]
+    if 0 in off_pos:
+        gdia[off_pos[0], N:] = 1.0
+    else:
+        raise NotImplementedFeature(
+            "async kernel requires a nonzero main diagonal"
+        )
+    del cols_ok
+    gb = np.zeros(Np, dtype=np.float32)
+    gb[:N] = np.asarray(rhs, np.float32)
+
+    total = R + 2 * hw
+    dia = np.zeros((S, K, total), dtype=np.float32)
+    b = np.zeros((S, total), dtype=np.float32)
+    mask_dom = np.zeros((S, total), dtype=np.float32)
+    mask_int = np.zeros((S, total), dtype=np.float32)
+    dinv = np.ones((S, total), dtype=np.float32)
+    for d in range(S):
+        lo = d * R - hw                     # global row of TOTAL slot 0
+        g0, g1 = max(lo, 0), min(lo + total, Np)
+        t0, t1 = g0 - lo, g1 - lo
+        dia[d, :, t0:t1] = gdia[:, g0:g1]
+        b[d, t0:t1] = gb[g0:g1]
+        dom_lo, dom_hi = max(d * R - ovp, 0), min((d + 1) * R + ovp, Np)
+        mask_dom[d, dom_lo - lo:dom_hi - lo] = 1.0
+        mask_int[d, hw:hw + R] = 1.0
+        dg = dia[d, off_pos[0]]
+        dinv[d] = np.where(np.abs(dg) > 0, 1.0 / np.where(dg == 0, 1, dg), 1.0)
+    # outside the solve domain the operator acts as identity (see kernel);
+    # zero those dia rows so A*v there contributes nothing
+    dia *= mask_dom[:, None, :]
+
+    return AsyncPlan(
+        S=S, N=N, R=R, hw=hw, ovp=ovp, total=total, offsets=offsets,
+        dia=dia, b=b, dinv=dinv, mask_dom=mask_dom, mask_int=mask_int,
+    )
+
+
+def _shift(x: jax.Array, d: int) -> jax.Array:
+    """w[i] = x_flat[(i + d) % T] on a (Tr, 128) tile (cf. fused_cg._flat_shift)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_row, _ = x.shape
+    q, rr = divmod(d, 128)
+    a = pltpu.roll(x, jnp.int32(128 - rr), 1) if rr else x
+    b0 = pltpu.roll(a, jnp.int32(n_row - q), 0) if q else a
+    b1 = pltpu.roll(a, jnp.int32((n_row - (q + 1)) % n_row), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < 128 - rr, b0, b1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "offsets", "total", "hw", "rounds", "staleness", "ninner", "tol",
+        "n_subd", "axis_name", "interpret",
+    ),
+)
+def async_ras_rounds(
+    dia: jax.Array,        # (1, K, total) f32 — this device's slice
+    b: jax.Array,          # (1, total)
+    dinv: jax.Array,       # (1, total)
+    mask_dom: jax.Array,   # (1, total)
+    mask_int: jax.Array,   # (1, total)
+    x: jax.Array,          # (1, R) current interior iterate
+    known: jax.Array,      # (1, 128) f32 0/1 known-converged bits
+    aux: jax.Array,        # (1, 128) f32: [0]=rn0 (-1 first), [1]=done_at (-1)
+    hl_carry: jax.Array,   # (1, hw) freshest left-halo strip from prev launch
+    hr_carry: jax.Array,   # (1, hw) freshest right-halo strip
+    *,
+    offsets: Tuple[int, ...],
+    total: int,
+    hw: int,
+    rounds: int,
+    staleness: int,
+    ninner: int,
+    tol: float,
+    n_subd: int,
+    axis_name: str,
+    interpret: bool,
+):
+    """Run ``rounds`` free-running outer iterations on this device.
+
+    Called per-device inside shard_map (Sl == 1).  Returns (x, known, aux)
+    with aux[1] = iteration (global, cumulative via aux[2] round base) at
+    which this device first detected global convergence, -1 if not yet.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = len(offsets)
+    Tr = total // 128
+    R = total - 2 * hw
+    Rr = R // 128
+    HWr = hw // 128
+    B = max(staleness, 1)
+    M = 2 * B + 2                     # ring slots: no reuse within the bound
+    T = rounds
+    MSG = HWr + 8                     # strip rows + flags tile rows
+    tol2 = float(tol) * float(tol)
+    shifts = tuple(int(o) % total for o in offsets)
+
+    dia3 = dia.reshape(K, Tr, 128)
+    b2 = b.reshape(Tr, 128)
+    dinv2 = dinv.reshape(Tr, 128)
+    mdom = mask_dom.reshape(Tr, 128)
+    mint = mask_int.reshape(Tr, 128)
+    x2 = x.reshape(Rr, 128)
+    known2 = jnp.broadcast_to(known.reshape(1, 128), (8, 128))
+    aux2 = jnp.broadcast_to(aux.reshape(1, 128), (8, 128))
+    hl2 = hl_carry.reshape(HWr, 128)
+    hr2 = hr_carry.reshape(HWr, 128)
+
+    def kernel(dia_ref, b_ref, dinv_ref, mdom_ref, mint_ref, x_ref,
+               known_ref, aux_ref, hl_ref, hr_ref,
+               x_out, known_out, aux_out, hl_out, hr_out,
+               send_l, send_r, recv_l, recv_r, ack_src, ack_l, ack_r,
+               sl_sem, sr_sem, rl_sem, rr_sem,
+               asl_sem, asr_sem, arl_sem, arr_sem):
+        me = jax.lax.axis_index(axis_name)
+        left = jax.lax.rem(me - 1 + jnp.int32(n_subd), jnp.int32(n_subd))
+        right = jax.lax.rem(me + 1, jnp.int32(n_subd))
+        devty = pltpu.DeviceIdType.LOGICAL
+
+        def data_rdma_right(j):
+            # my right strip -> right device's recv_l[j]
+            return pltpu.make_async_remote_copy(
+                src_ref=send_r.at[j], dst_ref=recv_l.at[j],
+                send_sem=sr_sem.at[j], recv_sem=rl_sem.at[j],
+                device_id=right, device_id_type=devty,
+            )
+
+        def data_rdma_left(j):
+            # my left strip -> left device's recv_r[j]
+            return pltpu.make_async_remote_copy(
+                src_ref=send_l.at[j], dst_ref=recv_r.at[j],
+                send_sem=sl_sem.at[j], recv_sem=rr_sem.at[j],
+                device_id=left, device_id_type=devty,
+            )
+
+        def ack_rdma_to_left(j):
+            # ack for the message me-1 pushed into my recv_l[j]
+            return pltpu.make_async_remote_copy(
+                src_ref=ack_src, dst_ref=ack_r.at[j],
+                send_sem=asl_sem.at[j], recv_sem=arr_sem.at[j],
+                device_id=left, device_id_type=devty,
+            )
+
+        def ack_rdma_to_right(j):
+            return pltpu.make_async_remote_copy(
+                src_ref=ack_src, dst_ref=ack_l.at[j],
+                send_sem=asr_sem.at[j], recv_sem=arl_sem.at[j],
+                device_id=right, device_id_type=devty,
+            )
+
+        ack_src[:] = jnp.zeros((8, 128), jnp.float32)
+
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        known_k = jnp.maximum(
+            known_ref[:], jnp.where(lane8 >= n_subd, 1.0, 0.0)
+        )
+        rn0 = aux_ref[0, 0]
+        done_at = aux_ref[0, 1]
+        base_t = aux_ref[0, 2]
+
+        dia_k = [dia_ref[k] for k in range(K)]
+        bb = b_ref[:]
+        dv = dinv_ref[:]
+        md = mdom_ref[:]
+        mi = mint_ref[:]
+
+        def apply_dom(v):
+            # A on the local solve domain; identity outside (v already 0
+            # there for CG vectors, masked anyway)
+            acc = dia_k[0] * _shift(v, shifts[0])
+            for k in range(1, K):
+                acc = acc + dia_k[k] * _shift(v, shifts[k])
+            return acc
+
+        def dot(u, v):
+            s = jnp.sum(u * v, axis=1, keepdims=True)
+            return jnp.sum(s, axis=0, keepdims=True)
+
+        def cg_dom(r):
+            """ninner Jacobi-PCG iterations for A_dom z = r, z0 = 0."""
+            eps = jnp.finfo(jnp.float32).tiny
+            z0 = jnp.zeros_like(r)
+            s0 = dv * r
+            rho0 = dot(r, s0)
+
+            def body(_, c):
+                zz, rr_, p, rho = c
+                ap = md * apply_dom(p)
+                pap = dot(p, ap)
+                alpha = jnp.where(pap > 0, rho / jnp.maximum(pap, eps), 0.0)
+                zz = zz + alpha * p
+                rr_ = rr_ - alpha * ap
+                sn = dv * rr_
+                rho_n = dot(rr_, sn)
+                beta = jnp.where(rho > 0, rho_n / jnp.maximum(rho, eps), 0.0)
+                return zz, rr_, sn + beta * p, rho_n
+
+            z, _, _, _ = jax.lax.fori_loop(0, ninner, body, (z0, r, s0, rho0))
+            return z
+
+        xx = x_ref[:]
+        state = (xx, known_k, rn0, done_at)
+
+        # ---- T uniform DMA rounds; state updates freeze after detection ----
+        for t in range(T):
+            j = t % M
+            xx, known_k, rn0, done_at = state
+            # ring flow control: data slot j reusable once (a) our previous
+            # send from it left the chip and (b) the receiver acked it
+            if t >= M:
+                data_rdma_left(j).wait_send()
+                data_rdma_right(j).wait_send()
+                ack_rdma_to_left(j).wait_recv()    # ack arriving in ack_r[j]
+                ack_rdma_to_right(j).wait_recv()   # ack arriving in ack_l[j]
+            # pack: boundary strips + known flags (in-band gossip)
+            send_l[j, :HWr] = xx[:HWr]
+            send_l[j, HWr:] = known_k
+            send_r[j, :HWr] = xx[Rr - HWr:]
+            send_r[j, HWr:] = known_k
+            data_rdma_left(j).start()
+            data_rdma_right(j).start()
+            # consume the neighbor message from their iteration t - B
+            if t >= B:
+                jc = (t - B) % M
+                data_rdma_right(jc).wait_recv()    # arrived in my recv_l[jc]
+                data_rdma_left(jc).wait_recv()     # arrived in my recv_r[jc]
+                halo_l = recv_l[jc, :HWr]
+                flags_l = recv_l[jc, HWr:]
+                halo_r = recv_r[jc, :HWr]
+                flags_r = recv_r[jc, HWr:]
+                # credit the senders so they may reuse slot jc
+                if t - M >= B:
+                    ack_rdma_to_left(jc).wait_send()
+                    ack_rdma_to_right(jc).wait_send()
+                ack_rdma_to_left(jc).start()
+                ack_rdma_to_right(jc).start()
+            else:
+                # warm-up rounds of a launch: reuse the freshest halo from
+                # the previous launch (zeros only on the very first launch)
+                # so chunk boundaries do not inject a zero-halo glitch
+                halo_l = hl_ref[:]
+                halo_r = hr_ref[:]
+                flags_l = jnp.zeros((8, 128), jnp.float32)
+                flags_r = flags_l
+            # ---- the RAS iteration on (possibly stale) halo data ----------
+            xp = jnp.concatenate([halo_l, xx, halo_r], axis=0)   # (Tr, 128)
+            r = md * (bb - apply_dom(xp))
+            rn = dot(mi * r, mi * r)[0, 0]
+            rn0 = jnp.where(rn0 < 0, rn, rn0)
+            myconv = jnp.where(rn <= tol2 * rn0, 1.0, 0.0)
+            mybit = jnp.where(lane8 == me, myconv, 0.0)
+            known_new = jnp.maximum(
+                jnp.maximum(known_k, mybit), jnp.maximum(flags_l, flags_r)
+            )
+            all_known = jnp.sum(known_new[0:1, :], axis=1)[0] >= 128.0
+            # a rank that has detected (now or earlier) stops iterating —
+            # the detecting pass does not solve (schwarz_base.cpp:432)
+            frozen = (done_at >= 0) | all_known
+            z = cg_dom(r)
+            x_new = xx + z[HWr:HWr + Rr]
+            xx = jnp.where(frozen, xx, x_new)
+            known_k = known_new
+            done_at = jnp.where(
+                done_at >= 0, done_at,
+                jnp.where(all_known, base_t + jnp.float32(t), -1.0),
+            )
+            state = (xx, known_k, rn0, done_at)
+
+        # ---- drain: consume everything still outstanding.  The counts are
+        # static because every device runs the same uniform T rounds. ------
+        # data messages arrived but not consumed: messages n in [T-B, T)
+        # (rounds consumed message t-B for t in [B, T)).  The last drained
+        # message is the freshest halo — carried to the next launch, and its
+        # flags merge into known (drained gossip is still gossip).
+        xx, known_k, rn0, done_at = state
+        for n in range(max(T - B, 0), T):
+            jc = n % M
+            data_rdma_right(jc).wait_recv()
+            data_rdma_left(jc).wait_recv()
+            known_k = jnp.maximum(
+                jnp.maximum(known_k, recv_l[jc, HWr:]), recv_r[jc, HWr:]
+            )
+        j_last = (T - 1) % M
+        hl_out[:] = recv_l[j_last, :HWr]
+        hr_out[:] = recv_r[j_last, :HWr]
+        state = (xx, known_k, rn0, done_at)
+        # acks arrived but not awaited: we awaited ack #(t-M) at rounds
+        # t in [M, T); the receiver sent acks #0..#(T-B-1) — outstanding
+        # ack numbers n in [max(T-M, 0), T-B)
+        for n in range(max(T - M, 0), max(T - B, 0)):
+            j = n % M
+            ack_rdma_to_left(j).wait_recv()
+            ack_rdma_to_right(j).wait_recv()
+        # outstanding data send-completions: sends from the last min(M, T)
+        # rounds (send t awaited at round t + M)
+        for t in range(max(T - M, 0), T):
+            j = t % M
+            data_rdma_left(j).wait_send()
+            data_rdma_right(j).wait_send()
+        # outstanding ack send-completions: acks #n sent at rounds n + B,
+        # awaited at rounds n + B + M -> outstanding n in [max(T-B-M, 0), T-B)
+        for n in range(max(T - B - M, 0), max(T - B, 0)):
+            jc = n % M
+            ack_rdma_to_left(jc).wait_send()
+            ack_rdma_to_right(jc).wait_send()
+
+        xx, known_k, rn0, done_at = state
+        x_out[:] = xx
+        known_out[:] = known_k
+        lane = lane8
+        aux_v = jnp.where(lane == 0, rn0, 0.0)
+        aux_v = jnp.where(lane == 1, done_at, aux_v)
+        aux_v = jnp.where(lane == 2, base_t + jnp.float32(T), aux_v)
+        aux_v = jnp.where(lane == 3, rn, aux_v)   # last local ||r||^2
+        aux_out[:] = aux_v
+
+    with jax.enable_x64(False):
+        x_o, known_o, aux_o, hl_o, hr_o = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 5,
+            out_shape=(
+                jax.ShapeDtypeStruct((Rr, 128), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((HWr, 128), jnp.float32),
+                jax.ShapeDtypeStruct((HWr, 128), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((M, MSG, 128), jnp.float32),   # send_l
+                pltpu.VMEM((M, MSG, 128), jnp.float32),   # send_r
+                pltpu.VMEM((M, MSG, 128), jnp.float32),   # recv_l
+                pltpu.VMEM((M, MSG, 128), jnp.float32),   # recv_r
+                pltpu.VMEM((8, 128), jnp.float32),        # ack payload
+                pltpu.VMEM((M, 8, 128), jnp.float32),     # ack_l (from right)
+                pltpu.VMEM((M, 8, 128), jnp.float32),     # ack_r (from left)
+                pltpu.SemaphoreType.DMA((M,)),            # sl_sem
+                pltpu.SemaphoreType.DMA((M,)),            # sr_sem
+                pltpu.SemaphoreType.DMA((M,)),            # rl_sem
+                pltpu.SemaphoreType.DMA((M,)),            # rr_sem
+                pltpu.SemaphoreType.DMA((M,)),            # asl_sem
+                pltpu.SemaphoreType.DMA((M,)),            # asr_sem
+                pltpu.SemaphoreType.DMA((M,)),            # arl_sem
+                pltpu.SemaphoreType.DMA((M,)),            # arr_sem
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(dia3, b2, dinv2, mdom, mint, x2, known2, aux2, hl2, hr2)
+    return (
+        x_o.reshape(1, R),
+        known_o[0:1, :],
+        aux_o[0:1, :],
+        hl_o.reshape(1, hw),
+        hr_o.reshape(1, hw),
+    )
+
+
+class AsyncRASolver:
+    """Host driver: chunked launches of the free-running kernel.
+
+    Each launch runs ``chunk_rounds`` barrier-free iterations on every
+    device; between launches the host checks whether all devices detected
+    global convergence (the only global synchronization, mirroring the
+    reference's outer ``max_iters`` bound, schwarz_base.cpp:387).
+    """
+
+    def __init__(self, mat, rhs, num_subdomains: int, overlap: int = 2,
+                 tolerance: float = 1e-6, staleness: int = 1,
+                 ninner: int = 12, chunk_rounds: int = 16,
+                 mesh=None, interpret: bool | None = None):
+        from jax.sharding import PartitionSpec as P
+
+        from schwarz_tpu.parallel.mesh import SUBD_AXIS, make_mesh
+
+        self.plan = build_async_plan(mat, rhs, num_subdomains, overlap)
+        self.mat = mat
+        self.rhs = np.asarray(rhs)
+        self.tolerance = tolerance
+        self.staleness = staleness
+        self.ninner = ninner
+        self.chunk_rounds = chunk_rounds
+        S = num_subdomains
+        if mesh is None:
+            if len(jax.devices()) < S:
+                raise ValueError(
+                    f"free-running mode needs one device per subdomain "
+                    f"({S} requested, {len(jax.devices())} available)"
+                )
+            mesh = make_mesh(jax.devices()[:S])
+        if mesh.devices.size != S:
+            raise ValueError("free-running mode requires mesh size == S")
+        self.mesh = mesh
+        if interpret is None:
+            interpret = mesh.devices.reshape(-1)[0].platform == "cpu"
+        self.interpret = interpret
+
+        p = self.plan
+        kern = functools.partial(
+            async_ras_rounds,
+            offsets=p.offsets, total=p.total, hw=p.hw,
+            rounds=chunk_rounds, staleness=staleness, ninner=ninner,
+            tol=tolerance, n_subd=S, axis_name=SUBD_AXIS,
+            interpret=interpret,
+        )
+        spec = P(SUBD_AXIS)
+        self._mapped = jax.jit(jax.shard_map(
+            kern, mesh=mesh,
+            in_specs=(spec,) * 10, out_specs=(spec,) * 5,
+            check_vma=False,
+        ))
+        shard = jax.sharding.NamedSharding(mesh, spec)
+        self._dev = {
+            "dia": jax.device_put(jnp.asarray(p.dia), shard),
+            "b": jax.device_put(jnp.asarray(p.b), shard),
+            "dinv": jax.device_put(jnp.asarray(p.dinv), shard),
+            "mask_dom": jax.device_put(jnp.asarray(p.mask_dom), shard),
+            "mask_int": jax.device_put(jnp.asarray(p.mask_int), shard),
+        }
+
+    def run(self, max_rounds: int = 400):
+        """Iterate chunks until every device detected convergence.
+
+        Returns (x_global, info): x in the original row ordering, info with
+        per-device detection iterations (``done_at`` — unequal under real
+        asynchrony), rounds executed, and the true relative residual.
+        """
+        import time
+
+        p = self.plan
+        S = p.S
+        x = jnp.zeros((S, p.R), jnp.float32)
+        known = jnp.zeros((S, 128), jnp.float32)
+        aux = jnp.full((S, 128), -1.0, jnp.float32)
+        aux = aux.at[:, 2].set(0.0)   # base round counter
+        hl = jnp.zeros((S, p.hw), jnp.float32)
+        hr = jnp.zeros((S, p.hw), jnp.float32)
+        t0 = time.perf_counter()
+        rounds = 0
+        while rounds < max_rounds:
+            x, known, aux, hl, hr = self._mapped(
+                self._dev["dia"], self._dev["b"], self._dev["dinv"],
+                self._dev["mask_dom"], self._dev["mask_int"],
+                x, known, aux, hl, hr,
+            )
+            rounds += self.chunk_rounds
+            done = np.asarray(aux[:, 1])
+            if np.all(done >= 0):
+                break
+        elapsed = time.perf_counter() - t0
+        x_h = np.asarray(jax.block_until_ready(x))
+        sol = np.zeros(p.S * p.R, np.float32)
+        for d in range(S):
+            sol[d * p.R:(d + 1) * p.R] = x_h[d]
+        sol = sol[:p.N]
+        A = self.mat.to_scipy()
+        res = self.rhs - A @ sol
+        rel = float(np.linalg.norm(res) / max(np.linalg.norm(self.rhs),
+                                              1e-300))
+        done = np.asarray(aux[:, 1]).astype(int)
+        return sol, {
+            "done_at": done,
+            "converged": bool(np.all(done >= 0)),
+            "rounds": rounds,
+            "relative_residual_norm": rel,
+            "time_s": elapsed,
+            "effective_overlap": p.ovp,
+        }

@@ -248,9 +248,10 @@ def _rdma_cyclic_shift(
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=scratch,
-            compiler_params=pltpu.CompilerParams(
-                has_side_effects=True, collective_id=collective_id,
-            ),
+            # collective_id must be None on hardware unless a custom
+            # barrier semaphore is used (v5e Mosaic check); DMA semaphores
+            # alone need no collective id
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(buf)
 
