@@ -403,7 +403,10 @@ def main(argv=None):
         # configuration validation (e.g. fused_local_cg gating): exit with the
         # message, not a traceback
         sys.exit(f"error: {e}")
-    resume_state = solver.load_checkpoint(args.resume) if args.resume else None
+    resume_state = (
+        solver.load_checkpoint(args.resume)
+        if args.resume and args.accelerator != "fgmres" else None
+    )
     import contextlib
 
     prof = (
@@ -412,10 +415,19 @@ def main(argv=None):
         else contextlib.nullcontext()
     )
     with prof:
-        if args.instrument:
+        if args.accelerator == "fgmres":
+            accel_resume = (
+                solver.load_accel_checkpoint(args.resume)
+                if args.resume else None
+            )
+            result = solver.run_accelerated(
+                resume_state=accel_resume,
+                checkpoint_path=args.checkpoint,
+                chunk_iters=args.chunk_iters,
+                instrument=args.instrument,
+            )
+        elif args.instrument:
             result = solver.run_instrumented()
-        elif args.accelerator == "fgmres":
-            result = solver.run_accelerated()
         else:
             result = solver.run(
                 resume_state=resume_state, checkpoint_path=args.checkpoint,

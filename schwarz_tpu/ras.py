@@ -954,14 +954,32 @@ class RASolver:
             counter=P(SUBD_AXIS), counted=P(SUBD_AXIS), res_table=P(SUBD_AXIS),
         )
 
+        do_exchange = self._exchange_fn()
+
         def exchange(plan, x_own):
-            return exchange_halo_allgather(
-                x_own, plan["interior_off"], plan["halo_slots"],
-                plan["halo_src_halo"], meta.max_ext, halo_dtype=halo_dtype,
-            )
+            # the CONFIGURED strategy (all_gather / neighbor / rdma), so the
+            # five-stage CSV covers the production configs
+            return do_exchange(plan, x_own)
 
         def update(plan, x_ext):
             return _interface_update(plan, x_ext)
+
+        def coarse(plan, x_own, r, detected):
+            # two-level Nicolaides correction (fused-loop equivalent)
+            r_int_win = _extract_interior(
+                r, plan["interior_off"], R_int, plan["interior_mask"]
+            )
+            r_c = jnp.sum(r_int_win, axis=1)
+            r_c_all = jax.lax.all_gather(r_c, SUBD_AXIS, tiled=True)
+            coarse_c = plan["coarse_inv"] @ r_c_all
+            corr = jnp.where(
+                detected[:, None], 0.0,
+                jnp.where(plan["interior_mask"], coarse_c[:, None], 0.0),
+            )
+            return x_own + corr
+
+        def resid(plan, x_ext, rhs_eff):
+            return rhs_eff - self._apply_local(plan)(x_ext[:, :R_rows])
 
         def conv(plan, conv_state, x_ext, rhs_eff, rn0_in):
             r = rhs_eff - self._apply_local(plan)(x_ext[:, :R_rows])
@@ -993,7 +1011,19 @@ class RASolver:
             return jnp.where(detected[:, None], x_own, x_new)
 
         sm = functools.partial(jax.shard_map, mesh=self.mesh, check_vma=False)
+        stages_extra = {}
+        if "coarse_inv" in self._plan:
+            stages_extra["coarse_correction"] = jax.jit(sm(
+                coarse,
+                in_specs=(plan_specs, P(SUBD_AXIS), P(SUBD_AXIS),
+                          P(SUBD_AXIS)),
+                out_specs=P(SUBD_AXIS)))
+            stages_extra["residual_recompute"] = jax.jit(sm(
+                resid,
+                in_specs=(plan_specs, P(SUBD_AXIS), P(SUBD_AXIS)),
+                out_specs=P(SUBD_AXIS)))
         return {
+            **stages_extra,
             "boundary_exchange": jax.jit(sm(
                 exchange, in_specs=(plan_specs, P(SUBD_AXIS)),
                 out_specs=P(SUBD_AXIS))),
@@ -1020,13 +1050,23 @@ class RASolver:
     def run_instrumented(self, x0: Optional[np.ndarray] = None) -> RASResult:
         """Python-driven loop with per-stage host timing (measurement mode).
 
-        Limitations vs the fused loop: always uses the all_gather exchange and
-        the one-level update (no two_level / stale-halo modes) — it exists to
-        attribute time to the reference's five stages, not to be the fast path.
+        Covers the configured exchange strategy (all_gather / neighbor /
+        rdma) and two_level (reported as extra ``coarse_correction`` /
+        ``residual_recompute`` stages).  Stale-halo modes (enable_overlap,
+        onesided staleness) need the fused carry and raise here; use the
+        fused loop for those.  Slower than the fused loop (host sync between
+        stages) — measurement mode only.
         """
         from schwarz_tpu.utils.timing import StageTimer
 
         s = self.settings
+        if s.comm.overlap_comm or (s.comm.onesided and s.comm.staleness > 1):
+            raise ValueError(
+                "run_instrumented requires fresh halos each iteration; the "
+                "stale-halo modes (enable_overlap / onesided staleness) "
+                "carry cross-iteration halo state that only the fused loop "
+                "tracks — run them unfused"
+            )
         meta = self.meta
         S = meta.num_subdomains
         dtype = s.value_dtype
@@ -1067,6 +1107,21 @@ class RASolver:
             if diverged or nconv >= S:
                 hist_inner.append(np.zeros(S, np.int32))
                 break
+            if "coarse_correction" in stages:
+                # two-level: coarse-correct, re-exchange, re-update, refresh
+                # the residual the solve stage acts on (fused-loop order)
+                with timer.time("coarse_correction"):
+                    x_own = jax.block_until_ready(stages["coarse_correction"](
+                        self._plan, x_own, r, conv_state.detected))
+                with timer.time("boundary_exchange"):
+                    x_ext = jax.block_until_ready(
+                        stages["boundary_exchange"](self._plan, x_own))
+                with timer.time("boundary_update"):
+                    rhs_eff = jax.block_until_ready(
+                        stages["boundary_update"](self._plan, x_ext))
+                with timer.time("residual_recompute"):
+                    r = jax.block_until_ready(stages["residual_recompute"](
+                        self._plan, x_ext, rhs_eff))
             with timer.time("local_solve"):
                 z, inner = stages["local_solve"](
                     self._plan, rhs_eff, r, z, conv_state.detected, x_ext)
@@ -1122,8 +1177,55 @@ class RASolver:
         )
 
     # ------------------------------------------------- Krylov acceleration --
+    def _accel_closures(self, plan):
+        """SPMD matvec / RAS-preconditioner closures for the global FGMRES."""
+        s = self.settings
+        meta = self.meta
+        Sl = self.Sl
+        R_int = meta.max_interior
+        R_rows = meta.max_rows
+        dtype = s.value_dtype
+        do_exchange = self._exchange_fn()
+
+        def matvec(v):
+            v_ext = do_exchange(plan, v)
+            av = self._apply_local(plan)(v_ext[:, :R_rows])
+            # interface couplings: exterior-column entries scattered onto
+            # their (interface) rows.  With overlap >= 2 interior rows are
+            # closed and this only touches discarded overlap rows; with
+            # overlap == 1 interior rows DO carry interface entries and
+            # dropping them would make the operator block-diagonal.
+            av = _interface_apply(plan, v_ext, av)
+            return _extract_interior(
+                av, plan["interior_off"], R_int, plan["interior_mask"]
+            )
+
+        def precond(r):
+            r_ext = do_exchange(plan, r)
+            z, _, _ = self._local_solve(
+                plan, r_ext[:, :R_rows], jnp.zeros((Sl, R_rows), dtype)
+            )
+            mr = _extract_interior(
+                z, plan["interior_off"], R_int, plan["interior_mask"]
+            )
+            if "coarse_inv" in plan:
+                r_c = jnp.sum(r, axis=1)
+                r_c_all = jax.lax.all_gather(r_c, SUBD_AXIS, tiled=True)
+                c = plan["coarse_inv"] @ r_c_all
+                mr = mr + jnp.where(
+                    plan["interior_mask"], c[:, None], 0.0
+                )
+            return mr
+
+        return matvec, precond
+
     def run_accelerated(
-        self, x0: Optional[np.ndarray] = None
+        self,
+        x0: Optional[np.ndarray] = None,
+        resume_state=None,
+        checkpoint_path: Optional[str] = None,
+        chunk_iters: Optional[int] = None,
+        instrument: bool = False,
     ) -> RASResult:
         """Solve the global system with flexible GMRES preconditioned by one
         RAS application (local solves + optional coarse correction).
@@ -1134,6 +1236,15 @@ class RASolver:
         restart, ``tolerance`` as the global relative-residual target, and the
         configured local solver / preconditioner / exchange strategy inside
         the preconditioner.
+
+        Production hardening (same surface as :meth:`run`): ``chunk_iters``
+        caps the Krylov iterations per XLA execution (rounded up to restart
+        cycles — identical results, bounded single-execution time for the TPU
+        watchdog); ``checkpoint_path`` saves the resumable cycle state;
+        ``resume_state`` (from :meth:`load_accel_checkpoint`) continues a
+        partially-converged solve.  ``instrument=True`` additionally measures
+        the matvec / RAS-preconditioner stages separately and attaches
+        ``stage_timings``.
         """
         from schwarz_tpu.solvers.global_krylov import fgmres
 
@@ -1141,55 +1252,38 @@ class RASolver:
         meta = self.meta
         dec = self.dec
         S = meta.num_subdomains
-        Sl = self.Sl
         R_int = meta.max_interior
-        R_rows = meta.max_rows
         dtype = s.value_dtype
-        do_exchange = self._exchange_fn()
+        m = max(s.restart_iter, 2)
+        max_cycles = -(-s.max_iters // m)
+        budget = (
+            None if chunk_iters is None else max(1, -(-chunk_iters // m))
+        )
 
-        def accel_fn(plan, b_own, x0_own):
-            def matvec(v):
-                v_ext = do_exchange(plan, v)
-                av = self._apply_local(plan)(v_ext[:, :R_rows])
-                # interface couplings: exterior-column entries scattered onto
-                # their (interface) rows.  With overlap >= 2 interior rows are
-                # closed and this only touches discarded overlap rows; with
-                # overlap == 1 interior rows DO carry interface entries and
-                # dropping them would make the operator block-diagonal.
-                av = _interface_apply(plan, v_ext, av)
-                return _extract_interior(
-                    av, plan["interior_off"], R_int, plan["interior_mask"]
-                )
+        def init_fn(plan, b_own, x0_own):
+            mv, pc = self._accel_closures(plan)
+            # cycle_budget=0 executes no cycles: builds the initial carry
+            return fgmres(mv, pc, b_own, x0_own, s.tolerance, s.max_iters,
+                          m, cycle_budget=0).state
 
-            def precond(r):
-                r_ext = do_exchange(plan, r)
-                z, _, _ = self._local_solve(
-                    plan, r_ext[:, :R_rows], jnp.zeros((Sl, R_rows), dtype)
-                )
-                mr = _extract_interior(
-                    z, plan["interior_off"], R_int, plan["interior_mask"]
-                )
-                if "coarse_inv" in plan:
-                    r_c = jnp.sum(r, axis=1)
-                    r_c_all = jax.lax.all_gather(r_c, SUBD_AXIS, tiled=True)
-                    c = plan["coarse_inv"] @ r_c_all
-                    mr = mr + jnp.where(
-                        plan["interior_mask"], c[:, None], 0.0
-                    )
-                return mr
-
-            res = fgmres(
-                matvec, precond, b_own, x0_own,
-                s.tolerance, s.max_iters, max(s.restart_iter, 2),
-            )
-            return res.x, res.iters, res.rel_resnorm, res.hist
+        def cycles_fn(plan, b_own, carry):
+            mv, pc = self._accel_closures(plan)
+            res = fgmres(mv, pc, b_own, carry[0], s.tolerance, s.max_iters,
+                         m, state=carry,
+                         cycle_budget=budget if budget is not None else None)
+            return res.state
 
         plan_specs = {k: P(SUBD_AXIS) for k in self._plan}
-        mapped = jax.jit(jax.shard_map(
-            accel_fn, mesh=self.mesh,
+        carry_specs = (P(SUBD_AXIS), P(), P(), P(), P(), P())
+        mapped_init = jax.jit(jax.shard_map(
+            init_fn, mesh=self.mesh,
             in_specs=(plan_specs, P(SUBD_AXIS), P(SUBD_AXIS)),
-            out_specs=(P(SUBD_AXIS), P(), P(), P()),
-            check_vma=False,
+            out_specs=carry_specs, check_vma=False,
+        ))
+        mapped_cycles = jax.jit(jax.shard_map(
+            cycles_fn, mesh=self.mesh,
+            in_specs=(plan_specs, P(SUBD_AXIS), carry_specs),
+            out_specs=carry_specs, check_vma=False,
         ))
 
         # rhs in the interior layout
@@ -1199,25 +1293,90 @@ class RASolver:
             b_own[p, : hi - lo] = dec.global_rhs[lo:hi]
         shard = jax.sharding.NamedSharding(self.mesh, P(SUBD_AXIS))
         b_dev = jax.device_put(jnp.asarray(b_own), shard)
-        x0_dev = (
-            jax.device_put(jnp.zeros((S, R_int), dtype), shard)
-            if x0 is None else jax.device_put(jnp.asarray(x0, dtype), shard)
-        )
+        bnorm = float(np.linalg.norm(b_own))
 
         t0 = time.perf_counter()
-        x, iters, rel, hist = mapped(self._plan, b_dev, x0_dev)
-        x = np.asarray(jax.block_until_ready(x))
+        if resume_state is not None:
+            # re-fit the history buffer to this solver's max_iters (the
+            # checkpointing run may have used a smaller budget)
+            h = np.asarray(resume_state[5])
+            want = s.max_iters + 2
+            if h.shape[0] != want:
+                h2 = np.zeros(want, h.dtype)
+                h2[: min(want, h.shape[0])] = h[: min(want, h.shape[0])]
+                resume_state = (*resume_state[:5], jnp.asarray(h2))
+            carry = resume_state
+        else:
+            x0_dev = (
+                jax.device_put(jnp.zeros((S, R_int), dtype), shard)
+                if x0 is None
+                else jax.device_put(jnp.asarray(x0, dtype), shard)
+            )
+            carry = mapped_init(self._plan, b_dev, x0_dev)
+        while True:
+            carry = mapped_cycles(self._plan, b_dev, carry)
+            active = bool(carry[4])
+            if budget is None or not active or int(carry[3]) >= max_cycles:
+                break
+        x = np.asarray(jax.block_until_ready(carry[0]))
         elapsed = time.perf_counter() - t0
 
-        iters = int(iters)
-        rel_v = float(rel)
+        if checkpoint_path is not None:
+            flat = [np.asarray(leaf) for leaf in carry]
+            np.savez_compressed(checkpoint_path, *flat)
+
+        iters = int(carry[2])
+        rel_v = float(carry[1]) / max(bnorm, 1e-300)
         converged = rel_v <= s.tolerance
-        hist_g = np.asarray(hist)[: iters + 1]
-        return self._assemble_result(
+        hist_g = np.asarray(carry[5])[: iters + 1]
+        result = self._assemble_result(
             x, converged, bool(np.isnan(rel_v)), iters,
             np.zeros((len(hist_g), S)), hist_g,
             np.zeros((len(hist_g), S), np.int32), elapsed,
         )
+        if instrument:
+            result.stage_timings = self._accel_stage_timings(b_dev)
+        return result
+
+    def load_accel_checkpoint(self, path: str):
+        """Load a resumable FGMRES cycle state saved by ``checkpoint_path``."""
+        data = np.load(path)
+        return tuple(jnp.asarray(data[f"arr_{i}"]) for i in range(6))
+
+    def _accel_stage_timings(self, b_dev) -> dict:
+        """Per-stage attribution for the accelerated mode: the matvec and the
+        RAS-preconditioner application timed as separately-jitted SPMD stages
+        (the accelerated analogue of the five-stage C29 instrumentation)."""
+        plan_specs = {k: P(SUBD_AXIS) for k in self._plan}
+
+        def mv_fn(plan, v):
+            mv, _ = self._accel_closures(plan)
+            return mv(v)
+
+        def pc_fn(plan, r):
+            _, pc = self._accel_closures(plan)
+            return pc(r)
+
+        timings = {}
+        for name, fn in (("accel_matvec", mv_fn), ("accel_precond", pc_fn)):
+            mapped = jax.jit(jax.shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(plan_specs, P(SUBD_AXIS)),
+                out_specs=P(SUBD_AXIS), check_vma=False,
+            ))
+            jax.block_until_ready(mapped(self._plan, b_dev))  # compile
+            samples = []
+            for _ in range(10):
+                t0 = time.perf_counter()
+                jax.block_until_ready(mapped(self._plan, b_dev))
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            timings[name] = {
+                "total": sum(samples), "avg": sum(samples) / len(samples),
+                "min": samples[0], "med": samples[len(samples) // 2],
+                "max": samples[-1],
+            }
+        return timings
 
     def neighbor_locality(self) -> np.ndarray:
         """(S, S) bool: True where the two subdomains' devices share a host —

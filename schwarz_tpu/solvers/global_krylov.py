@@ -29,6 +29,8 @@ class FGMRESResult(NamedTuple):
     iters: jax.Array        # () total Krylov iterations
     rel_resnorm: jax.Array  # () final ||r|| / ||b||
     hist: jax.Array         # (max_iters + 1,) residual-norm history
+    state: tuple            # resumable cycle carry (x, rnorm, it, cycles,
+                            # active, hist) — chunked execution / checkpoint
 
 
 def _gdot(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -43,8 +45,18 @@ def fgmres(
     tol: float,
     max_iters: int,
     restart: int,
+    state: tuple | None = None,
+    cycle_budget: int | None = None,
 ) -> FGMRESResult:
-    """Right-preconditioned flexible GMRES(restart); SPMD inside shard_map."""
+    """Right-preconditioned flexible GMRES(restart); SPMD inside shard_map.
+
+    ``state`` (a prior result's ``.state``) resumes mid-solve at a restart
+    boundary; ``cycle_budget`` caps the restart cycles executed THIS call
+    (chunked execution: each cycle is one bounded XLA-visible unit, so a
+    chunked run stays under device watchdog limits and is checkpointable).
+    Results are identical to the unchunked run because FGMRES(restart)
+    discards the Krylov basis at every restart anyway.
+    """
     m = int(restart)
     Sl, R = b.shape
     dtype = b.dtype
@@ -140,15 +152,30 @@ def fgmres(
         active = active & (rnorm > target) & (it_total < max_iters)
         return x, rnorm, it_total, cycles + 1, active, hist
 
-    r0 = b - matvec(x0)
-    rnorm0 = jnp.sqrt(_gdot(r0, r0))
-    hist0 = jnp.zeros(max_iters + 2, dtype).at[0].set(rnorm0)
-    carry = (
-        x0, rnorm0, jnp.int32(0), jnp.int32(0),
-        rnorm0 > target, hist0,
+    if state is None:
+        r0 = b - matvec(x0)
+        rnorm0 = jnp.sqrt(_gdot(r0, r0))
+        hist0 = jnp.zeros(max_iters + 2, dtype).at[0].set(rnorm0)
+        carry = (
+            x0, rnorm0, jnp.int32(0), jnp.int32(0),
+            rnorm0 > target, hist0,
+        )
+    else:
+        x_s, rn_s, it_s, cy_s, _, h_s = state
+        # re-derive activity under THIS call's tolerance/iteration budget:
+        # a resumed solve may carry a larger max_iters than the run that
+        # checkpointed (resume-with-larger-budget workflow)
+        carry = (x_s, rn_s, it_s, cy_s,
+                 (rn_s > target) & (it_s < max_iters), h_s)
+    cycle_stop = (
+        jnp.int32(max_cycles) if cycle_budget is None
+        else jnp.minimum(jnp.int32(max_cycles),
+                         carry[3] + jnp.int32(cycle_budget))
     )
-    x, rnorm, iters, cycles, _, hist = jax.lax.while_loop(
-        lambda c: c[4] & (c[3] < max_cycles), cycle, carry
+    out = jax.lax.while_loop(
+        lambda c: c[4] & (c[3] < cycle_stop), cycle, carry
     )
+    x, rnorm, iters, cycles, _, hist = out
     rel = rnorm / jnp.maximum(bnorm, tiny)
-    return FGMRESResult(x=x, iters=iters, rel_resnorm=rel, hist=hist)
+    return FGMRESResult(x=x, iters=iters, rel_resnorm=rel, hist=hist,
+                        state=out)

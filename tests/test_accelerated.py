@@ -130,3 +130,44 @@ def test_fgmres_overlap1_exact_operator():
     assert r.relative_residual_norm < 1e-7
     x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
     np.testing.assert_allclose(r.solution, x_ref, rtol=1e-6, atol=1e-6)
+
+
+def test_fgmres_chunked_matches_unchunked_and_resumes(tmp_path):
+    # chunk_iters bounds each execution at restart-cycle granularity with
+    # identical results; checkpoint/resume continues a capped solve
+    A = laplacian_2d(32)
+    b = generate_rhs(A.n)
+    s = Settings(overlap=3, tolerance=1e-8, max_iters=200, restart_iter=10,
+                 dtype="float64")
+    solver = RASolver(decompose(A, b, s, 4))
+    r_full = solver.run_accelerated()
+    r_chunk = solver.run_accelerated(chunk_iters=20)
+    assert r_full.converged and r_chunk.converged
+    assert r_full.iters == r_chunk.iters
+    np.testing.assert_allclose(r_chunk.solution, r_full.solution, atol=1e-12)
+
+    # cap the budget, checkpoint, resume to completion
+    s_cap = s.replace(max_iters=10)
+    solver_cap = RASolver(decompose(A, b, s_cap, 4))
+    ck = str(tmp_path / "accel.npz")
+    r_cap = solver_cap.run_accelerated(checkpoint_path=ck)
+    assert not r_cap.converged
+    state = solver.load_accel_checkpoint(ck)
+    r_res = solver.run_accelerated(resume_state=state)
+    assert r_res.converged
+    # resumed from iteration 10: total extra iterations bounded
+    assert int(r_res.iters) <= r_full.iters + int(r_cap.iters) + 1
+    np.testing.assert_allclose(r_res.solution, r_full.solution, atol=1e-8)
+
+
+def test_fgmres_instrumented_stage_timings():
+    A = laplacian_2d(24)
+    b = generate_rhs(A.n)
+    s = Settings(overlap=3, tolerance=1e-6, max_iters=100, restart_iter=15,
+                 comm=CommSettings(strategy=HaloStrategy.neighbor))
+    solver = RASolver(decompose(A, b, s, 4))
+    r = solver.run_accelerated(instrument=True)
+    assert r.converged
+    assert set(r.stage_timings) == {"accel_matvec", "accel_precond"}
+    for v in r.stage_timings.values():
+        assert v["avg"] > 0 and v["min"] <= v["med"] <= v["max"]

@@ -33,3 +33,39 @@ def test_instrumented_matches_fused_loop(oras):
     for st in STAGES:
         assert st in r_inst.stage_timings, st
         assert r_inst.stage_timings[st]["total"] > 0
+
+
+def test_instrumented_neighbor_two_level():
+    # round-1 verdict: per-stage attribution must cover the production
+    # configs (neighbor exchange + two_level), not only all_gather/one-level
+    from schwarz_tpu import CommSettings, HaloStrategy
+
+    A = laplacian_2d(24)
+    b = generate_rhs(A.n)
+    s = Settings(overlap=3, tolerance=1e-6, max_iters=150, two_level=True,
+                 comm=CommSettings(strategy=HaloStrategy.neighbor))
+    solver = RASolver(decompose(A, b, s, 4))
+    r = solver.run_instrumented()
+    assert r.converged
+    keys = set(r.stage_timings)
+    assert {"boundary_exchange", "boundary_update", "convergence_check",
+            "local_solve", "expand_local_vec", "coarse_correction",
+            "residual_recompute"} <= keys
+    # instrumented must agree with the fused loop on the iterate
+    r_fused = solver.run()
+    assert abs(r.iters - r_fused.iters) <= 1
+    np.testing.assert_allclose(
+        r.solution, r_fused.solution, rtol=1e-8, atol=1e-10)
+
+
+def test_instrumented_raises_on_stale_modes():
+    from schwarz_tpu import CommSettings
+
+    A = laplacian_2d(12)
+    b = generate_rhs(A.n)
+    s = Settings(overlap=2, comm=CommSettings(overlap_comm=True))
+    solver = RASolver(decompose(A, b, s, 2))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fresh halos"):
+        solver.run_instrumented()
