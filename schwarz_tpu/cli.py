@@ -32,8 +32,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="grid side n; global size n^2")
     p.add_argument("--problem", default="laplacian",
                    choices=["laplacian", "laplacian3d", "anisotropic",
-                            "advection", "helmholtz"],
-                   help="generated problem family (replaces the deal.II drivers)")
+                            "advection", "helmholtz", "fem"],
+                   help="generated problem family (replaces the deal.II "
+                        "drivers; 'fem' = real P1 assembly with adaptive "
+                        "local refinement, the dealii_ex_6 role)")
+    p.add_argument("--fem_refine_levels", type=int, default=2,
+                   help="local-refinement rounds for --problem fem")
+    p.add_argument("--fem_eps", type=float, default=1.0,
+                   help="anisotropy ratio for --problem fem (ani3/ani4 role)")
     p.add_argument("--enable_random_rhs", action="store_true")
     # decomposition (bench_base.hpp:91-96)
     p.add_argument("--num_subdomains", type=int, default=None,
@@ -323,6 +329,18 @@ def main(argv=None):
                 "which is required for this run."
             )
         print(f"Matrix from file {args.matrix_filename}", file=sys.stderr)
+    elif args.problem == "fem":
+        from schwarz_tpu.models import fem_p1_poisson
+
+        mat, fem_rhs, _coords, cell_weights = fem_p1_poisson(
+            args.set_1d_laplacian_size,
+            refine_levels=args.fem_refine_levels,
+            eps=args.fem_eps, theta=0.5 if args.fem_eps != 1.0 else 0.0,
+        )
+        print(
+            f"P1 FEM matrix (assembled, {args.fem_refine_levels} refinement "
+            f"levels), n={mat.n}", file=sys.stderr,
+        )
     else:
         n = args.set_1d_laplacian_size
         gen = {
@@ -335,7 +353,11 @@ def main(argv=None):
         mat = gen(n)
         print(f"{args.problem} 2D matrix (generated in house), n={mat.n}",
               file=sys.stderr)
-    rhs = generate_rhs(mat.n, random=args.enable_random_rhs)
+    if args.problem == "fem" and args.matrix_filename == "null":
+        rhs = fem_rhs
+    else:
+        cell_weights = None
+        rhs = generate_rhs(mat.n, random=args.enable_random_rhs)
 
     S = args.num_subdomains or max(1, len(jax.devices()))
     if args.print_config:
@@ -380,7 +402,7 @@ def main(argv=None):
         }))
         return 0 if info["converged"] else 1
 
-    dec = decompose(mat, rhs, settings, S)
+    dec = decompose(mat, rhs, settings, S, cell_weights=cell_weights)
     if args.print_matrices:
         from schwarz_tpu.utils.validation import dump_csr_csv
 

@@ -103,11 +103,10 @@ def helmholtz_2d(n: int, k: float = 5.0, dtype=np.float64) -> CSRMatrix:
     A = laplacian_2d(n, dtype=dtype)
     h = 1.0 / (n + 1)
     shift = (k * h) ** 2
-    # subtract k^2 h^2 from the diagonal
-    for r in range(A.n):
-        for j in range(A.row_ptrs[r], A.row_ptrs[r + 1]):
-            if A.col_idxs[j] == r:
-                A.values[j] -= shift
+    # subtract k^2 h^2 from the diagonal (vectorized: O(nnz) numpy, not an
+    # interpreted double loop — round-1 advisor finding)
+    rows_of = np.repeat(np.arange(A.n, dtype=np.int64), np.diff(A.row_ptrs))
+    A.values[A.col_idxs == rows_of] -= shift
     return A
 
 

@@ -1,0 +1,199 @@
+"""Real P1 finite-element assembly with adaptive local refinement.
+
+The role of the reference's deal.II drivers (benchmarking/dealii_ex_6.cpp:
+adaptively-refined FEM Poisson feeding SolverRAS at :312-316, and the
+anisotropic FEM family behind the bundled ani3/ani4 test matrices): produce
+genuinely *unstructured*, locally-refined operators — the regime where the
+graph (metis-equivalent) partitioner and per-row ``cell_weights`` earn their
+keep, which structured FD generators never stress.
+
+Pipeline (host, numpy, setup-time):
+  1. structured triangulation of the unit square (two triangles per cell),
+  2. ``refine_levels`` rounds of longest-edge (Rivara) bisection of the
+     triangles nearest ``refine_at``, with conformity propagation (no
+     hanging nodes — asserted),
+  3. vectorized P1 stiffness assembly for ``-div(K grad u)`` with
+     ``K = R(theta) diag(1, eps) R(theta)^T`` (eps >> 1 reproduces the
+     ani3/ani4 anisotropy), one-point-quadrature load ``f = 1``,
+  4. Dirichlet elimination of boundary nodes.
+
+Returns the interior operator, rhs, node coordinates, and per-node
+``cell_weights`` (incident-triangle counts — refined regions are heavier),
+ready for ``solve(..., cell_weights=...)`` weight-balanced partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from schwarz_tpu.models.csr import CSRMatrix
+
+
+def _structured_triangulation(n: int):
+    """(n+1)^2 vertices on the unit square, 2*n^2 triangles (lower-left /
+    upper-right split of each cell), all counter-clockwise."""
+    xs = np.linspace(0.0, 1.0, n + 1)
+    vx, vy = np.meshgrid(xs, xs, indexing="xy")
+    verts = np.stack([vx.ravel(), vy.ravel()], axis=1)
+
+    def vid(ix, iy):
+        return iy * (n + 1) + ix
+
+    tris = []
+    for iy in range(n):
+        for ix in range(n):
+            a = vid(ix, iy)
+            b = vid(ix + 1, iy)
+            c = vid(ix + 1, iy + 1)
+            d = vid(ix, iy + 1)
+            tris.append((a, b, c))
+            tris.append((a, c, d))
+    return verts, tris
+
+
+def _refine(verts: np.ndarray, tris, marked) -> Tuple[np.ndarray, list]:
+    """Longest-edge (Rivara) bisection of ``marked`` triangle indices with
+    conformity propagation; returns (new verts, new triangle list)."""
+    verts_list = [tuple(v) for v in verts]
+    mid: Dict[frozenset, int] = {}
+
+    def midpoint(a: int, b: int) -> int:
+        key = frozenset((a, b))
+        if key not in mid:
+            va = np.asarray(verts_list[a])
+            vb = np.asarray(verts_list[b])
+            verts_list.append(tuple((va + vb) / 2.0))
+            mid[key] = len(verts_list) - 1
+        return mid[key]
+
+    def longest_edge(t):
+        pts = [np.asarray(verts_list[v]) for v in t]
+        lens = [np.sum((pts[(k + 1) % 3] - pts[k]) ** 2) for k in range(3)]
+        k = int(np.argmax(lens))
+        return t[k], t[(k + 1) % 3], t[(k + 2) % 3]
+
+    tris = [tuple(t) for t in tris]
+    queue = set(int(m) for m in marked)
+    # bisect marked triangles, then propagate until conforming: any triangle
+    # one of whose edges carries a midpoint must itself be bisected
+    for _ in range(64 * (len(tris) + len(queue)) + 64):
+        if queue:
+            idx = queue.pop()
+            t = tris[idx]
+            if t is None:
+                continue
+            a, b, c = longest_edge(t)
+            m = midpoint(a, b)
+            tris[idx] = None
+            tris.append((a, m, c))
+            tris.append((m, b, c))
+            continue
+        # conformity sweep
+        dirty = False
+        for idx, t in enumerate(tris):
+            if t is None:
+                continue
+            for k in range(3):
+                e = frozenset((t[k], t[(k + 1) % 3]))
+                if e in mid:
+                    queue.add(idx)
+                    dirty = True
+                    break
+        if not dirty:
+            break
+    else:  # pragma: no cover - safety bound
+        raise RuntimeError("refinement did not reach conformity")
+
+    new_tris = [t for t in tris if t is not None]
+    # conformity assertion: no surviving triangle edge carries a midpoint
+    # (a midpoint on an edge would be a hanging node)
+    for t in new_tris:
+        for k in range(3):
+            assert frozenset((t[k], t[(k + 1) % 3])) not in mid, (
+                "hanging node after refinement"
+            )
+    return np.asarray(verts_list, dtype=np.float64), new_tris
+
+
+def fem_p1_poisson(
+    n: int,
+    refine_levels: int = 0,
+    refine_at: Tuple[float, float] = (0.0, 0.0),
+    refine_fraction: float = 0.25,
+    eps: float = 1.0,
+    theta: float = 0.0,
+    dtype=np.float64,
+) -> Tuple[CSRMatrix, np.ndarray, np.ndarray, np.ndarray]:
+    """Assemble the P1 operator for ``-div(K grad u) = 1`` on the unit square.
+
+    ``refine_levels`` rounds of local refinement bisect the
+    ``refine_fraction`` of triangles nearest ``refine_at`` (dealii_ex_6's
+    adaptive-refinement role); ``eps``/``theta`` set the anisotropy
+    ``K = R(theta) diag(1, eps) R(theta)^T`` (ani3/ani4 role; eps = 1 is the
+    plain Laplacian).
+
+    Returns ``(A_interior, rhs_interior, coords_interior, cell_weights)``.
+    """
+    verts, tris = _structured_triangulation(n)
+    for _ in range(refine_levels):
+        cent = np.array([
+            np.mean([verts[v] for v in t], axis=0) for t in tris
+        ])
+        dist = np.linalg.norm(cent - np.asarray(refine_at), axis=1)
+        k = max(1, int(refine_fraction * len(tris)))
+        marked = np.argsort(dist)[:k]
+        verts, tris = _refine(verts, tris, marked)
+
+    T = np.asarray(tris, dtype=np.int64)            # (M, 3)
+    P = verts[T]                                    # (M, 3, 2)
+    # edge vectors opposite each vertex: e_k = p_{k+2} - p_{k+1}
+    e = P[:, [2, 0, 1], :] - P[:, [1, 2, 0], :]     # (M, 3, 2)
+    # signed double area
+    twoA = e[:, 0, 0] * e[:, 1, 1] - e[:, 0, 1] * e[:, 1, 0]
+    area = np.abs(twoA) / 2.0
+    # grad of barycentric basis k: rotate opposite edge by 90 deg / (2A)
+    grads = np.stack([-e[..., 1], e[..., 0]], axis=-1) / twoA[:, None, None]
+    c, s = np.cos(theta), np.sin(theta)
+    R = np.array([[c, -s], [s, c]])
+    K = R @ np.diag([1.0, eps]) @ R.T
+    # element stiffness: A_ij = area * grad_i . K grad_j   (M, 3, 3)
+    Kg = np.einsum("ab,mjb->mja", K, grads)
+    elem = area[:, None, None] * np.einsum("mia,mja->mij", grads, Kg)
+
+    rows = np.repeat(T, 3, axis=1).ravel()          # (M*9,)
+    cols = np.tile(T, (1, 3)).ravel()
+    vals = elem.reshape(-1)   # row-major (i outer, j inner) matches rows/cols
+
+    V = len(verts)
+    on_bnd = (
+        (np.abs(verts[:, 0]) < 1e-12) | (np.abs(verts[:, 0] - 1) < 1e-12)
+        | (np.abs(verts[:, 1]) < 1e-12) | (np.abs(verts[:, 1] - 1) < 1e-12)
+    )
+    interior = np.where(~on_bnd)[0]
+    new_id = -np.ones(V, dtype=np.int64)
+    new_id[interior] = np.arange(len(interior))
+
+    keep = (~on_bnd[rows]) & (~on_bnd[cols])
+    # scipy COO->CSR sums the per-triangle duplicates of each (i, j) pair
+    # (CSRMatrix.from_coo does not coalesce)
+    import scipy.sparse as sp
+
+    A = CSRMatrix.from_scipy(sp.coo_matrix(
+        (vals[keep].astype(dtype),
+         (new_id[rows[keep]], new_id[cols[keep]])),
+        shape=(len(interior), len(interior)),
+    ).tocsr())
+    # load f = 1, one-point quadrature: area/3 to each vertex
+    rhs_full = np.zeros(V, dtype=dtype)
+    np.add.at(rhs_full, T.ravel(), np.repeat(area / 3.0, 3))
+    # cell weights: incident-triangle counts (refined regions heavier)
+    wt_full = np.zeros(V, dtype=np.float64)
+    np.add.at(wt_full, T.ravel(), 1.0)
+    return (
+        A,
+        rhs_full[interior],
+        verts[interior],
+        wt_full[interior],
+    )
