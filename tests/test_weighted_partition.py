@@ -56,8 +56,11 @@ def test_metis_weighted_balances_weight():
     part = partition_metis(A, nparts, cell_weights=w)
     assert part.min() == 0 and part.max() == nparts - 1
     assert _imbalance(part, w, nparts) < 1.25
+    # the weighted partition is never worse in weight balance than the
+    # unweighted one (a hard ">1.5 for unweighted" negative control proved
+    # fragile: a better cut can accidentally balance weight too)
     part_u = partition_metis(A, nparts)
-    assert _imbalance(part_u, w, nparts) > 1.5
+    assert _imbalance(part, w, nparts) <= _imbalance(part_u, w, nparts) + 0.05
 
 
 def test_metis_unweighted_unchanged_by_plumbing():
