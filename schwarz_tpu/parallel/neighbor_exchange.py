@@ -55,10 +55,21 @@ class NeighborPlan:
     recv_round: np.ndarray             # (S, H) int32 (n_rounds where local)
     recv_pos: np.ndarray               # (S, H) int32
     max_h: int                         # max buffer length across rounds
+    round_is_dcn: List[bool] = None    # per round: any cross-host link
 
 
-def build_neighbor_plan(dec, n_devices: int) -> NeighborPlan:
-    """Derive the round tables from a Decomposition for a D-device mesh."""
+def build_neighbor_plan(
+    dec, n_devices: int, process_of=None,
+) -> NeighborPlan:
+    """Derive the round tables from a Decomposition for a D-device mesh.
+
+    ``process_of`` (D,) maps device -> host process.  When given, rounds are
+    ordered **ICI-first**: cyclic offsets whose active links all stay
+    intra-host run before any round that crosses DCN, so the cheap
+    intra-host shifts are issued (and can complete) while the cross-host
+    rounds are still in flight — the hierarchy-awareness scaffolding of the
+    reference's check_subd_locality (source/utils.cpp:41-78,
+    is_local_neighbor restricted_schwarz.cpp:384-386), actually used."""
     meta = dec.meta
     S = meta.num_subdomains
     D = n_devices
@@ -97,6 +108,21 @@ def build_neighbor_plan(dec, n_devices: int) -> NeighborPlan:
     for r in range(1, D):
         if any(needed[(e + r) % D][e].size for e in range(D)):
             offsets.append(r)
+    round_is_dcn = [False] * len(offsets)
+    if process_of is not None:
+        proc = np.asarray(process_of)
+        round_is_dcn = [
+            any(
+                needed[(e + r) % D][e].size
+                and proc[(e + r) % D] != proc[e]
+                for e in range(D)
+            )
+            for r in offsets
+        ]
+        # ICI-first: stable sort keeps the offset order within each class
+        order = sorted(range(len(offsets)), key=lambda k: round_is_dcn[k])
+        offsets = [offsets[k] for k in order]
+        round_is_dcn = [round_is_dcn[k] for k in order]
 
     send_idx: List[np.ndarray] = []
     n_rounds = len(offsets)
@@ -134,6 +160,7 @@ def build_neighbor_plan(dec, n_devices: int) -> NeighborPlan:
         recv_round=recv_round,
         recv_pos=recv_pos,
         max_h=max_h,
+        round_is_dcn=round_is_dcn,
     )
 
 

@@ -360,7 +360,12 @@ class RASolver:
         if s.comm.strategy in (HaloStrategy.neighbor, HaloStrategy.rdma):
             from schwarz_tpu.parallel.neighbor_exchange import build_neighbor_plan
 
-            nx = build_neighbor_plan(dec, self.mesh.devices.size)
+            nx = build_neighbor_plan(
+                dec, self.mesh.devices.size,
+                process_of=[
+                    d.process_index for d in self.mesh.devices.reshape(-1)
+                ],
+            )
             self._neighbor_plan = nx
             plan["nx_local_src"] = put(nx.local_src)
             plan["nx_is_local"] = put(nx.is_local)

@@ -1,0 +1,96 @@
+"""Multi-host (2-process jax.distributed) emulation test.
+
+Round-1 verdict item 7: exercise cross-process halo rounds and the
+locality-aware (ICI-first) exchange plan over a genuinely multi-controller
+mesh — two OS processes with 4 virtual CPU devices each.  The worker
+(distributed_worker.py) builds the global mesh, asserts the plan orders
+intra-host rounds before cross-host ones, runs the fused neighbor-strategy
+solve, and verifies the assembled true residual.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.timeout(600)
+def test_two_process_distributed_solve():
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            outs.append((p.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed workers timed out")
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err}"
+        assert "WORKER_OK" in out, out
+
+
+def test_locality_aware_plan_single_process_emulation():
+    # same ICI-first ordering logic, no subprocesses: pretend 8 devices live
+    # on 2 hosts and check rounds are classified and ordered
+    from schwarz_tpu import Settings, generate_rhs, laplacian_2d
+    from schwarz_tpu.core.decompose import decompose
+    from schwarz_tpu.parallel.neighbor_exchange import build_neighbor_plan
+
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    dec = decompose(A, b, Settings(overlap=3), 8)
+    proc_of = [0, 0, 0, 0, 1, 1, 1, 1]
+    nx = build_neighbor_plan(dec, 8, process_of=proc_of)
+    assert nx.round_is_dcn is not None and len(nx.round_is_dcn) == len(
+        nx.offsets
+    )
+    # 1-D chain on 2 hosts: offsets +-1 (and +-2 at overlap 3) cross the
+    # host boundary at the 3<->4 link, so some rounds are DCN
+    assert any(nx.round_is_dcn)
+    if False in nx.round_is_dcn:
+        first_dcn = nx.round_is_dcn.index(True)
+        assert all(nx.round_is_dcn[first_dcn:])
+    # the reordered plan must still deliver the same data: emulate rounds in
+    # numpy against the direct halo_src gather (cf. test_exchange)
+    rng = np.random.default_rng(0)
+    S, R_int = 8, dec.meta.max_interior
+    x_own = rng.random((S, R_int))
+    expect = x_own.reshape(-1)[dec.halo_src]
+    bufs = {}
+    for k, r in enumerate(nx.offsets):
+        for e in range(8):
+            d = (e + r) % 8
+            bufs[(d, k)] = x_own[e].reshape(-1)[nx.send_idx[k][e]]
+    for p in range(S):
+        for j in range(dec.halo_slots.shape[1]):
+            if dec.halo_slots[p, j] == dec.meta.max_ext:
+                continue
+            if nx.is_local[p, j]:
+                got = x_own[p].reshape(-1)[nx.local_src[p, j]]
+            else:
+                got = bufs[(p, nx.recv_round[p, j])][nx.recv_pos[p, j]]
+            assert got == expect[p, dec.halo_slots[p, j]]
