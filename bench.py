@@ -181,6 +181,22 @@ def main():
     tri_sol = hbm_gbps / 4.0                 # elements/s streaming f32 factors
     trisolve_vs_roofline = min(trisolve_elems_per_s / tri_sol, 1.0)
 
+    # recommended TPU direct path: explicit-inverse apply (one batched MXU
+    # matmul per solve, Settings.direct_apply='inverse')
+    from schwarz_tpu.solvers.direct import cholesky_inverse, inverse_apply
+
+    Ainv = jax.jit(cholesky_inverse)(L)
+    Ainv.block_until_ready()
+
+    def step_inv(bb):
+        return inverse_apply(Ainv, bb) * 1e-6 + 1.0
+
+    t_inv_full = _chain_time(_make_chain(step_inv), rhs0, reps=100)
+    t_inv = max(t_inv_full - t_tri_base, 1e-12)
+    inv_elems = S_tri * R_fac * R_fac        # Ainv streamed once per apply
+    inverse_elems_per_s = inv_elems / t_inv
+    inverse_vs_roofline = min(inverse_elems_per_s / (hbm_gbps / 4.0), 1.0)
+
     # ---- BASELINE.md metric 3: halo gather/scatter --------------------------
     # the pack/unpack path of the exchange (gather through halo_src + scatter
     # into x_ext), measured on the 1M-row plan; collective excluded at D=1
@@ -225,6 +241,8 @@ def main():
                 "vs_baseline": vs_baseline,
                 "trisolve_nnz_per_s": trisolve_elems_per_s,
                 "trisolve_vs_roofline": trisolve_vs_roofline,
+                "direct_inverse_elems_per_s": inverse_elems_per_s,
+                "direct_inverse_vs_roofline": inverse_vs_roofline,
                 "halo_gather_scatter_elems_per_s": halo_elems_per_s,
                 "halo_vs_roofline": halo_vs_roofline,
             }
@@ -342,6 +360,7 @@ def main():
                 "spmv_us": t_spmv * 1e6,
                 "spmv_chain_overhead_us": t_base * 1e6,
                 "trisolve_us": t_tri * 1e6,
+                "inverse_apply_us": t_inv * 1e6,
                 "tri_rows": R_fac,
                 "halo_us": t_halo * 1e6,
                 "halo_elems": halo_elems,

@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(aliases: iterative-ginkgo->cg, direct-cholmod->cholesky,"
                         " direct-umfpack/direct-ginkgo->lu)")
     p.add_argument("--non_symmetric_matrix", action="store_true")
+    p.add_argument("--direct_apply", default="trisolve",
+                   choices=["trisolve", "inverse"],
+                   help="direct local-solve application: trisolve = batched "
+                        "substitution; inverse = one MXU matmul per solve "
+                        "(cholesky only)")
     p.add_argument("--restart_iter", type=int, default=30)
     p.add_argument("--reset_local_crit_iter", type=int, default=-1)
     p.add_argument("--use_precond", action="store_true")
@@ -233,6 +238,7 @@ def settings_from_args(args):
         non_symmetric_matrix=args.non_symmetric_matrix,
         restart_iter=args.restart_iter,
         reset_local_crit_iter=args.reset_local_crit_iter,
+        direct_apply=args.direct_apply,
         precond=(
             Precond.block_jacobi
             if args.use_precond and args.precond == "block-jacobi"

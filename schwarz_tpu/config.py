@@ -204,6 +204,13 @@ class Settings:
     tolerance: float = 1e-6                  # outer rel. residual (bench_base.hpp:54)
     local_tolerance: float = 1e-12           # inner reduction factor (bench_base.hpp:56)
     local_max_iters: int = -1                # -1: local_size_x (solve.cpp:723-728)
+    # direct-solve application: "trisolve" = batched forward/back
+    # substitution on the factors (the reference's LowerTrs/UpperTrs role,
+    # solve.cpp:711-720); "inverse" = setup-time explicit A^-1 applied as
+    # ONE batched MXU matmul per solve — far faster applies on TPU at the
+    # cost of squared conditioning in the apply (safe for the SPD subdomain
+    # blocks; cholesky only)
+    direct_apply: str = "trisolve"
     comm: CommSettings = dataclasses.field(default_factory=CommSettings)
     convergence: ConvergenceSettings = dataclasses.field(
         default_factory=ConvergenceSettings)

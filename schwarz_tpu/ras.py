@@ -390,10 +390,27 @@ class RASolver:
                 "float64 targets with the f32 factorization) or "
                 "local_solver='cholesky' for SPD systems"
             )
-        if s.local_solver == LocalSolver.direct_cholesky:
-            plan["factor_L"] = jax.jit(cholesky_factor)(
-                fac_vals, plan["lmat_cols"]
+        if s.direct_apply not in ("trisolve", "inverse"):
+            raise ValueError(
+                f"direct_apply must be 'trisolve' or 'inverse', got "
+                f"{s.direct_apply!r}"
             )
+        if (
+            s.direct_apply == "inverse"
+            and s.local_solver == LocalSolver.direct_lu
+        ):
+            raise ValueError(
+                "direct_apply='inverse' requires local_solver='cholesky' "
+                "(the explicit inverse comes from the SPD Cholesky factor)"
+            )
+        if s.local_solver == LocalSolver.direct_cholesky:
+            L_fac = jax.jit(cholesky_factor)(fac_vals, plan["lmat_cols"])
+            if s.direct_apply == "inverse":
+                from schwarz_tpu.solvers.direct import cholesky_inverse
+
+                plan["factor_inv"] = jax.jit(cholesky_inverse)(L_fac)
+            else:
+                plan["factor_L"] = L_fac
         elif s.local_solver == LocalSolver.direct_lu:
             lu, piv = jax.jit(lu_factor)(fac_vals, plan["lmat_cols"])
             plan["factor_lu"], plan["factor_piv"] = lu, piv
@@ -605,7 +622,12 @@ class RASolver:
             return (res.x.astype(out_dtype), res.iters,
                     res.rel_resnorm.astype(out_dtype))
         if s.local_solver == LocalSolver.direct_cholesky:
-            z = cholesky_solve(plan_block["factor_L"], rhs_eff)
+            if "factor_inv" in plan_block:
+                from schwarz_tpu.solvers.direct import inverse_apply
+
+                z = inverse_apply(plan_block["factor_inv"], rhs_eff)
+            else:
+                z = cholesky_solve(plan_block["factor_L"], rhs_eff)
             zero = jnp.zeros(rhs_eff.shape[0], out_dtype)
             return (z.astype(out_dtype),
                     jnp.ones(rhs_eff.shape[0], jnp.int32), zero)

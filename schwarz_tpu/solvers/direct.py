@@ -45,6 +45,30 @@ def cholesky_solve(L: jax.Array, b: jax.Array) -> jax.Array:
     return x[..., 0]
 
 
+def cholesky_inverse(L: jax.Array) -> jax.Array:
+    """Batched explicit inverse from the Cholesky factor: ``A^-1 = L^-T L^-1``.
+
+    Setup-time cost (two batched triangular solves against I); the
+    per-iteration solve then becomes ONE batched matmul that runs on the MXU
+    at full rate, vs the sequential-substitution-bound ``solve_triangular``
+    (measured ~3.5% of the HBM roofline on v5e).  Numerically this squares
+    the condition number of the applied operator; the subdomain blocks this
+    library solves are SPD with modest condition, and the direct solve is a
+    *preconditioner* application — the outer iteration corrects any inverse
+    roundoff.  Opt-in via Settings.direct_apply='inverse'.
+    """
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(
+        L, jnp.broadcast_to(eye, L.shape), lower=True
+    )
+    return jnp.einsum("ski,skj->sij", Linv, Linv)
+
+
+def inverse_apply(Ainv: jax.Array, b: jax.Array) -> jax.Array:
+    """x = A^-1 b as one batched MXU matmul."""
+    return jnp.einsum("sij,sj->si", Ainv, b)
+
+
 def lu_factor(vals: jax.Array, cols: jax.Array):
     """Batched dense partial-pivoting LU: returns (lu, piv) stacked over S."""
     dense = _densify(vals, cols)

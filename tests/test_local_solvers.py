@@ -109,3 +109,37 @@ def test_cg_zero_rhs_stays_zero():
     res = cg_solve(vals, cols, jnp.zeros_like(rhs), jnp.zeros_like(rhs), 1e-12, 50)
     assert np.asarray(res.x).max() == 0.0
     assert int(res.iters.max()) == 0
+
+
+def test_inverse_apply_matches_trisolve():
+    # direct_apply='inverse': one batched MXU matmul per solve, same answers
+    from schwarz_tpu import Settings, generate_rhs, laplacian_2d, solve
+    from schwarz_tpu.config import LocalSolver
+
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    base = Settings(overlap=3, tolerance=1e-8, max_iters=200,
+                    local_solver=LocalSolver.direct_cholesky)
+    r_tri = solve(A, b, base, num_subdomains=4)
+    r_inv = solve(A, b, base.replace(direct_apply="inverse"),
+                  num_subdomains=4)
+    assert r_tri.converged and r_inv.converged
+    assert abs(r_tri.iters - r_inv.iters) <= 1
+    np.testing.assert_allclose(r_inv.solution, r_tri.solution,
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_inverse_apply_requires_cholesky():
+    import pytest as _pytest
+
+    from schwarz_tpu import Settings, generate_rhs, laplacian_2d
+    from schwarz_tpu.config import LocalSolver
+    from schwarz_tpu.core.decompose import decompose
+    from schwarz_tpu.ras import RASolver
+
+    A = laplacian_2d(8)
+    b = generate_rhs(A.n)
+    s = Settings(overlap=2, local_solver=LocalSolver.direct_lu,
+                 direct_apply="inverse", local_compute_dtype="float32")
+    with _pytest.raises(ValueError, match="cholesky"):
+        RASolver(decompose(A, b, s, 2))
