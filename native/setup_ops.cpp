@@ -232,3 +232,106 @@ int64_t schwz_hem(
 }
 
 }  // extern "C"
+
+#include <queue>
+#include <utility>
+
+extern "C" {
+
+// Fiduccia-Mattheyses refinement rounds on a local-id bisection
+// (core/partition.py::_refine_side, the per-uncoarsening-level refinement
+// of the METIS-equivalent partitioner).  Sequential boundary moves with
+// incremental gain updates, hill-climbing with best-prefix rollback; the
+// move ordering (max gain, then min vertex id, lazy stale-entry skipping)
+// matches the python heapq implementation bit-for-bit so the two paths are
+// interchangeable.  side (0/1) is updated in place; returns the final
+// side-0 weight.
+int64_t schwz_fm_refine(
+    int64_t n,
+    const int64_t* ptr,
+    const int64_t* cols,
+    int8_t* side,
+    const int64_t* weights,   // per-vertex weights (ones for unweighted)
+    int64_t lo,
+    int64_t hi,
+    int64_t size0_in,
+    int64_t rounds)
+{
+    std::vector<int64_t> gain(n);
+    std::vector<int8_t> locked(n);
+    std::vector<std::pair<int64_t, int64_t>> history;  // (v, delta)
+    int64_t size0 = size0_in;
+    // max-heap on (gain, -v): max gain first, then smallest vertex id
+    using Entry = std::pair<int64_t, int64_t>;
+    for (int64_t round = 0; round < rounds; ++round) {
+        std::fill(gain.begin(), gain.end(), 0);
+        std::fill(locked.begin(), locked.end(), 0);
+        std::priority_queue<Entry> heap;
+        int64_t n_boundary = 0;
+        for (int64_t v = 0; v < n; ++v) {
+            bool boundary = false;
+            for (int64_t j = ptr[v]; j < ptr[v + 1]; ++j) {
+                if (side[cols[j]] == side[v]) {
+                    gain[v] -= 1;
+                } else {
+                    gain[v] += 1;
+                    boundary = true;
+                }
+            }
+            if (boundary) {
+                heap.emplace(gain[v], -v);
+                ++n_boundary;
+            }
+        }
+        if (n_boundary == 0) break;
+        const int64_t move_cap =
+            std::min(n, std::max<int64_t>(256, 8 * n_boundary));
+        history.clear();
+        int64_t cum = 0, best_cum = 0, best_idx = -1, sz = size0;
+        while (!heap.empty() &&
+               static_cast<int64_t>(history.size()) < move_cap) {
+            const Entry top = heap.top();
+            heap.pop();
+            const int64_t v = -top.second;
+            if (locked[v] || top.first != gain[v]) continue;  // stale
+            const int64_t wv = weights[v];
+            int64_t delta;
+            if (side[v]) {            // side 1 == part 0: moving OUT shrinks
+                if (sz - wv < lo) continue;
+                delta = -wv;
+            } else {
+                if (sz + wv > hi) continue;
+                delta = wv;
+            }
+            locked[v] = 1;
+            const int8_t old = side[v];
+            side[v] = static_cast<int8_t>(!old);
+            sz += delta;
+            cum += gain[v];
+            history.emplace_back(v, delta);
+            if (cum > best_cum) {
+                best_cum = cum;
+                best_idx = static_cast<int64_t>(history.size()) - 1;
+            }
+            for (int64_t j = ptr[v]; j < ptr[v + 1]; ++j) {
+                const int64_t u = cols[j];
+                if (locked[u]) continue;
+                // v left side `old`: u on `old` gains an external edge,
+                // u on the other side loses one
+                gain[u] += (side[u] == old) ? 2 : -2;
+                heap.emplace(gain[u], -u);
+            }
+        }
+        for (int64_t k = static_cast<int64_t>(history.size()) - 1;
+             k > best_idx; --k) {
+            const int64_t v = history[k].first;
+            side[v] = static_cast<int8_t>(!side[v]);
+            sz -= history[k].second;
+        }
+        size0 = sz;
+        if (best_cum <= 0) break;
+    }
+    return size0;
+}
+
+}  // extern "C"

@@ -456,6 +456,16 @@ def _refine_side(ptr, cols, side, target_frac, rounds: int = 24,
     # the refinement METIS itself runs per uncoarsening level (the round-1
     # greedy positive-gain-only batch version plateaued at ~1.6x the METIS
     # cut; FM reaches ~1.1-1.3x on grid benchmarks).
+    from schwarz_tpu import native
+
+    if native.available():
+        # the native kernel is bit-identical to the heapq loop below
+        # (tests/test_native.py::test_fm_refine_native_matches_python); the
+        # python FM is the setup bottleneck at 10^6-row partitions
+        side8 = side.astype(np.int8)
+        wts = np.ones(n, np.int64) if w is None else w
+        native.fm_refine(ptr, cols, side8, wts, lo, hi, size0, rounds)
+        return side8.astype(bool)
     import heapq
 
     for _ in range(rounds):

@@ -76,6 +76,8 @@ def load() -> Optional[ctypes.CDLL]:
     lib.schwz_permute_csr.restype = ctypes.c_int
     lib.schwz_hem.argtypes = [c, _I64, _I64, _I64, _I64, _I64, _I64]
     lib.schwz_hem.restype = c
+    lib.schwz_fm_refine.argtypes = [c, _I64, _I64, _I8, _I64, c, c, c, c]
+    lib.schwz_fm_refine.restype = c
     _LIB = lib
     return _LIB
 
@@ -141,6 +143,21 @@ def heavy_edge_matching(indptr, indices, weights, order):
         matched, coarse_map,
     )
     return coarse_map, int(nc)
+
+
+def fm_refine(ptr, cols, side_i8, weights, lo, hi, size0, rounds):
+    """Native FM refinement rounds (bit-identical to the python heapq path);
+    side_i8 updated in place, returns the final side-0 weight."""
+    lib = load()
+    n = ptr.shape[0] - 1
+    return int(lib.schwz_fm_refine(
+        n,
+        np.ascontiguousarray(ptr, np.int64),
+        np.ascontiguousarray(cols, np.int64),
+        side_i8,
+        np.ascontiguousarray(weights, np.int64),
+        int(lo), int(hi), int(size0), int(rounds),
+    ))
 
 
 def permute_csr(n, indptr, indices, values, perm, iperm):

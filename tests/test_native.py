@@ -63,3 +63,36 @@ def test_native_setup_speed():
     t_native = time.perf_counter() - t0
     assert native.available()
     assert t_native < 30.0  # sanity bound; real speed check in bench
+
+
+def test_fm_refine_native_matches_python():
+    # the native FM kernel must be bit-identical to the python heapq path
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from schwarz_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    # compare full partitions computed with and without the native path
+    code = (
+        "import os, numpy as np\n"
+        "from schwarz_tpu.models import laplacian_2d\n"
+        "from schwarz_tpu.core.partition import partition_metis\n"
+        "A = laplacian_2d(48)\n"
+        "p = partition_metis(A, 6)\n"
+        "np.save(os.environ['OUT'], p)\n"
+    )
+    outs = {}
+    for tag, flag in (("native", "1"), ("python", "0")):
+        out = f"/tmp/fm_part_{tag}.npy"
+        env = dict(os.environ, SCHWARZ_TPU_NATIVE=flag, OUT=out,
+                   JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+        subprocess.run([sys.executable, "-c", code], check=True, env=env)
+        outs[tag] = np.load(out)
+    np.testing.assert_array_equal(outs["native"], outs["python"])
