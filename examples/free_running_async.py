@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Free-running asynchronous RAS — the reference's research configuration
+(restricted_schwarz.cpp:714-852) as one multi-iteration Pallas RDMA kernel.
+
+Devices iterate at independent rates: the only cross-device coupling is a
+bounded-staleness semaphore wait on per-neighbor one-sided DMA rings, and
+convergence is detected by decentralized gossip carried inside the halo
+messages.  Run on a CPU mesh (interpreted kernels) with::
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/free_running_async.py
+"""
+
+import numpy as np
+
+from schwarz_tpu import generate_rhs, laplacian_2d
+from schwarz_tpu.ops.async_ras import AsyncRASolver
+
+A = laplacian_2d(24)                     # 576-row 2-D Poisson
+b = generate_rhs(A.n, random=False)
+
+solver = AsyncRASolver(
+    A, b,
+    num_subdomains=4,                    # one device each
+    overlap=2,                           # effective overlap is padded up
+    tolerance=1e-5,
+    staleness=2,                         # halo age bound B (iterations)
+    ninner=20,                           # inexact (two-stage) local CG
+    chunk_rounds=10,                     # barrier-free rounds per launch
+)
+x, info = solver.run(max_rounds=300)
+
+print(f"converged:              {info['converged']}")
+print(f"per-device detection:   {info['done_at'].tolist()}  <- UNEQUAL: each "
+      "device learned of global convergence at its own iteration")
+print(f"rounds executed:        {info['rounds']}")
+print(f"true relative residual: {info['relative_residual_norm']:.3e}")
+print(f"effective overlap:      {info['effective_overlap']}")
+
+x_ref = np.linalg.solve(A.to_scipy().toarray(), b)
+err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+print(f"error vs direct solve:  {err:.3e}")
