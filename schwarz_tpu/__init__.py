@@ -54,7 +54,7 @@ from schwarz_tpu.models import (  # noqa: E402
 from schwarz_tpu.core import decompose  # noqa: E402
 from schwarz_tpu.ras import RASolver, RASResult, solve  # noqa: E402
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Settings",
