@@ -299,6 +299,16 @@ class Settings:
     # outer iterations (Schwarz-as-preconditioner, the standard production
     # deployment; beyond the reference's stationary-only scope).
     accelerator: str = "none"
+    # TRUE free-running asynchronous mode (ops/async_ras.py): one
+    # multi-iteration Pallas kernel launch per chunk, devices iterating at
+    # independent rates on bounded-staleness one-sided halos with in-band
+    # gossip detection (the reference's research configuration,
+    # restricted_schwarz.cpp:714-852).  Requires a banded operator, regular
+    # partition, one subdomain per device, f32 — the plan builder raises
+    # NotImplementedFeature otherwise.  comm.staleness sets the halo age
+    # bound B; local_max_iters (>0) sets the inner CG budget per outer
+    # iteration.
+    free_running: bool = False
 
     @property
     def value_dtype(self):

@@ -1520,6 +1520,32 @@ def solve(
         mat = CSRMatrix.from_scipy(mat)
     if num_subdomains is None:
         num_subdomains = max(1, len(jax.devices()))
+    if settings.free_running:
+        from schwarz_tpu.ops.async_ras import AsyncRASolver
+
+        fr = AsyncRASolver(
+            mat, rhs, num_subdomains=num_subdomains,
+            overlap=settings.overlap, tolerance=settings.tolerance,
+            staleness=max(settings.comm.staleness, 1),
+            ninner=(settings.local_max_iters
+                    if settings.local_max_iters > 0 else 16),
+            mesh=mesh,
+        )
+        x, info = fr.run(max_rounds=settings.max_iters)
+        S = num_subdomains
+        rel = info["relative_residual_norm"]
+        rn = rel * float(np.linalg.norm(np.asarray(rhs)))
+        empty = np.zeros((0, S))
+        return RASResult(
+            solution=x, converged=info["converged"], diverged=False,
+            iters=int(max(info["done_at"].max(), 0)),
+            residual_norm=rn, relative_residual_norm=rel,
+            local_resnorm_history=empty,
+            global_resnorm_history=np.zeros(0),
+            inner_iters_history=np.zeros((0, S), np.int32),
+            solve_time_s=info["time_s"],
+            comm_matrix=np.zeros((S, S)),
+        )
     dec = decompose(
         mat, rhs, settings, num_subdomains, partition_indices,
         cell_weights=cell_weights,

@@ -119,3 +119,19 @@ def test_async_plan_masks_and_operator():
             y[ok] += p.dia[d, k, ok] * xp[idx[ok]]
         r = p.mask_dom[d] * (p.b[d] - y)
         assert np.linalg.norm(r) < 1e-3, (d, np.linalg.norm(r))
+
+
+def test_solve_api_free_running():
+    # the one-call library API dispatches to the free-running kernel
+    from schwarz_tpu import CommSettings, Settings, solve
+
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n, random=False)
+    s = Settings(overlap=2, tolerance=1e-5, max_iters=200, free_running=True,
+                 local_max_iters=20, comm=CommSettings(staleness=1))
+    r = solve(A, b, s, num_subdomains=4)
+    assert r.converged
+    assert r.relative_residual_norm < 1e-4
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+    err = np.linalg.norm(r.solution - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-3

@@ -68,3 +68,53 @@ def test_random_systems_with_new_features(seed):
     assert r.converged, (n, S, s.oras_weight)
     x_ref = sp.linalg.spsolve(A.to_scipy().tocsc(), b)
     np.testing.assert_allclose(r.solution, x_ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [6, 7, 8, 9])
+def test_random_systems_round2_features(seed):
+    """Random draws through the round-2 knob surface: RDMA strategy matrix,
+    neighbor-propagate norms, direct inverse apply, FGMRES chunking."""
+    from schwarz_tpu import CommSettings, GlobalConvergence, HaloStrategy
+    from schwarz_tpu.config import ConvergenceSettings, LocalSolver
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(80, 160))
+    A = random_spd(n, 0.05, np.random.RandomState(seed))
+    b = rng.standard_normal(n)
+    S = int(rng.choice([2, 4]))
+    strategy = HaloStrategy(
+        rng.choice(["all_gather", "neighbor", "rdma"]))
+    comm = CommSettings(
+        strategy=strategy,
+        enable_put=bool(rng.integers(2)),
+        enable_get=False,
+        enable_one_by_one=(
+            bool(rng.integers(2)) if strategy == HaloStrategy.rdma else False
+        ),
+        flush_type=str(rng.choice(["flush-all", "flush-local"])),
+    )
+    comm = comm if comm.enable_put else CommSettings(
+        strategy=comm.strategy, enable_put=False, enable_get=True,
+        enable_one_by_one=comm.enable_one_by_one, flush_type=comm.flush_type,
+    )
+    solver_kind = LocalSolver(rng.choice(["cg", "cholesky"]))
+    s = Settings(
+        overlap=int(rng.integers(2, 4)),
+        tolerance=1e-8, max_iters=400,
+        local_solver=solver_kind,
+        direct_apply=(
+            "inverse" if solver_kind == LocalSolver.direct_cholesky
+            and rng.integers(2) else "trisolve"
+        ),
+        comm=comm,
+        convergence=ConvergenceSettings(
+            method=GlobalConvergence(
+                rng.choice(["allgather", "decentralized"])),
+            put_all_local_residual_norms=bool(rng.integers(2)),
+        ),
+        accelerator=str(rng.choice(["none", "fgmres"])),
+    )
+    r = solve(A, b, s, num_subdomains=S)
+    assert r.converged, (seed, s)
+    x_ref = sp.linalg.spsolve(A.to_scipy().tocsc(), b)
+    np.testing.assert_allclose(r.solution, x_ref, rtol=1e-5, atol=1e-7)
