@@ -198,9 +198,16 @@ def main():
     inverse_vs_roofline = min(inverse_elems_per_s / (hbm_gbps / 4.0), 1.0)
 
     # ---- BASELINE.md metric 3: halo gather/scatter --------------------------
-    # the pack/unpack path of the exchange (gather through halo_src + scatter
-    # into x_ext), measured on the 1M-row plan; collective excluded at D=1
-    from schwarz_tpu.parallel.exchange import assemble_x_ext
+    # the pack/unpack path of the exchange, measured on the 1M-row plan
+    # (collective excluded at D=1).  The PRODUCTION path is the contiguous-
+    # run assembly when the plan engages (exchange.RunPlan — exact-length
+    # vector copies); the element-wise gather is also measured as the
+    # fallback-path number.
+    from schwarz_tpu.parallel.exchange import (
+        assemble_x_ext,
+        assemble_x_ext_runs,
+        build_run_plan,
+    )
 
     halo_slots = jnp.asarray(dec.halo_slots)
     halo_src = jnp.asarray(dec.halo_src_halo)
@@ -210,7 +217,7 @@ def main():
     H = int(dec.halo_slots.shape[1])
     xo0 = jnp.ones((S, R_int), jnp.float32)
 
-    def step_halo(xo):
+    def step_halo_gather(xo):
         halo_vals = xo.reshape(-1)[halo_src]
         x_ext = assemble_x_ext(xo, interior_off, halo_slots, halo_vals, R_ext)
         # full reduction keeps every scattered element live (no DCE of the
@@ -222,12 +229,33 @@ def main():
             jnp.pad(xo, ((0, 0), (0, R_ext - R_int))), axis=1, keepdims=True
         ) * 1e-12
 
+    rp = build_run_plan(
+        dec.halo_src_halo, dec.halo_slots, R_ext, R_int,
+        dec.interior_offset,
+    )
+    if rp is not None:
+        rs = tuple(jnp.asarray(t) for t in rp.run_src)
+        rd = tuple(jnp.asarray(t) for t in rp.run_dst)
+
+        def step_halo(xo):
+            x_ext = assemble_x_ext_runs(
+                xo, xo.reshape(-1), interior_off, rp.lengths, rs, rd,
+                R_ext, jnp.float32,
+            )
+            return (xo * 0.999999
+                    + jnp.sum(x_ext, axis=1, keepdims=True) * 1e-12)
+    else:
+        step_halo = step_halo_gather
+
     t_halo_full = _chain_time(_make_chain(step_halo), xo0, reps=200)
     t_halo_base = _chain_time(_make_chain(step_halo_noop), xo0, reps=200)
     t_halo = max(t_halo_full - t_halo_base, 1e-12)
+    t_hg_full = _chain_time(_make_chain(step_halo_gather), xo0, reps=200)
+    t_hg = max(t_hg_full - t_halo_base, 1e-12)
     halo_elems = S * H
     halo_elems_per_s = halo_elems / t_halo
-    halo_sol = hbm_gbps / 16.0  # idx read + value read + idx + value write
+    halo_gather_elems_per_s = halo_elems / t_hg
+    halo_sol = hbm_gbps / 8.0   # value read + value write per element
     halo_vs_roofline = min(halo_elems_per_s / halo_sol, 1.0)
 
     # headline first: a timeout during the informational RAS section must not
@@ -245,6 +273,8 @@ def main():
                 "direct_inverse_vs_roofline": inverse_vs_roofline,
                 "halo_gather_scatter_elems_per_s": halo_elems_per_s,
                 "halo_vs_roofline": halo_vs_roofline,
+                "halo_runs_path": rp is not None,
+                "halo_elementwise_gather_elems_per_s": halo_gather_elems_per_s,
             }
         ),
         flush=True,

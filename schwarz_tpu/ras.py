@@ -356,6 +356,23 @@ class RASolver:
             and s.use_pallas == "on"
             and dia_spmv_supported(self.meta.max_rows, dtype)
         )
+        # contiguous-run fast path for the all_gather exchange: NR vector
+        # copies instead of an element-wise gather (exchange.RunPlan; the
+        # gather costs ~1.3 ms/iter at 1M rows).  Auto-detected, bit-exact,
+        # falls back to the gather for irregular (metis/2-D) halo structure.
+        self._run_L = None
+        if s.comm.strategy == HaloStrategy.all_gather:
+            from schwarz_tpu.parallel.exchange import build_run_plan
+
+            rp = build_run_plan(
+                dec.halo_src_halo, dec.halo_slots, self.meta.max_ext,
+                self.meta.max_interior, dec.interior_offset,
+            )
+            if rp is not None:
+                for c, (ts, td) in enumerate(zip(rp.run_src, rp.run_dst)):
+                    plan[f"runs_src_{c}"] = put(ts)
+                    plan[f"runs_dst_{c}"] = put(td)
+                self._run_L = rp.lengths
         self._neighbor_plan = None
         if s.comm.strategy in (HaloStrategy.neighbor, HaloStrategy.rdma):
             from schwarz_tpu.parallel.neighbor_exchange import build_neighbor_plan
@@ -682,6 +699,17 @@ class RASolver:
             return exchange_halo_allgather(
                 x_own, plan["interior_off"], plan["halo_slots"],
                 plan["halo_src_halo"], meta.max_ext, halo_dtype=halo_dtype,
+                run_plan_arrays=(
+                    (
+                        self._run_L,
+                        tuple(plan[f"runs_src_{c}"]
+                              for c in range(len(self._run_L))),
+                        tuple(plan[f"runs_dst_{c}"]
+                              for c in range(len(self._run_L))),
+                    )
+                    if self._run_L is not None and "runs_src_0" in plan
+                    else None
+                ),
             )
 
         return do_exchange

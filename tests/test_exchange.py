@@ -203,3 +203,59 @@ def test_inert_knobs_fail_loudly():
         build(CommSettings(flush_type="bogus"))
     with pytest.raises(ValueError, match="enable_put"):
         build(CommSettings(enable_put=True, enable_get=True))
+
+
+def test_run_plan_fast_path_bit_identical():
+    # the contiguous-run assembly must be bit-identical to the gather path
+    # and must engage for regular partitions
+    import jax
+
+    from schwarz_tpu.core.decompose import decompose as _dec
+    from schwarz_tpu.parallel.exchange import build_run_plan
+    from schwarz_tpu.ras import RASolver
+
+    A = laplacian_2d(20)
+    b = generate_rhs(A.n)
+    for overlap in (2, 4):
+        s = Settings(overlap=overlap, tolerance=1e-8, max_iters=200)
+        dec = _dec(A, b, s, 4)
+        rp = build_run_plan(
+            dec.halo_src_halo, dec.halo_slots, dec.meta.max_ext,
+            dec.meta.max_interior, dec.interior_offset,
+        )
+        solver = RASolver(dec)
+        if rp is None:
+            continue
+        assert solver._run_L is not None
+        r_fast = solver.run()
+        # force the gather path by clearing the run plan
+        solver2 = RASolver(_dec(A, b, s, 4))
+        solver2._run_L = None
+        solver2._plan.pop("runs_src", None)
+        solver2._plan.pop("runs_dst", None)
+        solver2._run_fn = solver2._build_run_fn()
+        r_slow = solver2.run()
+        assert r_fast.iters == r_slow.iters
+        np.testing.assert_array_equal(r_fast.solution, r_slow.solution)
+    # at least one overlap must have engaged the fast path
+    dec = _dec(A, b, Settings(overlap=2), 4)
+    rp = build_run_plan(
+        dec.halo_src_halo, dec.halo_slots, dec.meta.max_ext,
+        dec.meta.max_interior, dec.interior_offset,
+    )
+    assert rp is not None, "regular-1D halos should decompose into runs"
+
+
+def test_run_plan_falls_back_on_metis():
+    from schwarz_tpu.core.decompose import decompose as _dec
+    from schwarz_tpu.ras import RASolver
+
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    s = Settings(partition=Partition.metis, overlap=3, tolerance=1e-8,
+                 max_iters=300)
+    solver = RASolver(_dec(A, b, s, 4))
+    # irregular halos: either a valid (safe) run plan or the gather path —
+    # both must produce the same converged answer as all strategies do
+    r = solver.run()
+    assert r.converged
