@@ -541,23 +541,37 @@ class AsyncRASolver:
             "mask_int": jax.device_put(jnp.asarray(p.mask_int), shard),
         }
 
-    def run(self, max_rounds: int = 400):
+    def save_checkpoint(self, state, path: str) -> None:
+        """Persist a free-running state (x, known, aux, halo carries)."""
+        np.savez_compressed(path, *[np.asarray(a) for a in state])
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        return tuple(jnp.asarray(data[f"arr_{i}"]) for i in range(5))
+
+    def run(self, max_rounds: int = 400, resume_state=None,
+            checkpoint_path: Optional[str] = None):
         """Iterate chunks until every device detected convergence.
 
         Returns (x_global, info): x in the original row ordering, info with
         per-device detection iterations (``done_at`` — unequal under real
-        asynchrony), rounds executed, and the true relative residual.
+        asynchrony), rounds executed, comm volume, and the true relative
+        residual.  ``resume_state``/``checkpoint_path`` continue/persist a
+        partially-converged run (same surface as RASolver.run).
         """
         import time
 
         p = self.plan
         S = p.S
-        x = jnp.zeros((S, p.R), jnp.float32)
-        known = jnp.zeros((S, 128), jnp.float32)
-        aux = jnp.full((S, 128), -1.0, jnp.float32)
-        aux = aux.at[:, 2].set(0.0)   # base round counter
-        hl = jnp.zeros((S, p.hw), jnp.float32)
-        hr = jnp.zeros((S, p.hw), jnp.float32)
+        if resume_state is not None:
+            x, known, aux, hl, hr = resume_state
+        else:
+            x = jnp.zeros((S, p.R), jnp.float32)
+            known = jnp.zeros((S, 128), jnp.float32)
+            aux = jnp.full((S, 128), -1.0, jnp.float32)
+            aux = aux.at[:, 2].set(0.0)   # base round counter
+            hl = jnp.zeros((S, p.hw), jnp.float32)
+            hr = jnp.zeros((S, p.hw), jnp.float32)
         t0 = time.perf_counter()
         rounds = 0
         while rounds < max_rounds:
@@ -571,6 +585,8 @@ class AsyncRASolver:
             if np.all(done >= 0):
                 break
         elapsed = time.perf_counter() - t0
+        if checkpoint_path is not None:
+            self.save_checkpoint((x, known, aux, hl, hr), checkpoint_path)
         x_h = np.asarray(jax.block_until_ready(x))
         sol = np.zeros(p.S * p.R, np.float32)
         for d in range(S):
@@ -581,10 +597,18 @@ class AsyncRASolver:
         rel = float(np.linalg.norm(res) / max(np.linalg.norm(self.rhs),
                                               1e-300))
         done = np.asarray(aux[:, 1]).astype(int)
+        total_rounds = int(np.asarray(aux[0, 2]))
+        # comm volume (C29's comm-data role): each device pushes 2 boundary
+        # strips + flags and 2 ack tiles per round
+        msg_bytes = (p.hw + 8 * 128) * 4
+        ack_bytes = 8 * 128 * 4
         return sol, {
             "done_at": done,
             "converged": bool(np.all(done >= 0)),
             "rounds": rounds,
+            "total_rounds": total_rounds,
+            "comm_bytes_per_device": total_rounds * 2 * (msg_bytes
+                                                         + ack_bytes),
             "relative_residual_norm": rel,
             "time_s": elapsed,
             "effective_overlap": p.ovp,

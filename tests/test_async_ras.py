@@ -135,3 +135,23 @@ def test_solve_api_free_running():
     x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
     err = np.linalg.norm(r.solution - x_ref) / np.linalg.norm(x_ref)
     assert err < 1e-3
+
+
+def test_async_checkpoint_resume(tmp_path):
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n, random=False)
+    solver = AsyncRASolver(A, b, num_subdomains=4, overlap=2,
+                           tolerance=1e-5, staleness=1, ninner=20,
+                           chunk_rounds=6)
+    # full run for reference
+    x_full, info_full = solver.run(max_rounds=300)
+    assert info_full["converged"]
+    # capped run + checkpoint, then resume to completion
+    ck = str(tmp_path / "async.npz")
+    x_cap, info_cap = solver.run(max_rounds=6, checkpoint_path=ck)
+    assert not info_cap["converged"]
+    state = solver.load_checkpoint(ck)
+    x_res, info_res = solver.run(max_rounds=300, resume_state=state)
+    assert info_res["converged"]
+    np.testing.assert_allclose(x_res, x_full, atol=1e-5)
+    assert info_full["comm_bytes_per_device"] > 0
