@@ -1,0 +1,544 @@
+"""Free-running asynchronous RAS on 2-D block partitions (4 neighbors).
+
+Extends :mod:`schwarz_tpu.ops.async_ras` (the 1-D ring kernel — see there
+for the protocol: slot rings, ack-DMA flow control, bounded-staleness
+waits, in-band gossip detection) to 2-D px x py block grids of 5-point
+stencil operators: each device owns a (by, bx) block of the grid, holds the
+extended iterate X (block + overlap + ring) as a 2-D (sublane, lane) tile,
+and exchanges FOUR one-sided boundary strips per iteration — left/right
+edge columns (packed contiguous before the DMA) and top/bottom edge rows.
+
+Corners: strips are cut from the sender's EXTENDED block, so a left/right
+strip carries the sender's top/bottom halo rows and an up/down strip
+carries its left/right halo columns — diagonal-neighbor data arrives
+two-hop (staleness <= 2B+1), the standard corner trick, well inside the
+asynchronous convergence theory's bounded-staleness hypothesis.
+
+The persistent state is the full extended block (halo regions included), so
+chunk-launch boundaries reuse the last-known halos naturally; the freshest
+drained message still refreshes the halos at the end of each launch.
+
+Scope (fail-loudly): operators whose sparsity lives on the 5-point grid
+stencil {0, +-1, +-n} of an n x n grid (laplacian_2d, advection upwind,
+variable coefficients all fine), f32, one subdomain per device.  Banded
+non-grid operators use the 1-D kernel; everything else the staleness
+emulation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from schwarz_tpu.exceptions import NotImplementedFeature
+
+HX = 64   # left/right halo width  (ovpx = 63 + stencil ring 1; lane-aligned)
+HY = 8    # top/bottom halo height (ovpy = 7 + ring 1; sublane-aligned)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class AsyncPlan2D:
+    """Per-device extended-block stencil data (stacked over S = px*py)."""
+
+    S: int
+    px: int
+    py: int
+    n: int                  # grid side
+    N: int                  # true global size (n*n)
+    bx: int                 # owned block width  (multiple of 128)
+    by: int                 # owned block height (multiple of 8)
+    Bx: int                 # bx + 2*HX
+    By: int                 # by + 2*HY
+    coef: np.ndarray        # (S, 5, By, Bx) f32: C, E, W, S(outh), N(orth)
+    b: np.ndarray           # (S, By, Bx)
+    dinv: np.ndarray        # (S, By, Bx)
+    mask_dom: np.ndarray    # (S, By, Bx) local solve domain
+    mask_int: np.ndarray    # (S, By, Bx) owned block
+
+
+def build_async_plan_2d(
+    mat, rhs, px: int, py: int,
+) -> AsyncPlan2D:
+    """Extract per-device 5-point stencil coefficient blocks.
+
+    Raises NotImplementedFeature when the sparsity leaves the 5-point grid
+    stencil.
+    """
+    N = mat.n
+    n = int(math.isqrt(N))
+    if n * n != N:
+        raise NotImplementedFeature(
+            f"2-D free-running mode requires a square-grid operator; "
+            f"size {N} is not a perfect square"
+        )
+    rows_of = np.repeat(np.arange(N, dtype=np.int64), np.diff(mat.row_ptrs))
+    diffs = mat.col_idxs.astype(np.int64) - rows_of
+    allowed = {0, 1, -1, n, -n}
+    offs = set(int(o) for o in np.unique(diffs))
+    if not offs <= allowed:
+        raise NotImplementedFeature(
+            f"2-D free-running mode requires 5-point grid sparsity "
+            f"(offsets within {{0, +-1, +-{n}}}); found offsets "
+            f"{sorted(offs - allowed)[:5]} — use the 1-D kernel for banded "
+            "operators or the staleness emulation"
+        )
+    # wrap-around rows: offset +-1 must not cross grid rows (5-pt stencils
+    # built by our generators never do, but verify: col = r +- 1 must share
+    # the grid row of r)
+    sel = np.abs(diffs) == 1
+    if np.any((mat.col_idxs[sel] // n) != (rows_of[sel] // n)):
+        raise NotImplementedFeature(
+            "+-1 couplings cross grid rows: not a 2-D grid stencil"
+        )
+
+    # per-cell coefficient grids
+    key = {0: 0, 1: 1, -1: 2, n: 3, -n: 4}
+    coef_g = np.zeros((5, n, n), dtype=np.float32)
+    for off, k in key.items():
+        m = diffs == off
+        r = rows_of[m]
+        coef_g[k, r // n, r % n] = mat.values[m]
+    b_g = np.asarray(rhs, np.float32).reshape(n, n)
+
+    bx = _round_up(_round_up(n, px) // px, 128)
+    by = _round_up(_round_up(n, py) // py, 8)
+    Bx, By = bx + 2 * HX, by + 2 * HY
+    S = px * py
+
+    coef = np.zeros((S, 5, By, Bx), np.float32)
+    b = np.zeros((S, By, Bx), np.float32)
+    dinv = np.ones((S, By, Bx), np.float32)
+    mask_dom = np.zeros((S, By, Bx), np.float32)
+    mask_int = np.zeros((S, By, Bx), np.float32)
+
+    # padded global grids (identity rows beyond n)
+    nX, nY = px * bx, py * by
+    cg = np.zeros((5, nY, nX), np.float32)
+    cg[:, :n, :n] = coef_g
+    cg[0, :, n:] = 1.0
+    cg[0, n:, :] = 1.0
+    bg = np.zeros((nY, nX), np.float32)
+    bg[:n, :n] = b_g
+
+    for d in range(S):
+        dyy, dxx = divmod(d, px)
+        y0, x0 = dyy * by, dxx * bx
+        ys, ye = y0 - HY, y0 + by + HY
+        xs, xe = x0 - HX, x0 + bx + HX
+        gy0, gy1 = max(ys, 0), min(ye, nY)
+        gx0, gx1 = max(xs, 0), min(xe, nX)
+        ty0, tx0 = gy0 - ys, gx0 - xs
+        coef[d, :, ty0:ty0 + gy1 - gy0, tx0:tx0 + gx1 - gx0] = (
+            cg[:, gy0:gy1, gx0:gx1]
+        )
+        b[d, ty0:ty0 + gy1 - gy0, tx0:tx0 + gx1 - gx0] = bg[gy0:gy1, gx0:gx1]
+        # solve domain: everything but the outermost stencil ring, clipped
+        # to the padded grid
+        dom = np.zeros((By, Bx), np.float32)
+        dy_lo = max(1, ty0) if ys < 0 else 1
+        dom[1:By - 1, 1:Bx - 1] = 1.0
+        # clip to the global padded grid
+        grid = np.zeros((By, Bx), np.float32)
+        grid[ty0:ty0 + gy1 - gy0, tx0:tx0 + gx1 - gx0] = 1.0
+        mask_dom[d] = dom * grid
+        mask_int[d, HY:HY + by, HX:HX + bx] = 1.0
+        del dy_lo
+        dg = coef[d, 0]
+        dinv[d] = np.where(np.abs(dg) > 0, 1.0 / np.where(dg == 0, 1, dg),
+                           1.0)
+    coef *= mask_dom[:, None, :, :]
+    return AsyncPlan2D(
+        S=S, px=px, py=py, n=n, N=N, bx=bx, by=by, Bx=Bx, By=By,
+        coef=coef, b=b, dinv=dinv, mask_dom=mask_dom, mask_int=mask_int,
+    )
+
+
+def _sh(x: jax.Array, dy: int, dx: int) -> jax.Array:
+    """w[i, j] = x[i + dy, j + dx] with wraparound (annihilated by the zero
+    coefficient ring)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    By, Bx = x.shape
+    out = x
+    if dy:
+        out = pltpu.roll(out, jnp.int32((By - dy) % By), 0)
+    if dx:
+        out = pltpu.roll(out, jnp.int32((Bx - dx) % Bx), 1)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "px", "py", "bx", "by", "rounds", "staleness", "ninner", "tol",
+        "axis_name", "interpret",
+    ),
+)
+def async_ras_2d_rounds(
+    coef: jax.Array,       # (1, 5, By, Bx)
+    b: jax.Array,          # (1, By, Bx)
+    dinv: jax.Array,       # (1, By, Bx)
+    mask_dom: jax.Array,   # (1, By, Bx)
+    mask_int: jax.Array,   # (1, By, Bx)
+    X: jax.Array,          # (1, By, Bx) extended iterate (halos included)
+    known: jax.Array,      # (1, 128)
+    aux: jax.Array,        # (1, 128): [0]=rn0, [1]=done_at, [2]=round base
+    *,
+    px: int, py: int, bx: int, by: int,
+    rounds: int, staleness: int, ninner: int, tol: float,
+    axis_name: str, interpret: bool,
+):
+    """Run ``rounds`` free-running 2-D iterations on this device (Sl == 1)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Bx, By = bx + 2 * HX, by + 2 * HY
+    B = max(staleness, 1)
+    M = 2 * B + 2
+    T = rounds
+    S = px * py
+    tol2 = float(tol) * float(tol)
+    MSG_LR = By + 8            # (MSG_LR, 128): strip cols in lanes 0..HX-1
+    MSG_UD = HY + 8            # (MSG_UD, Bx): flags in lanes 0..127
+
+    coef3 = coef.reshape(5, By, Bx)
+    b2 = b.reshape(By, Bx)
+    dinv2 = dinv.reshape(By, Bx)
+    mdom = mask_dom.reshape(By, Bx)
+    mint = mask_int.reshape(By, Bx)
+    X2 = X.reshape(By, Bx)
+    known2 = jnp.broadcast_to(known.reshape(1, 128), (8, 128))
+    aux2 = jnp.broadcast_to(aux.reshape(1, 128), (8, 128))
+
+    def kernel(coef_ref, b_ref, dinv_ref, mdom_ref, mint_ref, x_ref,
+               known_ref, aux_ref,
+               x_out, known_out, aux_out,
+               sL, sR, sU, sD, rL, rR, rU, rD,
+               ack_src, aL, aR, aU, aD,
+               semsL, semsR, semsU, semsD,
+               semrL, semrR, semrU, semrD,
+               sasL, sasR, sasU, sasD,
+               sarL, sarR, sarU, sarD):
+        me = jax.lax.axis_index(axis_name)
+        dyy = me // jnp.int32(px)
+        dxx = jax.lax.rem(me, jnp.int32(px))
+        left = dyy * px + jax.lax.rem(dxx - 1 + px, jnp.int32(px))
+        right = dyy * px + jax.lax.rem(dxx + 1, jnp.int32(px))
+        up = jax.lax.rem(dyy - 1 + py, jnp.int32(py)) * px + dxx
+        down = jax.lax.rem(dyy + 1, jnp.int32(py)) * px + dxx
+        devty = pltpu.DeviceIdType.LOGICAL
+
+        def mk(src_ring, dst_ring, ssem, rsem, j, dev):
+            return pltpu.make_async_remote_copy(
+                src_ref=src_ring.at[j], dst_ref=dst_ring.at[j],
+                send_sem=ssem.at[j], recv_sem=rsem.at[j],
+                device_id=dev, device_id_type=devty,
+            )
+
+        # my sL lands in LEFT device's rR ring; my sU in UP device's rD...
+        def dma_L(j):
+            return mk(sL, rR, semsL, semrR, j, left)
+
+        def dma_R(j):
+            return mk(sR, rL, semsR, semrL, j, right)
+
+        def dma_U(j):
+            return mk(sU, rD, semsU, semrD, j, up)
+
+        def dma_D(j):
+            return mk(sD, rU, semsD, semrU, j, down)
+
+        # acks: after consuming rL[j] (pushed by the LEFT device), credit it
+        # in its aR ring (it waits aR before reusing sR... it pushed via
+        # dma_R into my rL, so its reuse check is on its send-R slot and the
+        # credit must land in ITS ack ring for the R direction).  The ack
+        # payload is the shared un-sliced (8, 128) tile.
+        def mka(dst_ring, ssem, rsem, j, dev):
+            return pltpu.make_async_remote_copy(
+                src_ref=ack_src, dst_ref=dst_ring.at[j],
+                send_sem=ssem.at[j], recv_sem=rsem.at[j],
+                device_id=dev, device_id_type=devty,
+            )
+
+        def ack_to_left(j):
+            return mka(aR, sasL, sarR, j, left)
+
+        def ack_to_right(j):
+            return mka(aL, sasR, sarL, j, right)
+
+        def ack_to_up(j):
+            return mka(aD, sasU, sarD, j, up)
+
+        def ack_to_down(j):
+            return mka(aU, sasD, sarU, j, down)
+
+        ack_src[:] = jnp.zeros((8, 128), jnp.float32)
+
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        known_k = jnp.maximum(
+            known_ref[:], jnp.where(lane8 >= S, 1.0, 0.0)
+        )
+        rn0 = aux_ref[0, 0]
+        done_at = aux_ref[0, 1]
+        base_t = aux_ref[0, 2]
+
+        cc = [coef_ref[k] for k in range(5)]
+        bb = b_ref[:]
+        dv = dinv_ref[:]
+        md = mdom_ref[:]
+        mi = mint_ref[:]
+
+        def apply_dom(v):
+            return (cc[0] * v
+                    + cc[1] * _sh(v, 0, 1) + cc[2] * _sh(v, 0, -1)
+                    + cc[3] * _sh(v, 1, 0) + cc[4] * _sh(v, -1, 0))
+
+        def dot(u, v):
+            s_ = jnp.sum(u * v, axis=1, keepdims=True)
+            return jnp.sum(s_, axis=0, keepdims=True)
+
+        def cg_dom(r):
+            eps = jnp.finfo(jnp.float32).tiny
+            z0 = jnp.zeros_like(r)
+            s0 = dv * r
+            rho0 = dot(r, s0)
+
+            def body(_, c):
+                zz, rr_, p, rho = c
+                ap = md * apply_dom(p)
+                pap = dot(p, ap)
+                alpha = jnp.where(pap > 0, rho / jnp.maximum(pap, eps), 0.0)
+                zz = zz + alpha * p
+                rr_ = rr_ - alpha * ap
+                sn = dv * rr_
+                rho_n = dot(rr_, sn)
+                beta = jnp.where(rho > 0, rho_n / jnp.maximum(rho, eps), 0.0)
+                return zz, rr_, sn + beta * p, rho_n
+
+            z, _, _, _ = jax.lax.fori_loop(0, ninner, body, (z0, r, s0, rho0))
+            return z
+
+        xx = x_ref[:]
+        state = (xx, known_k, rn0, done_at)
+
+        def unpack(jc, xx, known_k):
+            # halo writes from the 4 consumed messages (two-hop corners:
+            # LR strips carry the sender's top/bottom halo rows, UD strips
+            # its left/right halo columns)
+            xx = xx.at[:, 0:HX].set(rL[jc, :By, 0:HX])
+            xx = xx.at[:, Bx - HX:Bx].set(rR[jc, :By, 0:HX])
+            xx = xx.at[0:HY, :].set(rU[jc, 0:HY, 0:Bx])
+            xx = xx.at[By - HY:By, :].set(rD[jc, 0:HY, 0:Bx])
+            for ring in (rL, rR):
+                known_k = jnp.maximum(known_k, ring[jc, By:By + 8, :])
+            for ring in (rU, rD):
+                known_k = jnp.maximum(known_k, ring[jc, HY:HY + 8, 0:128])
+            return xx, known_k
+
+        for t in range(T):
+            j = t % M
+            xx, known_k, rn0, done_at = state
+            if t >= M:
+                for d_ in (dma_L, dma_R, dma_U, dma_D):
+                    d_(j).wait_send()
+                for a_ in (ack_to_left, ack_to_right, ack_to_up,
+                           ack_to_down):
+                    a_(j).wait_recv()
+            # pack the 4 strips from the CURRENT extended block
+            sL[j, :By, 0:HX] = xx[:, HX:2 * HX]
+            sL[j, By:By + 8, :] = known_k
+            sR[j, :By, 0:HX] = xx[:, Bx - 2 * HX:Bx - HX]
+            sR[j, By:By + 8, :] = known_k
+            sU[j, 0:HY, 0:Bx] = xx[HY:2 * HY, :]
+            sU[j, HY:HY + 8, 0:128] = known_k
+            sD[j, 0:HY, 0:Bx] = xx[By - 2 * HY:By - HY, :]
+            sD[j, HY:HY + 8, 0:128] = known_k
+            for d_ in (dma_L, dma_R, dma_U, dma_D):
+                d_(j).start()
+            if t >= B:
+                jc = (t - B) % M
+                for d_ in (dma_L, dma_R, dma_U, dma_D):
+                    d_(jc).wait_recv()
+                xx, known_k = unpack(jc, xx, known_k)
+                if t - M >= B:
+                    for a_ in (ack_to_left, ack_to_right, ack_to_up,
+                               ack_to_down):
+                        a_(jc).wait_send()
+                for a_ in (ack_to_left, ack_to_right, ack_to_up,
+                           ack_to_down):
+                    a_(jc).start()
+            # ---- the RAS iteration on (possibly stale) halo data ----------
+            r = md * (bb - apply_dom(xx))
+            rn = dot(mi * r, mi * r)[0, 0]
+            rn0 = jnp.where(rn0 < 0, rn, rn0)
+            myconv = jnp.where(rn <= tol2 * rn0, 1.0, 0.0)
+            mybit = jnp.where(lane8 == me, myconv, 0.0)
+            known_new = jnp.maximum(known_k, mybit)
+            all_known = jnp.sum(known_new[0:1, :], axis=1)[0] >= 128.0
+            frozen = (done_at >= 0) | all_known
+            z = cg_dom(r)
+            xx = jnp.where(frozen | (mi == 0.0), xx, xx + mi * z)
+            known_k = known_new
+            done_at = jnp.where(
+                done_at >= 0, done_at,
+                jnp.where(all_known, base_t + jnp.float32(t), -1.0),
+            )
+            state = (xx, known_k, rn0, done_at)
+
+        # ---- drains (static counts; see the 1-D kernel for the algebra) ---
+        xx, known_k, rn0, done_at = state
+        for n_ in range(max(T - B, 0), T):
+            jc = n_ % M
+            for d_ in (dma_L, dma_R, dma_U, dma_D):
+                d_(jc).wait_recv()
+        if T >= 1:
+            # freshest drained message refreshes the halos for next launch
+            xx, known_k = unpack((T - 1) % M, xx, known_k)
+        for n_ in range(max(T - M, 0), max(T - B, 0)):
+            jn = n_ % M
+            for a_ in (ack_to_left, ack_to_right, ack_to_up, ack_to_down):
+                a_(jn).wait_recv()
+        for t in range(max(T - M, 0), T):
+            j = t % M
+            for d_ in (dma_L, dma_R, dma_U, dma_D):
+                d_(j).wait_send()
+        for n_ in range(max(T - B - M, 0), max(T - B, 0)):
+            jn = n_ % M
+            for a_ in (ack_to_left, ack_to_right, ack_to_up, ack_to_down):
+                a_(jn).wait_send()
+
+        x_out[:] = xx
+        known_out[:] = known_k
+        aux_v = jnp.where(lane8 == 0, rn0, 0.0)
+        aux_v = jnp.where(lane8 == 1, done_at, aux_v)
+        aux_v = jnp.where(lane8 == 2, base_t + jnp.float32(T), aux_v)
+        aux_v = jnp.where(lane8 == 3, rn, aux_v)
+        aux_out[:] = aux_v
+
+    with jax.enable_x64(False):
+        x_o, known_o, aux_o = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+            out_shape=(
+                jax.ShapeDtypeStruct((By, Bx), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            ),
+            scratch_shapes=(
+                [pltpu.VMEM((M, MSG_LR, 128), jnp.float32)] * 2   # sL sR
+                + [pltpu.VMEM((M, MSG_UD, Bx), jnp.float32)] * 2  # sU sD
+                + [pltpu.VMEM((M, MSG_LR, 128), jnp.float32)] * 2  # rL rR
+                + [pltpu.VMEM((M, MSG_UD, Bx), jnp.float32)] * 2   # rU rD
+                + [pltpu.VMEM((8, 128), jnp.float32)]              # ack_src
+                + [pltpu.VMEM((M, 8, 128), jnp.float32)] * 4       # aL..aD
+                + [pltpu.SemaphoreType.DMA((M,))] * 16
+            ),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(coef3, b2, dinv2, mdom, mint, X2, known2, aux2)
+    return x_o.reshape(1, By, Bx), known_o[0:1, :], aux_o[0:1, :]
+
+
+class AsyncRASolver2D:
+    """Host driver for the 2-D free-running kernel (cf. AsyncRASolver)."""
+
+    def __init__(self, mat, rhs, px: int, py: int,
+                 tolerance: float = 1e-5, staleness: int = 1,
+                 ninner: int = 16, chunk_rounds: int = 16,
+                 mesh=None, interpret: Optional[bool] = None):
+        from jax.sharding import PartitionSpec as P
+
+        from schwarz_tpu.parallel.mesh import SUBD_AXIS, make_mesh
+
+        self.plan = build_async_plan_2d(mat, rhs, px, py)
+        self.mat = mat
+        self.rhs = np.asarray(rhs)
+        self.tolerance = tolerance
+        self.chunk_rounds = chunk_rounds
+        S = px * py
+        if mesh is None:
+            if len(jax.devices()) < S:
+                raise ValueError(
+                    f"need one device per subdomain ({S} requested, "
+                    f"{len(jax.devices())} available)"
+                )
+            mesh = make_mesh(jax.devices()[:S])
+        if mesh.devices.size != S:
+            raise ValueError("free-running 2-D mode requires mesh size == S")
+        self.mesh = mesh
+        if interpret is None:
+            interpret = mesh.devices.reshape(-1)[0].platform == "cpu"
+        p = self.plan
+        kern = functools.partial(
+            async_ras_2d_rounds,
+            px=px, py=py, bx=p.bx, by=p.by,
+            rounds=chunk_rounds, staleness=staleness, ninner=ninner,
+            tol=tolerance, axis_name=SUBD_AXIS, interpret=interpret,
+        )
+        spec = P(SUBD_AXIS)
+        self._mapped = jax.jit(jax.shard_map(
+            kern, mesh=mesh, in_specs=(spec,) * 8,
+            out_specs=(spec, spec, spec), check_vma=False,
+        ))
+        shard = jax.sharding.NamedSharding(mesh, spec)
+        self._dev = {
+            "coef": jax.device_put(jnp.asarray(p.coef), shard),
+            "b": jax.device_put(jnp.asarray(p.b), shard),
+            "dinv": jax.device_put(jnp.asarray(p.dinv), shard),
+            "mask_dom": jax.device_put(jnp.asarray(p.mask_dom), shard),
+            "mask_int": jax.device_put(jnp.asarray(p.mask_int), shard),
+        }
+
+    def run(self, max_rounds: int = 400):
+        import time
+
+        p = self.plan
+        S = p.S
+        X = jnp.zeros((S, p.By, p.Bx), jnp.float32)
+        known = jnp.zeros((S, 128), jnp.float32)
+        aux = jnp.full((S, 128), -1.0, jnp.float32).at[:, 2].set(0.0)
+        t0 = time.perf_counter()
+        rounds = 0
+        while rounds < max_rounds:
+            X, known, aux = self._mapped(
+                self._dev["coef"], self._dev["b"], self._dev["dinv"],
+                self._dev["mask_dom"], self._dev["mask_int"],
+                X, known, aux,
+            )
+            rounds += self.chunk_rounds
+            done = np.asarray(aux[:, 1])
+            if np.all(done >= 0):
+                break
+        elapsed = time.perf_counter() - t0
+        X_h = np.asarray(jax.block_until_ready(X))
+        sol_grid = np.zeros((p.py * p.by, p.px * p.bx), np.float32)
+        for d in range(S):
+            dyy, dxx = divmod(d, p.px)
+            sol_grid[dyy * p.by:(dyy + 1) * p.by,
+                     dxx * p.bx:(dxx + 1) * p.bx] = (
+                X_h[d, HY:HY + p.by, HX:HX + p.bx]
+            )
+        sol = sol_grid[:p.n, :p.n].reshape(-1)
+        res = self.rhs - self.mat.to_scipy() @ sol
+        rel = float(np.linalg.norm(res) / max(np.linalg.norm(self.rhs),
+                                              1e-300))
+        done = np.asarray(aux[:, 1]).astype(int)
+        return sol, {
+            "done_at": done,
+            "converged": bool(np.all(done >= 0)),
+            "rounds": rounds,
+            "relative_residual_norm": rel,
+            "time_s": elapsed,
+            "grid": (p.py, p.px),
+        }

@@ -1,0 +1,84 @@
+"""2-D free-running asynchronous RAS (ops/async_ras_2d.py): 4-neighbor
+block grids with two-hop corner coverage, run under the interpreter on the
+8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+from schwarz_tpu import generate_rhs, laplacian_2d
+from schwarz_tpu.exceptions import NotImplementedFeature
+from schwarz_tpu.ops.async_ras_2d import (
+    AsyncRASolver2D,
+    build_async_plan_2d,
+)
+
+
+def test_async_2d_converges_with_unequal_detection():
+    # 4x2 block grid over 8 devices: the full protocol (4-direction slot
+    # rings, ack flow control, two-hop corners, in-band gossip) must drive
+    # the 256^2 Poisson system to the fixed point, with per-device
+    # detection iterations genuinely unequal
+    A = laplacian_2d(256)
+    b = generate_rhs(A.n, random=False)
+    s = AsyncRASolver2D(A, b, px=4, py=2, tolerance=2e-3, staleness=1,
+                        ninner=30, chunk_rounds=20)
+    x, info = s.run(max_rounds=400)
+    assert info["converged"], info
+    assert info["relative_residual_norm"] < 1e-2
+    assert len(np.unique(info["done_at"])) > 1, info["done_at"]
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+    err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert err < 5e-3, err
+
+
+def test_async_2d_plan_gates_fail_loudly():
+    import scipy.sparse as sp
+
+    from schwarz_tpu.models import CSRMatrix, anisotropic_diffusion_2d
+
+    # 9-point stencil (diagonal couplings) is outside the 5-point scope
+    A9 = anisotropic_diffusion_2d(16, eps=10.0, theta=0.4)
+    with pytest.raises(NotImplementedFeature, match="5-point"):
+        build_async_plan_2d(A9, np.ones(A9.n), 2, 2)
+    # non-square size
+    m = sp.eye(12).tocsr()
+    with pytest.raises(NotImplementedFeature, match="square"):
+        build_async_plan_2d(CSRMatrix.from_scipy(m), np.ones(12), 2, 2)
+
+
+def test_async_2d_plan_invariants():
+    # the extended-block stencil must reproduce the exact residual: for the
+    # direct solution, the masked residual on every device domain is ~0
+    A = laplacian_2d(64)
+    b = generate_rhs(A.n, random=False)
+    p = build_async_plan_2d(A, b, 2, 2)
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+    xg = np.zeros((p.py * p.by, p.px * p.bx))
+    xg[:p.n, :p.n] = x_ref.reshape(p.n, p.n)
+    from schwarz_tpu.ops.async_ras_2d import HX, HY
+
+    for d in range(p.S):
+        dyy, dxx = divmod(d, p.px)
+        y0, x0 = dyy * p.by, dxx * p.bx
+        X = np.zeros((p.By, p.Bx))
+        ys, xs = y0 - HY, x0 - HX
+        gy0, gy1 = max(ys, 0), min(ys + p.By, p.py * p.by)
+        gx0, gx1 = max(xs, 0), min(xs + p.Bx, p.px * p.bx)
+        X[gy0 - ys:gy1 - ys, gx0 - xs:gx1 - xs] = xg[gy0:gy1, gx0:gx1]
+        y = (p.coef[d, 0] * X
+             + p.coef[d, 1] * np.roll(X, -1, 1)
+             + p.coef[d, 2] * np.roll(X, 1, 1)
+             + p.coef[d, 3] * np.roll(X, -1, 0)
+             + p.coef[d, 4] * np.roll(X, 1, 0))
+        r = p.mask_dom[d] * (p.b[d] - y)
+        assert np.linalg.norm(r) < 1e-4, (d, np.linalg.norm(r))
+    # owned masks tile the true grid exactly once
+    cover = np.zeros((p.py * p.by, p.px * p.bx))
+    for d in range(p.S):
+        dyy, dxx = divmod(d, p.px)
+        cover[dyy * p.by:(dyy + 1) * p.by,
+              dxx * p.bx:(dxx + 1) * p.bx] += (
+            p.mask_int[d, HY:HY + p.by, HX:HX + p.bx]
+        )
+    assert np.all(cover[:p.n, :p.n] == 1.0)
