@@ -26,9 +26,10 @@ The same JSON line also carries the two other BASELINE.md per-chip metrics:
     triangular solve (the direct local-solve hot path, solvers/direct.py);
     roofline = streaming both triangular factors from HBM once per solve.
   - ``halo_gather_scatter_elems_per_s`` / ``halo_vs_roofline``: the halo
-    pack/unpack path (gather through the plan table + scatter into x_ext,
-    parallel/exchange.py); roofline = 16 B/element (index+value read,
-    index+value write) at HBM bandwidth.
+    pack/unpack path (parallel/exchange.py) — the contiguous-run vector-copy
+    assembly when the RunPlan engages (the production path; the element-wise
+    gather fallback is reported separately); roofline = 8 B/element
+    (value read + value write) at HBM bandwidth.
 
 Also measured and reported on stderr: full RAS time-to-solution + iteration
 count on a 2D Poisson problem, and a native (non-interpret) compile check of
