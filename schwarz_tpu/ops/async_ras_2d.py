@@ -145,14 +145,11 @@ def build_async_plan_2d(
         # solve domain: everything but the outermost stencil ring, clipped
         # to the padded grid
         dom = np.zeros((By, Bx), np.float32)
-        dy_lo = max(1, ty0) if ys < 0 else 1
         dom[1:By - 1, 1:Bx - 1] = 1.0
-        # clip to the global padded grid
         grid = np.zeros((By, Bx), np.float32)
         grid[ty0:ty0 + gy1 - gy0, tx0:tx0 + gx1 - gx0] = 1.0
         mask_dom[d] = dom * grid
         mask_int[d, HY:HY + by, HX:HX + bx] = 1.0
-        del dy_lo
         dg = coef[d, 0]
         dinv[d] = np.where(np.abs(dg) > 0, 1.0 / np.where(dg == 0, 1, dg),
                            1.0)
