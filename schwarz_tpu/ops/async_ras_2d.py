@@ -18,11 +18,13 @@ The persistent state is the full extended block (halo regions included), so
 chunk-launch boundaries reuse the last-known halos naturally; the freshest
 drained message still refreshes the halos at the end of each launch.
 
-Scope (fail-loudly): operators whose sparsity lives on the 5-point grid
-stencil {0, +-1, +-n} of an n x n grid (laplacian_2d, advection upwind,
-variable coefficients all fine), f32, one subdomain per device.  Banded
-non-grid operators use the 1-D kernel; everything else the staleness
-emulation.
+Scope (fail-loudly): operators whose sparsity lives on the 9-point grid
+stencil {0, +-1, +-n, +-(n-1), +-(n+1)} of an n x n grid (laplacian_2d,
+advection upwind, anisotropic 9-point, variable coefficients all fine),
+f32, one subdomain per device.  The diagonal couplings read the corner
+cells of the extended block, whose data arrives two-hop (staleness
+<= 2B+1) — still bounded, still convergent.  Banded non-grid operators use
+the 1-D kernel; everything else the staleness emulation.
 """
 
 from __future__ import annotations
@@ -59,7 +61,7 @@ class AsyncPlan2D:
     by: int                 # owned block height (multiple of 8)
     Bx: int                 # bx + 2*HX
     By: int                 # by + 2*HY
-    coef: np.ndarray        # (S, 5, By, Bx) f32: C, E, W, S(outh), N(orth)
+    coef: np.ndarray        # (S, 9, By, Bx) f32: C,E,W,S,N,SE,SW,NE,NW
     b: np.ndarray           # (S, By, Bx)
     dinv: np.ndarray        # (S, By, Bx)
     mask_dom: np.ndarray    # (S, By, Bx) local solve domain
@@ -83,27 +85,28 @@ def build_async_plan_2d(
         )
     rows_of = np.repeat(np.arange(N, dtype=np.int64), np.diff(mat.row_ptrs))
     diffs = mat.col_idxs.astype(np.int64) - rows_of
-    allowed = {0, 1, -1, n, -n}
+    allowed = {0, 1, -1, n, -n, n - 1, n + 1, -(n - 1), -(n + 1)}
     offs = set(int(o) for o in np.unique(diffs))
     if not offs <= allowed:
         raise NotImplementedFeature(
-            f"2-D free-running mode requires 5-point grid sparsity "
-            f"(offsets within {{0, +-1, +-{n}}}); found offsets "
+            f"2-D free-running mode requires 9-point grid sparsity "
+            f"(offsets within {{0, +-1, +-{n}, +-{n} +- 1}}); found offsets "
             f"{sorted(offs - allowed)[:5]} — use the 1-D kernel for banded "
             "operators or the staleness emulation"
         )
-    # wrap-around rows: offset +-1 must not cross grid rows (5-pt stencils
-    # built by our generators never do, but verify: col = r +- 1 must share
-    # the grid row of r)
-    sel = np.abs(diffs) == 1
-    if np.any((mat.col_idxs[sel] // n) != (rows_of[sel] // n)):
+    # column drift check: a grid-stencil coupling moves at most one grid
+    # column (catches +-1 wrapping across grid rows and degenerate n)
+    gx_r = rows_of % n
+    gx_c = mat.col_idxs % n
+    if np.any(np.abs(gx_r - gx_c) > 1):
         raise NotImplementedFeature(
-            "+-1 couplings cross grid rows: not a 2-D grid stencil"
+            "couplings cross grid rows: not a 2-D grid stencil"
         )
 
-    # per-cell coefficient grids
-    key = {0: 0, 1: 1, -1: 2, n: 3, -n: 4}
-    coef_g = np.zeros((5, n, n), dtype=np.float32)
+    # per-cell coefficient grids: C, E, W, S, N, SE, SW, NE, NW
+    key = {0: 0, 1: 1, -1: 2, n: 3, -n: 4,
+           n + 1: 5, n - 1: 6, -(n - 1): 7, -(n + 1): 8}
+    coef_g = np.zeros((9, n, n), dtype=np.float32)
     for off, k in key.items():
         m = diffs == off
         r = rows_of[m]
@@ -115,7 +118,7 @@ def build_async_plan_2d(
     Bx, By = bx + 2 * HX, by + 2 * HY
     S = px * py
 
-    coef = np.zeros((S, 5, By, Bx), np.float32)
+    coef = np.zeros((S, 9, By, Bx), np.float32)
     b = np.zeros((S, By, Bx), np.float32)
     dinv = np.ones((S, By, Bx), np.float32)
     mask_dom = np.zeros((S, By, Bx), np.float32)
@@ -123,7 +126,7 @@ def build_async_plan_2d(
 
     # padded global grids (identity rows beyond n)
     nX, nY = px * bx, py * by
-    cg = np.zeros((5, nY, nX), np.float32)
+    cg = np.zeros((9, nY, nX), np.float32)
     cg[:, :n, :n] = coef_g
     cg[0, :, n:] = 1.0
     cg[0, n:, :] = 1.0
@@ -182,7 +185,7 @@ def _sh(x: jax.Array, dy: int, dx: int) -> jax.Array:
     ),
 )
 def async_ras_2d_rounds(
-    coef: jax.Array,       # (1, 5, By, Bx)
+    coef: jax.Array,       # (1, 9, By, Bx)
     b: jax.Array,          # (1, By, Bx)
     dinv: jax.Array,       # (1, By, Bx)
     mask_dom: jax.Array,   # (1, By, Bx)
@@ -208,7 +211,7 @@ def async_ras_2d_rounds(
     MSG_LR = By + 8            # (MSG_LR, 128): strip cols in lanes 0..HX-1
     MSG_UD = HY + 8            # (MSG_UD, Bx): flags in lanes 0..127
 
-    coef3 = coef.reshape(5, By, Bx)
+    coef3 = coef.reshape(9, By, Bx)
     b2 = b.reshape(By, Bx)
     dinv2 = dinv.reshape(By, Bx)
     mdom = mask_dom.reshape(By, Bx)
@@ -289,7 +292,7 @@ def async_ras_2d_rounds(
         done_at = aux_ref[0, 1]
         base_t = aux_ref[0, 2]
 
-        cc = [coef_ref[k] for k in range(5)]
+        cc = [coef_ref[k] for k in range(9)]
         bb = b_ref[:]
         dv = dinv_ref[:]
         md = mdom_ref[:]
@@ -298,7 +301,9 @@ def async_ras_2d_rounds(
         def apply_dom(v):
             return (cc[0] * v
                     + cc[1] * _sh(v, 0, 1) + cc[2] * _sh(v, 0, -1)
-                    + cc[3] * _sh(v, 1, 0) + cc[4] * _sh(v, -1, 0))
+                    + cc[3] * _sh(v, 1, 0) + cc[4] * _sh(v, -1, 0)
+                    + cc[5] * _sh(v, 1, 1) + cc[6] * _sh(v, 1, -1)
+                    + cc[7] * _sh(v, -1, 1) + cc[8] * _sh(v, -1, -1))
 
         def dot(u, v):
             s_ = jnp.sum(u * v, axis=1, keepdims=True)

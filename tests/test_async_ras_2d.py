@@ -32,25 +32,51 @@ def test_async_2d_converges_with_unequal_detection():
     assert err < 5e-3, err
 
 
+def test_async_2d_converges_anisotropic_9pt():
+    # 9-point stencil (diagonal couplings): corner data arrives two-hop,
+    # the free-running iteration must still reach the fixed point
+    from schwarz_tpu.models import anisotropic_diffusion_2d
+
+    A = anisotropic_diffusion_2d(128, eps=5.0, theta=0.4)
+    b = generate_rhs(A.n, random=False)
+    s = AsyncRASolver2D(A, b, px=4, py=2, tolerance=2e-3, staleness=1,
+                        ninner=40, chunk_rounds=20)
+    x, info = s.run(max_rounds=600)
+    assert info["converged"], info
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+    err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert err < 2e-2, err
+
+
 def test_async_2d_plan_gates_fail_loudly():
     import scipy.sparse as sp
 
-    from schwarz_tpu.models import CSRMatrix, anisotropic_diffusion_2d
+    from schwarz_tpu.models import CSRMatrix
 
-    # 9-point stencil (diagonal couplings) is outside the 5-point scope
-    A9 = anisotropic_diffusion_2d(16, eps=10.0, theta=0.4)
-    with pytest.raises(NotImplementedFeature, match="5-point"):
-        build_async_plan_2d(A9, np.ones(A9.n), 2, 2)
+    # bandwidth-2 couplings are outside any grid stencil
+    m = sp.diags([1.0, -4.0, 1.0], [-2, 0, 2],
+                 shape=(16, 16), format="csr")
+    with pytest.raises(NotImplementedFeature, match="9-point"):
+        build_async_plan_2d(CSRMatrix.from_scipy(m.tocsr()), np.ones(16),
+                            2, 2)
     # non-square size
     m = sp.eye(12).tocsr()
     with pytest.raises(NotImplementedFeature, match="square"):
         build_async_plan_2d(CSRMatrix.from_scipy(m), np.ones(12), 2, 2)
 
 
-def test_async_2d_plan_invariants():
+def _aniso_64():
+    from schwarz_tpu.models import anisotropic_diffusion_2d
+
+    return anisotropic_diffusion_2d(64, eps=5.0, theta=0.3)
+
+
+@pytest.mark.parametrize("gen", [laplacian_2d, _aniso_64],
+                         ids=["5pt", "9pt"])
+def test_async_2d_plan_invariants(gen):
     # the extended-block stencil must reproduce the exact residual: for the
     # direct solution, the masked residual on every device domain is ~0
-    A = laplacian_2d(64)
+    A = gen(64) if gen is laplacian_2d else gen()
     b = generate_rhs(A.n, random=False)
     p = build_async_plan_2d(A, b, 2, 2)
     x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
@@ -70,9 +96,20 @@ def test_async_2d_plan_invariants():
              + p.coef[d, 1] * np.roll(X, -1, 1)
              + p.coef[d, 2] * np.roll(X, 1, 1)
              + p.coef[d, 3] * np.roll(X, -1, 0)
-             + p.coef[d, 4] * np.roll(X, 1, 0))
+             + p.coef[d, 4] * np.roll(X, 1, 0)
+             + p.coef[d, 5] * np.roll(np.roll(X, -1, 0), -1, 1)
+             + p.coef[d, 6] * np.roll(np.roll(X, -1, 0), 1, 1)
+             + p.coef[d, 7] * np.roll(np.roll(X, 1, 0), -1, 1)
+             + p.coef[d, 8] * np.roll(np.roll(X, 1, 0), 1, 1))
         r = p.mask_dom[d] * (p.b[d] - y)
-        assert np.linalg.norm(r) < 1e-4, (d, np.linalg.norm(r))
+        # tolerance is relative to the stencil-product scale: f32 coef
+        # rounding leaves ~eps_f32 * |coef|*|x| per cell
+        scale = max(
+            1.0,
+            float(np.linalg.norm(p.mask_dom[d] * np.abs(p.coef[d]).sum(0)
+                                 * np.abs(X))),
+        )
+        assert np.linalg.norm(r) / scale < 1e-5, (d, np.linalg.norm(r))
     # owned masks tile the true grid exactly once
     cover = np.zeros((p.py * p.by, p.px * p.bx))
     for d in range(p.S):
