@@ -313,19 +313,21 @@ def main():
     except Exception as e:  # pragma: no cover
         rdma_info = {"rdma_native_ok": False, "rdma_native_error": str(e)[:200]}
 
-    # free-running async kernel: native compile+execute proof at S=1 (the
-    # ring degenerates to self-push; same kernel, all DMA/semaphore paths)
+    # free-running async kernel: native compile+execute proof of the FULL
+    # 8-subdomain solve on one chip (Sl = 8 batching; the self-ring runs
+    # the real DMA/semaphore/ack protocol and the folded-window compute)
     def async_native_check():
         from schwarz_tpu.ops.async_ras import AsyncRASolver
 
-        A_a = laplacian_2d(16)
+        A_a = laplacian_2d(32)
         b_a = generate_rhs(A_a.n, random=False)
-        s_a = AsyncRASolver(A_a, b_a, num_subdomains=1, overlap=2,
+        s_a = AsyncRASolver(A_a, b_a, num_subdomains=8, overlap=2,
                             tolerance=1e-4, staleness=1, ninner=10,
                             chunk_rounds=6, interpret=not on_tpu)
-        _, info = s_a.run(max_rounds=60)
+        _, info = s_a.run(max_rounds=120)
         return {"async_native_ok": bool(info["converged"]),
                 "async_rel": info["relative_residual_norm"],
+                "async_native_sl": s_a.Sl,
                 "async_native_mode": "tpu" if on_tpu else "interpret"}
 
     try:

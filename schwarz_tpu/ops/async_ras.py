@@ -31,10 +31,23 @@ every device reports detection (each launch boundary is the only global
 sync, exactly like the reference's bounded ``max_iters`` loop).
 
 Scope (gated, fail-loudly): banded operators (pure-DIA global matrix),
-regular 1-D partition with one subdomain per device, f32 compute.  This
-covers the reference's flagship generated problems (2-D/3-D Laplacians,
-anisotropic/advection stencils); unstructured matrices use the round-1
-staleness emulation instead.
+regular 1-D partition, f32 compute.  This covers the reference's flagship
+generated problems (2-D/3-D Laplacians, anisotropic/advection stencils);
+unstructured matrices use the round-1 staleness emulation instead.
+
+Subdomain batching (``Sl = S / D`` subdomains per device): the *device* is
+the asynchronous rank.  Each device folds its Sl extended windows along
+the sublane axis and updates them together; halos between same-device
+subdomains are read fresh from VMEM each iteration (staleness 0), and only
+the two device-edge strips ride the DMA ring.  The fold keeps the flat
+lane/sublane shift-SpMV exact because every in-domain row reads within its
+own window (``hw >= ovp + bw``) and any cross-window read is annihilated
+by the zero DIA coefficients — the same invariant the physical chain ends
+rely on.  The inner CG shares its step sizes across the device's windows
+(it is CG on the block-diagonal local operator, i.e. ``z_i = P(A_i) r_i``
+with one polynomial per device) — a valid inexact local solve.  With
+``D == 1`` the full S-subdomain asynchronous solve runs natively on a
+single chip (the self-ring exercises the real DMA path).
 
 Local solves are a fixed number of Jacobi-preconditioned CG iterations on
 the overlapped subdomain (two-stage/inexact inner solves — the reference's
@@ -176,12 +189,12 @@ def _shift(x: jax.Array, d: int) -> jax.Array:
     ),
 )
 def async_ras_rounds(
-    dia: jax.Array,        # (1, K, total) f32 — this device's slice
-    b: jax.Array,          # (1, total)
-    dinv: jax.Array,       # (1, total)
-    mask_dom: jax.Array,   # (1, total)
-    mask_int: jax.Array,   # (1, total)
-    x: jax.Array,          # (1, R) current interior iterate
+    dia: jax.Array,        # (Sl, K, total) f32 — this device's windows
+    b: jax.Array,          # (Sl, total)
+    dinv: jax.Array,       # (Sl, total)
+    mask_dom: jax.Array,   # (Sl, total)
+    mask_int: jax.Array,   # (Sl, total)
+    x: jax.Array,          # (Sl, R) current interior iterates
     known: jax.Array,      # (1, 128) f32 0/1 known-converged bits
     aux: jax.Array,        # (1, 128) f32: [0]=rn0 (-1 first), [1]=done_at (-1)
     hl_carry: jax.Array,   # (1, hw) freshest left-halo strip from prev launch
@@ -200,31 +213,38 @@ def async_ras_rounds(
 ):
     """Run ``rounds`` free-running outer iterations on this device.
 
-    Called per-device inside shard_map (Sl == 1).  Returns (x, known, aux)
-    with aux[1] = iteration (global, cumulative via aux[2] round base) at
-    which this device first detected global convergence, -1 if not yet.
+    Called per-device inside shard_map; the device owns ``Sl`` consecutive
+    subdomain windows (Sl = leading dim of ``dia``), folded along sublanes
+    (see module docstring).  ``n_subd`` is the number of DEVICES in the
+    ring (the async ranks).  Returns (x, known, aux) with aux[1] =
+    iteration (global, cumulative via aux[2] round base) at which this
+    device first detected global convergence, -1 if not yet.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    K = len(offsets)
+    Sl, K = dia.shape[0], len(offsets)
     Tr = total // 128
     R = total - 2 * hw
     Rr = R // 128
     HWr = hw // 128
+    SlTr = Sl * Tr
+    SlRr = Sl * Rr
     B = max(staleness, 1)
     M = 2 * B + 2                     # ring slots: no reuse within the bound
     T = rounds
     MSG = HWr + 8                     # strip rows + flags tile rows
     tol2 = float(tol) * float(tol)
-    shifts = tuple(int(o) % total for o in offsets)
+    # flat shifts act on the FOLDED (Sl*total) row space; cross-window
+    # reads only ever hit zero DIA coefficients (hw >= ovp + bw)
+    shifts = tuple(int(o) % (Sl * total) for o in offsets)
 
-    dia3 = dia.reshape(K, Tr, 128)
-    b2 = b.reshape(Tr, 128)
-    dinv2 = dinv.reshape(Tr, 128)
-    mdom = mask_dom.reshape(Tr, 128)
-    mint = mask_int.reshape(Tr, 128)
-    x2 = x.reshape(Rr, 128)
+    dia3 = dia.transpose(1, 0, 2).reshape(K, SlTr, 128)
+    b2 = b.reshape(SlTr, 128)
+    dinv2 = dinv.reshape(SlTr, 128)
+    mdom = mask_dom.reshape(SlTr, 128)
+    mint = mask_int.reshape(SlTr, 128)
+    x2 = x.reshape(SlRr, 128)
     known2 = jnp.broadcast_to(known.reshape(1, 128), (8, 128))
     aux2 = jnp.broadcast_to(aux.reshape(1, 128), (8, 128))
     hl2 = hl_carry.reshape(HWr, 128)
@@ -336,10 +356,12 @@ def async_ras_rounds(
                 data_rdma_right(j).wait_send()
                 ack_rdma_to_left(j).wait_recv()    # ack arriving in ack_r[j]
                 ack_rdma_to_right(j).wait_recv()   # ack arriving in ack_l[j]
-            # pack: boundary strips + known flags (in-band gossip)
+            # pack: device-edge boundary strips + known flags (in-band
+            # gossip).  Leftmost window's leading rows / rightmost
+            # window's trailing rows — the only inter-device halos.
             send_l[j, :HWr] = xx[:HWr]
             send_l[j, HWr:] = known_k
-            send_r[j, :HWr] = xx[Rr - HWr:]
+            send_r[j, :HWr] = xx[SlRr - HWr:]
             send_r[j, HWr:] = known_k
             data_rdma_left(j).start()
             data_rdma_right(j).start()
@@ -367,7 +389,20 @@ def async_ras_rounds(
                 flags_l = jnp.zeros((8, 128), jnp.float32)
                 flags_r = flags_l
             # ---- the RAS iteration on (possibly stale) halo data ----------
-            xp = jnp.concatenate([halo_l, xx, halo_r], axis=0)   # (Tr, 128)
+            # fold the Sl extended windows: inter-device edge halos come
+            # from the ring (stale by B); same-device neighbor halos are
+            # read fresh from the current iterate (staleness 0)
+            pieces = []
+            for s_ in range(Sl):
+                pieces.append(
+                    halo_l if s_ == 0 else xx[s_ * Rr - HWr:s_ * Rr]
+                )
+                pieces.append(xx[s_ * Rr:(s_ + 1) * Rr])
+                pieces.append(
+                    halo_r if s_ == Sl - 1
+                    else xx[(s_ + 1) * Rr:(s_ + 1) * Rr + HWr]
+                )
+            xp = jnp.concatenate(pieces, axis=0)   # (SlTr, 128)
             r = md * (bb - apply_dom(xp))
             rn = dot(mi * r, mi * r)[0, 0]
             rn0 = jnp.where(rn0 < 0, rn, rn0)
@@ -381,7 +416,11 @@ def async_ras_rounds(
             # the detecting pass does not solve (schwarz_base.cpp:432)
             frozen = (done_at >= 0) | all_known
             z = cg_dom(r)
-            x_new = xx + z[HWr:HWr + Rr]
+            z_int = jnp.concatenate(
+                [z[s_ * Tr + HWr:s_ * Tr + HWr + Rr] for s_ in range(Sl)],
+                axis=0,
+            )
+            x_new = xx + z_int
             xx = jnp.where(frozen, xx, x_new)
             known_k = known_new
             done_at = jnp.where(
@@ -444,7 +483,7 @@ def async_ras_rounds(
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 5,
             out_shape=(
-                jax.ShapeDtypeStruct((Rr, 128), jnp.float32),
+                jax.ShapeDtypeStruct((SlRr, 128), jnp.float32),
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
                 jax.ShapeDtypeStruct((HWr, 128), jnp.float32),
@@ -471,7 +510,7 @@ def async_ras_rounds(
             interpret=interpret,
         )(dia3, b2, dinv2, mdom, mint, x2, known2, aux2, hl2, hr2)
     return (
-        x_o.reshape(1, R),
+        x_o.reshape(Sl, R),
         known_o[0:1, :],
         aux_o[0:1, :],
         hl_o.reshape(1, hw),
@@ -505,14 +544,23 @@ class AsyncRASolver:
         self.chunk_rounds = chunk_rounds
         S = num_subdomains
         if mesh is None:
-            if len(jax.devices()) < S:
-                raise ValueError(
-                    f"free-running mode needs one device per subdomain "
-                    f"({S} requested, {len(jax.devices())} available)"
-                )
-            mesh = make_mesh(jax.devices()[:S])
-        if mesh.devices.size != S:
-            raise ValueError("free-running mode requires mesh size == S")
+            avail = len(jax.devices())
+            if S <= avail:
+                D = S
+            else:
+                # batch Sl = S/D consecutive subdomains per device on the
+                # largest divisor of S that fits the machine
+                D = max(d for d in range(1, min(avail, S) + 1)
+                        if S % d == 0)
+            mesh = make_mesh(jax.devices()[:D])
+        D = int(mesh.devices.size)
+        if S % D:
+            raise ValueError(
+                f"free-running mode requires the subdomain count ({S}) to "
+                f"be a multiple of the mesh size ({D})"
+            )
+        self.D = D
+        self.Sl = S // D
         self.mesh = mesh
         if interpret is None:
             interpret = mesh.devices.reshape(-1)[0].platform == "cpu"
@@ -523,7 +571,7 @@ class AsyncRASolver:
             async_ras_rounds,
             offsets=p.offsets, total=p.total, hw=p.hw,
             rounds=chunk_rounds, staleness=staleness, ninner=ninner,
-            tol=tolerance, n_subd=S, axis_name=SUBD_AXIS,
+            tol=tolerance, n_subd=D, axis_name=SUBD_AXIS,
             interpret=interpret,
         )
         spec = P(SUBD_AXIS)
@@ -563,15 +611,16 @@ class AsyncRASolver:
 
         p = self.plan
         S = p.S
+        D = self.D
         if resume_state is not None:
             x, known, aux, hl, hr = resume_state
         else:
             x = jnp.zeros((S, p.R), jnp.float32)
-            known = jnp.zeros((S, 128), jnp.float32)
-            aux = jnp.full((S, 128), -1.0, jnp.float32)
+            known = jnp.zeros((D, 128), jnp.float32)
+            aux = jnp.full((D, 128), -1.0, jnp.float32)
             aux = aux.at[:, 2].set(0.0)   # base round counter
-            hl = jnp.zeros((S, p.hw), jnp.float32)
-            hr = jnp.zeros((S, p.hw), jnp.float32)
+            hl = jnp.zeros((D, p.hw), jnp.float32)
+            hr = jnp.zeros((D, p.hw), jnp.float32)
         t0 = time.perf_counter()
         rounds = 0
         while rounds < max_rounds:

@@ -48,6 +48,42 @@ def test_async_devices_detect_at_unequal_iterations():
     assert len(np.unique(done)) > 1, f"all devices detected at {done[0]}"
 
 
+@pytest.mark.parametrize("D", [1, 2, 4])
+def test_async_subdomain_batching_converges(D):
+    # Sl = S/D subdomains folded per device: same fixed point with fewer
+    # devices than subdomains (D == 1 is the single-chip native shape)
+    import jax
+
+    from schwarz_tpu.parallel.mesh import make_mesh
+
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n, random=False)
+    solver = AsyncRASolver(A, b, num_subdomains=8, overlap=2,
+                           tolerance=1e-5, staleness=1, ninner=20,
+                           chunk_rounds=8,
+                           mesh=make_mesh(jax.devices()[:D]))
+    assert solver.Sl == 8 // D
+    x, info = solver.run(max_rounds=300)
+    assert info["converged"], info
+    assert info["relative_residual_norm"] < 1e-4
+    assert len(info["done_at"]) == D
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+    err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-3, err
+
+
+def test_async_batching_rejects_non_divisible():
+    import jax
+
+    from schwarz_tpu.parallel.mesh import make_mesh
+
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n, random=False)
+    with pytest.raises(ValueError, match="multiple"):
+        AsyncRASolver(A, b, num_subdomains=8, overlap=2,
+                      mesh=make_mesh(jax.devices()[:3]))
+
+
 @pytest.mark.parametrize("staleness", [1, 2, 3])
 def test_async_bounded_staleness_converges(staleness):
     A = laplacian_2d(16)
