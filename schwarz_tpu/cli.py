@@ -154,6 +154,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=None)
     # output (bench_base.hpp:141-144)
     p.add_argument("--enable_logging", action="store_true")
+    p.add_argument("--shifted_iter", action="store_true",
+                   help="staggered rounds (settings.hpp:212) — dead in the "
+                        "reference v1; raises NotImplementedFeature")
     p.add_argument("--write_iters_and_residuals", action="store_true")
     p.add_argument("--write_comm_data", action="store_true")
     p.add_argument("--print_matrices", action="store_true",
@@ -289,6 +292,7 @@ def settings_from_args(args):
         debug_print=args.debug_print,
         write_iters_and_residuals=args.write_iters_and_residuals,
         enable_logging=args.enable_logging,
+        shifted_iter=args.shifted_iter,
     )
 
 

@@ -237,6 +237,10 @@ class Settings:
     # Residual/inner-iteration histories are always recorded regardless (they
     # live in the loop carry and cost nothing observable).
     enable_logging: bool = False
+    # Staggered-round flag (settings.hpp:212, bench_base.hpp:59-60):
+    # declared in the reference but read nowhere in its source — dead in
+    # v1.  Kept for flag parity; True raises NotImplementedFeature.
+    shifted_iter: bool = False
     # padding multiple for subdomain row counts (TPU lane alignment)
     row_pad_multiple: int = 8
     # SpMV storage for the local operator: "dia" = dominant-diagonal + ELL

@@ -151,6 +151,13 @@ class RASolver:
         # or fails loudly (round-1 verdict: no silently-inert settings)
         from schwarz_tpu.exceptions import NotImplementedFeature
 
+        if s.shifted_iter:
+            raise NotImplementedFeature(
+                "shifted_iter (settings.hpp:212) is declared but read "
+                "nowhere in the reference source — a dead flag in v1.  "
+                "Staggered rounds would also break the uniform-round "
+                "semaphore algebra of the free-running kernel; unset it"
+            )
         if s.comm.stage_through_host:
             raise NotImplementedFeature(
                 "stage_through_host (schwarz_base.cpp:344-348) exists to "

@@ -203,6 +203,9 @@ def test_inert_knobs_fail_loudly():
         build(CommSettings(flush_type="bogus"))
     with pytest.raises(ValueError, match="enable_put"):
         build(CommSettings(enable_put=True, enable_get=True))
+    with pytest.raises(NotImplementedFeature, match="shifted_iter"):
+        RASolver(decompose(
+            A, b, Settings(overlap=2, shifted_iter=True), 2))
 
 
 def test_run_plan_fast_path_bit_identical():
