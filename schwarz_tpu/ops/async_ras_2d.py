@@ -21,10 +21,21 @@ drained message still refreshes the halos at the end of each launch.
 Scope (fail-loudly): operators whose sparsity lives on the 9-point grid
 stencil {0, +-1, +-n, +-(n-1), +-(n+1)} of an n x n grid (laplacian_2d,
 advection upwind, anisotropic 9-point, variable coefficients all fine),
-f32, one subdomain per device.  The diagonal couplings read the corner
-cells of the extended block, whose data arrives two-hop (staleness
-<= 2B+1) — still bounded, still convergent.  Banded non-grid operators use
-the 1-D kernel; everything else the staleness emulation.
+f32.  The diagonal couplings read the corner cells of the extended block,
+whose data arrives two-hop (staleness <= 2B+1) — still bounded, still
+convergent.  Banded non-grid operators use the 1-D kernel; everything
+else the staleness emulation.
+
+Block batching (cf. the 1-D kernel's Sl batching): each device may own a
+(ply, plx) sub-grid of blocks, folded into one (ply*By, plx*Bx) tile.
+The device is the asynchronous rank; same-device neighbor halos refresh
+fresh each iteration via in-VMEM strip copies (full-length strips carry
+the corner data exactly like the DMA strips), and only the device-edge
+strips ride the DMA rings.  The folded 9-point stencil stays exact
+because in-domain cells never read past their own extended window (the
+outermost ring is excluded from every solve domain) — cross-window reads
+hit zero coefficients.  With one device the full px x py asynchronous
+block solve runs natively on a single chip.
 """
 
 from __future__ import annotations
@@ -180,43 +191,54 @@ def _sh(x: jax.Array, dy: int, dx: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "px", "py", "bx", "by", "rounds", "staleness", "ninner", "tol",
-        "axis_name", "interpret",
+        "px", "py", "ply", "plx", "bx", "by", "rounds", "staleness",
+        "ninner", "tol", "axis_name", "interpret",
     ),
 )
 def async_ras_2d_rounds(
-    coef: jax.Array,       # (1, 9, By, Bx)
-    b: jax.Array,          # (1, By, Bx)
-    dinv: jax.Array,       # (1, By, Bx)
-    mask_dom: jax.Array,   # (1, By, Bx)
-    mask_int: jax.Array,   # (1, By, Bx)
-    X: jax.Array,          # (1, By, Bx) extended iterate (halos included)
+    coef: jax.Array,       # (Slb, 9, By, Bx) — device's (ply, plx) windows
+    b: jax.Array,          # (Slb, By, Bx)
+    dinv: jax.Array,       # (Slb, By, Bx)
+    mask_dom: jax.Array,   # (Slb, By, Bx)
+    mask_int: jax.Array,   # (Slb, By, Bx)
+    X: jax.Array,          # (Slb, By, Bx) extended iterates (halos included)
     known: jax.Array,      # (1, 128)
     aux: jax.Array,        # (1, 128): [0]=rn0, [1]=done_at, [2]=round base
     *,
-    px: int, py: int, bx: int, by: int,
+    px: int, py: int, ply: int, plx: int, bx: int, by: int,
     rounds: int, staleness: int, ninner: int, tol: float,
     axis_name: str, interpret: bool,
 ):
-    """Run ``rounds`` free-running 2-D iterations on this device (Sl == 1)."""
+    """Run ``rounds`` free-running 2-D iterations on this device.
+
+    ``px x py`` is the DEVICE grid; each device owns a (ply, plx) sub-grid
+    of blocks (Slb = ply*plx, leading dim, row-major over the local grid)
+    folded into one (ply*By, plx*Bx) tile — see module docstring.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     Bx, By = bx + 2 * HX, by + 2 * HY
+    FY, FX = ply * By, plx * Bx
     B = max(staleness, 1)
     M = 2 * B + 2
     T = rounds
-    S = px * py
     tol2 = float(tol) * float(tol)
-    MSG_LR = By + 8            # (MSG_LR, 128): strip cols in lanes 0..HX-1
-    MSG_UD = HY + 8            # (MSG_UD, Bx): flags in lanes 0..127
+    MSG_LR = FY + 8            # (MSG_LR, 128): strip cols in lanes 0..HX-1
+    MSG_UD = HY + 8            # (MSG_UD, FX): flags in lanes 0..127
 
-    coef3 = coef.reshape(9, By, Bx)
-    b2 = b.reshape(By, Bx)
-    dinv2 = dinv.reshape(By, Bx)
-    mdom = mask_dom.reshape(By, Bx)
-    mint = mask_int.reshape(By, Bx)
-    X2 = X.reshape(By, Bx)
+    def fold(a):               # (Slb, By, Bx) -> (FY, FX)
+        return (a.reshape(ply, plx, By, Bx)
+                .transpose(0, 2, 1, 3).reshape(FY, FX))
+
+    coef3 = (coef.transpose(1, 0, 2, 3)
+             .reshape(9, ply, plx, By, Bx)
+             .transpose(0, 1, 3, 2, 4).reshape(9, FY, FX))
+    b2 = fold(b)
+    dinv2 = fold(dinv)
+    mdom = fold(mask_dom)
+    mint = fold(mask_int)
+    X2 = fold(X)
     known2 = jnp.broadcast_to(known.reshape(1, 128), (8, 128))
     aux2 = jnp.broadcast_to(aux.reshape(1, 128), (8, 128))
 
@@ -284,9 +306,10 @@ def async_ras_2d_rounds(
 
         ack_src[:] = jnp.zeros((8, 128), jnp.float32)
 
+        n_dev = px * py            # devices = async ranks in the gossip
         lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         known_k = jnp.maximum(
-            known_ref[:], jnp.where(lane8 >= S, 1.0, 0.0)
+            known_ref[:], jnp.where(lane8 >= n_dev, 1.0, 0.0)
         )
         rn0 = aux_ref[0, 0]
         done_at = aux_ref[0, 1]
@@ -336,34 +359,69 @@ def async_ras_2d_rounds(
         def unpack(jc, xx, known_k):
             # halo writes from the 4 consumed messages (two-hop corners:
             # LR strips carry the sender's top/bottom halo rows, UD strips
-            # its left/right halo columns)
-            xx = xx.at[:, 0:HX].set(rL[jc, :By, 0:HX])
-            xx = xx.at[:, Bx - HX:Bx].set(rR[jc, :By, 0:HX])
-            xx = xx.at[0:HY, :].set(rU[jc, 0:HY, 0:Bx])
-            xx = xx.at[By - HY:By, :].set(rD[jc, 0:HY, 0:Bx])
+            # its left/right halo columns); fills the device-edge halos of
+            # every edge window of the folded tile
+            xx = xx.at[:, 0:HX].set(rL[jc, :FY, 0:HX])
+            xx = xx.at[:, FX - HX:FX].set(rR[jc, :FY, 0:HX])
+            xx = xx.at[0:HY, :].set(rU[jc, 0:HY, 0:FX])
+            xx = xx.at[FY - HY:FY, :].set(rD[jc, 0:HY, 0:FX])
             for ring in (rL, rR):
-                known_k = jnp.maximum(known_k, ring[jc, By:By + 8, :])
+                known_k = jnp.maximum(known_k, ring[jc, FY:FY + 8, :])
             for ring in (rU, rD):
                 known_k = jnp.maximum(known_k, ring[jc, HY:HY + 8, 0:128])
             return xx, known_k
 
+        def refresh_intra(xx):
+            # same-device neighbor halos, fresh each iteration: full-length
+            # strips snapshot from the pre-update tile, so corner cells
+            # carry the source window's own halo rows/cols (the same
+            # two-hop trick the DMA strips use — here with zero lag).
+            # LR strips first, then UD overwrite the corner cells, exactly
+            # mirroring unpack()'s write order.
+            xs = xx
+            for iy in range(ply):
+                r0 = iy * By
+                for ix in range(plx):
+                    c0 = ix * Bx
+                    if ix > 0:
+                        xx = xx.at[r0:r0 + By, c0:c0 + HX].set(
+                            xs[r0:r0 + By, c0 - 2 * HX:c0 - HX])
+                    if ix < plx - 1:
+                        xx = xx.at[r0:r0 + By,
+                                   c0 + Bx - HX:c0 + Bx].set(
+                            xs[r0:r0 + By, c0 + Bx + HX:c0 + Bx + 2 * HX])
+            for iy in range(ply):
+                r0 = iy * By
+                for ix in range(plx):
+                    c0 = ix * Bx
+                    if iy > 0:
+                        xx = xx.at[r0:r0 + HY, c0:c0 + Bx].set(
+                            xs[r0 - 2 * HY:r0 - HY, c0:c0 + Bx])
+                    if iy < ply - 1:
+                        xx = xx.at[r0 + By - HY:r0 + By,
+                                   c0:c0 + Bx].set(
+                            xs[r0 + By + HY:r0 + By + 2 * HY, c0:c0 + Bx])
+            return xx
+
         for t in range(T):
             j = t % M
             xx, known_k, rn0, done_at = state
+            if ply > 1 or plx > 1:
+                xx = refresh_intra(xx)
             if t >= M:
                 for d_ in (dma_L, dma_R, dma_U, dma_D):
                     d_(j).wait_send()
                 for a_ in (ack_to_left, ack_to_right, ack_to_up,
                            ack_to_down):
                     a_(j).wait_recv()
-            # pack the 4 strips from the CURRENT extended block
-            sL[j, :By, 0:HX] = xx[:, HX:2 * HX]
-            sL[j, By:By + 8, :] = known_k
-            sR[j, :By, 0:HX] = xx[:, Bx - 2 * HX:Bx - HX]
-            sR[j, By:By + 8, :] = known_k
-            sU[j, 0:HY, 0:Bx] = xx[HY:2 * HY, :]
+            # pack the 4 device-edge strips from the CURRENT folded tile
+            sL[j, :FY, 0:HX] = xx[:, HX:2 * HX]
+            sL[j, FY:FY + 8, :] = known_k
+            sR[j, :FY, 0:HX] = xx[:, FX - 2 * HX:FX - HX]
+            sR[j, FY:FY + 8, :] = known_k
+            sU[j, 0:HY, 0:FX] = xx[HY:2 * HY, :]
             sU[j, HY:HY + 8, 0:128] = known_k
-            sD[j, 0:HY, 0:Bx] = xx[By - 2 * HY:By - HY, :]
+            sD[j, 0:HY, 0:FX] = xx[FY - 2 * HY:FY - HY, :]
             sD[j, HY:HY + 8, 0:128] = known_k
             for d_ in (dma_L, dma_R, dma_U, dma_D):
                 d_(j).start()
@@ -433,15 +491,15 @@ def async_ras_2d_rounds(
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
             out_shape=(
-                jax.ShapeDtypeStruct((By, Bx), jnp.float32),
+                jax.ShapeDtypeStruct((FY, FX), jnp.float32),
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
             ),
             scratch_shapes=(
                 [pltpu.VMEM((M, MSG_LR, 128), jnp.float32)] * 2   # sL sR
-                + [pltpu.VMEM((M, MSG_UD, Bx), jnp.float32)] * 2  # sU sD
+                + [pltpu.VMEM((M, MSG_UD, FX), jnp.float32)] * 2  # sU sD
                 + [pltpu.VMEM((M, MSG_LR, 128), jnp.float32)] * 2  # rL rR
-                + [pltpu.VMEM((M, MSG_UD, Bx), jnp.float32)] * 2   # rU rD
+                + [pltpu.VMEM((M, MSG_UD, FX), jnp.float32)] * 2   # rU rD
                 + [pltpu.VMEM((8, 128), jnp.float32)]              # ack_src
                 + [pltpu.VMEM((M, 8, 128), jnp.float32)] * 4       # aL..aD
                 + [pltpu.SemaphoreType.DMA((M,))] * 16
@@ -449,11 +507,36 @@ def async_ras_2d_rounds(
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(coef3, b2, dinv2, mdom, mint, X2, known2, aux2)
-    return x_o.reshape(1, By, Bx), known_o[0:1, :], aux_o[0:1, :]
+    x_unfold = (x_o.reshape(ply, By, plx, Bx)
+                .transpose(0, 2, 1, 3).reshape(ply * plx, By, Bx))
+    return x_unfold, known_o[0:1, :], aux_o[0:1, :]
+
+
+def _device_grid(D: int, px: int, py: int) -> Optional[Tuple[int, int]]:
+    """Factor ``D`` devices into a (pdx, pdy) grid tiling the block grid.
+
+    Returns the factorization whose per-device (ply, plx) window sub-grid
+    is most balanced, or None when no factorization divides (px, py).
+    """
+    best = None
+    for pdx in range(1, D + 1):
+        if D % pdx or px % pdx or py % (D // pdx):
+            continue
+        pdy = D // pdx
+        score = abs(py // pdy - px // pdx)
+        if best is None or score < best[0]:
+            best = (score, pdx, pdy)
+    return None if best is None else (best[1], best[2])
 
 
 class AsyncRASolver2D:
-    """Host driver for the 2-D free-running kernel (cf. AsyncRASolver)."""
+    """Host driver for the 2-D free-running kernel (cf. AsyncRASolver).
+
+    ``px x py`` is the BLOCK grid.  The mesh may hold fewer devices: each
+    device folds a (ply, plx) sub-grid of blocks into one tile (see the
+    module docstring) and remains the asynchronous rank.  With one device
+    the whole block solve runs natively on a single chip.
+    """
 
     def __init__(self, mat, rhs, px: int, py: int,
                  tolerance: float = 1e-5, staleness: int = 1,
@@ -470,21 +553,49 @@ class AsyncRASolver2D:
         self.chunk_rounds = chunk_rounds
         S = px * py
         if mesh is None:
-            if len(jax.devices()) < S:
-                raise ValueError(
-                    f"need one device per subdomain ({S} requested, "
-                    f"{len(jax.devices())} available)"
-                )
-            mesh = make_mesh(jax.devices()[:S])
-        if mesh.devices.size != S:
-            raise ValueError("free-running 2-D mode requires mesh size == S")
+            ndev = len(jax.devices())
+            D = next(d for d in range(min(ndev, S), 0, -1)
+                     if _device_grid(d, px, py) is not None)
+            mesh = make_mesh(jax.devices()[:D])
+        self.D = D = mesh.devices.size
+        grid = _device_grid(D, px, py)
+        if grid is None:
+            raise ValueError(
+                f"mesh size {D} cannot tile the {px} x {py} block grid; "
+                "pick a device count with a factorization dividing (px, py)"
+            )
+        pdx, pdy = grid
+        self.pdx, self.pdy = pdx, pdy
+        ply, plx = py // pdy, px // pdx
+        self.ply, self.plx = ply, plx
         self.mesh = mesh
         if interpret is None:
             interpret = mesh.devices.reshape(-1)[0].platform == "cpu"
         p = self.plan
+        # VMEM guard for the folded tile (inputs + rings + loop temps)
+        FY, FX = ply * p.By, plx * p.Bx
+        M = 2 * max(staleness, 1) + 2
+        est = 4 * (16 * FY * FX + 4 * M * ((FY + 8) * 128
+                                           + (HY + 8) * FX))
+        if est > 100 * 2 ** 20:
+            raise NotImplementedFeature(
+                f"folded {ply}x{plx} window tile needs ~{est >> 20} MiB "
+                "VMEM; use more devices or the staleness emulation"
+            )
+        # stacked-block permutation: position i holds global block
+        # perm[i]; each device's (ply, plx) windows contiguous, row-major
+        perm = np.empty(S, np.int64)
+        i = 0
+        for Dy in range(pdy):
+            for Dx in range(pdx):
+                for iy in range(ply):
+                    for ix in range(plx):
+                        perm[i] = (Dy * ply + iy) * px + (Dx * plx + ix)
+                        i += 1
+        self._perm = perm
         kern = functools.partial(
             async_ras_2d_rounds,
-            px=px, py=py, bx=p.bx, by=p.by,
+            px=pdx, py=pdy, ply=ply, plx=plx, bx=p.bx, by=p.by,
             rounds=chunk_rounds, staleness=staleness, ninner=ninner,
             tol=tolerance, axis_name=SUBD_AXIS, interpret=interpret,
         )
@@ -495,11 +606,13 @@ class AsyncRASolver2D:
         ))
         shard = jax.sharding.NamedSharding(mesh, spec)
         self._dev = {
-            "coef": jax.device_put(jnp.asarray(p.coef), shard),
-            "b": jax.device_put(jnp.asarray(p.b), shard),
-            "dinv": jax.device_put(jnp.asarray(p.dinv), shard),
-            "mask_dom": jax.device_put(jnp.asarray(p.mask_dom), shard),
-            "mask_int": jax.device_put(jnp.asarray(p.mask_int), shard),
+            "coef": jax.device_put(jnp.asarray(p.coef[perm]), shard),
+            "b": jax.device_put(jnp.asarray(p.b[perm]), shard),
+            "dinv": jax.device_put(jnp.asarray(p.dinv[perm]), shard),
+            "mask_dom": jax.device_put(jnp.asarray(p.mask_dom[perm]),
+                                       shard),
+            "mask_int": jax.device_put(jnp.asarray(p.mask_int[perm]),
+                                       shard),
         }
 
     def run(self, max_rounds: int = 400):
@@ -508,8 +621,8 @@ class AsyncRASolver2D:
         p = self.plan
         S = p.S
         X = jnp.zeros((S, p.By, p.Bx), jnp.float32)
-        known = jnp.zeros((S, 128), jnp.float32)
-        aux = jnp.full((S, 128), -1.0, jnp.float32).at[:, 2].set(0.0)
+        known = jnp.zeros((self.D, 128), jnp.float32)
+        aux = jnp.full((self.D, 128), -1.0, jnp.float32).at[:, 2].set(0.0)
         t0 = time.perf_counter()
         rounds = 0
         while rounds < max_rounds:
@@ -525,11 +638,11 @@ class AsyncRASolver2D:
         elapsed = time.perf_counter() - t0
         X_h = np.asarray(jax.block_until_ready(X))
         sol_grid = np.zeros((p.py * p.by, p.px * p.bx), np.float32)
-        for d in range(S):
-            dyy, dxx = divmod(d, p.px)
+        for i in range(S):
+            dyy, dxx = divmod(int(self._perm[i]), p.px)
             sol_grid[dyy * p.by:(dyy + 1) * p.by,
                      dxx * p.bx:(dxx + 1) * p.bx] = (
-                X_h[d, HY:HY + p.by, HX:HX + p.bx]
+                X_h[i, HY:HY + p.by, HX:HX + p.bx]
             )
         sol = sol_grid[:p.n, :p.n].reshape(-1)
         res = self.rhs - self.mat.to_scipy() @ sol
@@ -543,4 +656,5 @@ class AsyncRASolver2D:
             "relative_residual_norm": rel,
             "time_s": elapsed,
             "grid": (p.py, p.px),
+            "device_grid": (self.pdy, self.pdx),
         }

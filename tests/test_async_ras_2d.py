@@ -48,6 +48,48 @@ def test_async_2d_converges_anisotropic_9pt():
     assert err < 2e-2, err
 
 
+def test_async_2d_block_batching():
+    # 4x4 block grid folded onto 4 devices (2x2 device grid, 2x2 windows
+    # per device): intra-device halos refresh in VMEM each iteration, only
+    # device-edge strips ride the DMA rings
+    import jax
+
+    from schwarz_tpu.parallel.mesh import make_mesh
+
+    A = laplacian_2d(256)
+    b = generate_rhs(A.n, random=False)
+    mesh = make_mesh(jax.devices()[:4])
+    s = AsyncRASolver2D(A, b, px=4, py=4, tolerance=2e-3, staleness=1,
+                        ninner=30, chunk_rounds=20, mesh=mesh)
+    assert (s.pdy, s.pdx, s.ply, s.plx) == (2, 2, 2, 2)
+    x, info = s.run(max_rounds=400)
+    assert info["converged"], info
+    assert info["device_grid"] == (2, 2)
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+    err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert err < 5e-3, err
+
+
+def test_async_2d_single_device_fold():
+    # the whole 2x2 block solve folded on ONE device — the native
+    # single-chip mode the TPU bench exercises
+    import jax
+
+    from schwarz_tpu.parallel.mesh import make_mesh
+
+    A = laplacian_2d(128)
+    b = generate_rhs(A.n, random=False)
+    mesh = make_mesh(jax.devices()[:1])
+    s = AsyncRASolver2D(A, b, px=2, py=2, tolerance=2e-3, staleness=1,
+                        ninner=30, chunk_rounds=20, mesh=mesh)
+    assert (s.ply, s.plx) == (2, 2)
+    x, info = s.run(max_rounds=400)
+    assert info["converged"], info
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+    err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert err < 5e-3, err
+
+
 def test_async_2d_plan_gates_fail_loudly():
     import scipy.sparse as sp
 
