@@ -337,6 +337,31 @@ def main():
                       "async_native_error": str(e)[:200]}
     rdma_info.update(async_info)
 
+    # 2-D free-running kernel: native proof of the 4-neighbor protocol —
+    # the whole 2x2 block grid folds onto one chip ((ply, plx) window
+    # batching), running the real DMA rings + in-VMEM intra-device halos
+    def async2d_native_check():
+        from schwarz_tpu.ops.async_ras_2d import AsyncRASolver2D
+        from schwarz_tpu.parallel.mesh import make_mesh
+
+        A_a = laplacian_2d(128)
+        b_a = generate_rhs(A_a.n, random=False)
+        s_a = AsyncRASolver2D(A_a, b_a, px=2, py=2, tolerance=2e-3,
+                              staleness=1, ninner=30, chunk_rounds=20,
+                              mesh=make_mesh(jax.devices()[:1]),
+                              interpret=not on_tpu)
+        _, info = s_a.run(max_rounds=200)
+        return {"async2d_native_ok": bool(info["converged"]),
+                "async2d_rel": info["relative_residual_norm"],
+                "async2d_fold": [s_a.ply, s_a.plx],
+                "async2d_native_mode": "tpu" if on_tpu else "interpret"}
+
+    try:
+        rdma_info.update(async2d_native_check())
+    except Exception as e:  # pragma: no cover
+        rdma_info.update({"async2d_native_ok": False,
+                          "async2d_native_error": str(e)[:200]})
+
     # ---- secondary: RAS time-to-solution, paper-campaign two-stage config --
     # informational (stderr only): skipped when the compile budget is half-spent
     def run_ras_secondary():

@@ -357,51 +357,56 @@ def async_ras_2d_rounds(
         state = (xx, known_k, rn0, done_at)
 
         def unpack(jc, xx, known_k):
-            # halo writes from the 4 consumed messages (two-hop corners:
+            # halo refresh from the 4 consumed messages (two-hop corners:
             # LR strips carry the sender's top/bottom halo rows, UD strips
             # its left/right halo columns); fills the device-edge halos of
-            # every edge window of the folded tile
-            xx = xx.at[:, 0:HX].set(rL[jc, :FY, 0:HX])
-            xx = xx.at[:, FX - HX:FX].set(rR[jc, :FY, 0:HX])
-            xx = xx.at[0:HY, :].set(rU[jc, 0:HY, 0:FX])
-            xx = xx.at[FY - HY:FY, :].set(rD[jc, 0:HY, 0:FX])
+            # every edge window of the folded tile.  Rebuilt by
+            # concatenation (functional .at[].set lowers to scatter, which
+            # Mosaic does not implement); UD strips span the full width so
+            # they own the corner cells, like the write order used to.
+            mid = jnp.concatenate(
+                [rL[jc, :FY, 0:HX], xx[:, HX:FX - HX],
+                 rR[jc, :FY, 0:HX]], axis=1)
+            xx = jnp.concatenate(
+                [rU[jc, 0:HY, 0:FX], mid[HY:FY - HY, :],
+                 rD[jc, 0:HY, 0:FX]], axis=0)
             for ring in (rL, rR):
                 known_k = jnp.maximum(known_k, ring[jc, FY:FY + 8, :])
             for ring in (rU, rD):
                 known_k = jnp.maximum(known_k, ring[jc, HY:HY + 8, 0:128])
             return xx, known_k
 
-        def refresh_intra(xx):
+        def refresh_intra(xs):
             # same-device neighbor halos, fresh each iteration: full-length
             # strips snapshot from the pre-update tile, so corner cells
             # carry the source window's own halo rows/cols (the same
             # two-hop trick the DMA strips use — here with zero lag).
-            # LR strips first, then UD overwrite the corner cells, exactly
-            # mirroring unpack()'s write order.
-            xs = xx
+            # Every window is rebuilt by concatenation (no .at[].set in
+            # Mosaic); all strips read the pre-update snapshot, and the
+            # full-width UD strips own the corner cells — identical to the
+            # LR-then-UD write order unpack() mirrors.
+            rows = []
             for iy in range(ply):
                 r0 = iy * By
+                tiles = []
                 for ix in range(plx):
                     c0 = ix * Bx
-                    if ix > 0:
-                        xx = xx.at[r0:r0 + By, c0:c0 + HX].set(
-                            xs[r0:r0 + By, c0 - 2 * HX:c0 - HX])
-                    if ix < plx - 1:
-                        xx = xx.at[r0:r0 + By,
-                                   c0 + Bx - HX:c0 + Bx].set(
-                            xs[r0:r0 + By, c0 + Bx + HX:c0 + Bx + 2 * HX])
-            for iy in range(ply):
-                r0 = iy * By
-                for ix in range(plx):
-                    c0 = ix * Bx
-                    if iy > 0:
-                        xx = xx.at[r0:r0 + HY, c0:c0 + Bx].set(
-                            xs[r0 - 2 * HY:r0 - HY, c0:c0 + Bx])
-                    if iy < ply - 1:
-                        xx = xx.at[r0 + By - HY:r0 + By,
-                                   c0:c0 + Bx].set(
-                            xs[r0 + By + HY:r0 + By + 2 * HY, c0:c0 + Bx])
-            return xx
+                    w = xs[r0:r0 + By, c0:c0 + Bx]
+                    left = (xs[r0:r0 + By, c0 - 2 * HX:c0 - HX]
+                            if ix > 0 else w[:, 0:HX])
+                    right = (xs[r0:r0 + By, c0 + Bx + HX:c0 + Bx + 2 * HX]
+                             if ix < plx - 1 else w[:, Bx - HX:Bx])
+                    wm = jnp.concatenate(
+                        [left, w[:, HX:Bx - HX], right], axis=1)
+                    top = (xs[r0 - 2 * HY:r0 - HY, c0:c0 + Bx]
+                           if iy > 0 else wm[0:HY, :])
+                    bot = (xs[r0 + By + HY:r0 + By + 2 * HY, c0:c0 + Bx]
+                           if iy < ply - 1 else wm[By - HY:By, :])
+                    tiles.append(jnp.concatenate(
+                        [top, wm[HY:By - HY, :], bot], axis=0))
+                rows.append(tiles[0] if plx == 1
+                            else jnp.concatenate(tiles, axis=1))
+            return rows[0] if ply == 1 else jnp.concatenate(rows, axis=0)
 
         for t in range(T):
             j = t % M
