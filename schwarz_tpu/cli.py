@@ -81,8 +81,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="O-RAS Robin transmission coefficient c: local solves "
                         "see diag += c*sum|dropped couplings| on boundary "
                         "rows (0 = classical Dirichlet RAS, -1 = Neumann; "
-                        "'auto' = -0.8, typically 2-4x fewer outer "
-                        "iterations)")
+                        "'auto' = -0.8 one-level / -0.6 with two_level, "
+                        "typically 2-4x fewer outer iterations)")
     p.add_argument("--dia_max_diags", type=int, default=16,
                    help="max dense diagonals in the DIA split (more = smaller "
                         "scalar-gather remainder)")

@@ -284,13 +284,16 @@ class Settings:
     # Neumann, and the optimized Robin parameter sits in between — measured
     # optimum c ~ -0.85 cuts outer iterations ~3-4x on Laplacian/advection
     # model problems.  Convergence checks keep the true A (solve-operator /
-    # check-operator split).  "auto" selects c = -0.8, which improved every
-    # measured ONE-LEVEL configuration (1.1-4.5x fewer iterations across
-    # Laplacian/anisotropic/advection x overlaps 2-8 x 4-16 subdomains and
-    # never regressed); pass an explicit float to tune per problem.  With
-    # two_level=True near the precision floor, prefer classical (0): the
-    # Robin speedup targets the error modes the coarse space already removes
-    # (BENCHMARKING.md has the measured interaction).
+    # check-operator split).  "auto" is coarse-space-aware: c = -0.8
+    # one-level (improved every measured one-level configuration, 1.1-4.5x
+    # fewer iterations across Laplacian/anisotropic/advection x overlaps
+    # 2-8 x 4-16 subdomains, never regressed) and c = -0.6 with
+    # two_level=True (the coarse space already removes the smooth error
+    # modes the strongest Robin weight targets: measured on 128^2/16,
+    # -0.8 regresses at the f32 floor (155 -> 189 iters) while -0.6 is
+    # the sweep optimum in BOTH dtypes — 148 f32 / 105 f64 vs 155/120
+    # classical; scripts/probe_oras_twolevel.py).  Pass an explicit float
+    # to tune per problem.
     oras_weight: object = 0.0   # float, or the string "auto"
     # Two-level RAS: additive Nicolaides (piecewise-constant per subdomain)
     # coarse correction each iteration.  BEYOND the reference (which is

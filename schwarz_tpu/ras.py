@@ -279,8 +279,11 @@ class RASolver:
                 "point and the exact convergence check never detects"
             )
         if s.oras_weight == "auto":
-            # robust default: improved every measured config, never regressed
-            oras_c = -0.8
+            # coarse-space-aware default (measured, see config.py and
+            # scripts/probe_oras_twolevel.py): -0.8 improved every
+            # one-level config; under two_level the milder -0.6 is the
+            # sweep optimum in both dtypes while -0.8 regresses at f32
+            oras_c = -0.6 if s.two_level else -0.8
         else:
             try:
                 oras_c = float(s.oras_weight)

@@ -100,6 +100,28 @@ def test_oras_auto():
         solve(A, b, base.replace(oras_weight="fast"), num_subdomains=8)
 
 
+def test_oras_auto_is_coarse_space_aware():
+    """'auto' resolves to the milder -0.6 under two_level (-0.8 regresses
+    at the f32 floor there; see config.py and the measured sweep in
+    scripts/probe_oras_twolevel.py), and stays -0.8 one-level."""
+    from schwarz_tpu.core.decompose import decompose
+    from schwarz_tpu.ras import RASolver
+
+    A = laplacian_2d(24)
+    b = generate_rhs(A.n)
+    for two_level, expect in ((False, -0.8), (True, -0.6)):
+        s = Settings(overlap=2, tolerance=1e-6, max_iters=200,
+                     oras_weight="auto", two_level=two_level)
+        solver = RASolver(decompose(A, b, s, 4))
+        assert solver._oras_c == expect, (two_level, solver._oras_c)
+    # and the two-level auto config still converges to the true solution
+    r = solve(A, b, Settings(overlap=2, tolerance=1e-6, max_iters=200,
+                             oras_weight="auto", two_level=True),
+              num_subdomains=4)
+    assert r.converged
+    assert _true_res(A, b, r) < 1e-4
+
+
 def test_oras_zero_is_classical():
     """oras_weight=0 must be bit-identical to the classical path."""
     A = laplacian_2d(20)
