@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "device)")
     p.add_argument("--async_chunk_rounds", type=int, default=16,
                    help="free-running iterations per kernel launch")
+    p.add_argument("--fresh_read", action="store_true",
+                   help="free-running mode: consume the freshest fully-"
+                        "arrived message (DMA-semaphore peek) instead of "
+                        "the guaranteed staleness-old slot; shrinks "
+                        "effective staleness to the arrival lag when "
+                        "staleness > 1")
     p.add_argument("--async_ninner", type=int, default=16,
                    help="inner CG iterations per free-running outer iteration")
     p.add_argument("--enable_overlap", action="store_true",
@@ -273,6 +279,7 @@ def settings_from_args(args):
             enable_one_by_one=args.enable_one_by_one,
             flush_type=args.flush_type,
             lock_type=args.lock_type,
+            fresh_read=args.fresh_read,
         ),
         convergence=ConvergenceSettings(
             method=method,
@@ -391,6 +398,7 @@ def main(argv=None):
                 staleness=max(settings.comm.staleness, 1),
                 ninner=args.async_ninner,
                 chunk_rounds=args.async_chunk_rounds,
+                fresh_read=args.fresh_read,
             )
         except (ValueError, SchwarzError) as e:
             sys.exit(f"error: {e}")

@@ -140,6 +140,13 @@ class CommSettings:
     overlap_comm: bool = False         # <- comm_settings.enable_overlap
     strategy: HaloStrategy = HaloStrategy.all_gather
     staleness: int = 0                 # halo age in iterations for async emulation
+    # Free-running mode only: consume the freshest fully-ARRIVED message
+    # instead of the guaranteed (staleness-old) slot.  The kernel peeks the
+    # newer slots' DMA recv semaphores (no extra sync, flow control
+    # unchanged), so the effective staleness shrinks to the actual arrival
+    # lag — useful when staleness > 1 is set for latency tolerance but
+    # neighbors usually keep up.  No effect at staleness <= 1.
+    fresh_read: bool = False
     # one-sided strategy matrix (README.md:63-79, comm_helpers.hpp:55-180),
     # effective when strategy == rdma:
     #   - put: sender-initiated push of the packed buffer (MPI_Put gathered)

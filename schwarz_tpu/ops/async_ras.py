@@ -15,7 +15,11 @@ inside the loop** — devices proceed at independent rates, coupled only by
   - a bounded-staleness wait: at its own iteration ``t`` a device consumes
     the message its neighbor pushed at iteration ``t - B`` and nothing newer
     is required (B = ``staleness``); a fast device can run up to ~B+1
-    iterations ahead of a slow neighbor before a semaphore blocks it,
+    iterations ahead of a slow neighbor before a semaphore blocks it.
+    With ``fresh_read=True`` the device additionally PEEKS the newer
+    slots' DMA recv semaphores (no wait) and consumes the freshest fully
+    arrived message, shrinking the effective staleness to the actual
+    arrival lag while the flow-control window stays B,
   - ack mini-DMAs for ring flow control (credits; remote scalar signals are
     kept off the data path so the same kernel runs under the interpreter).
 
@@ -185,7 +189,7 @@ def _shift(x: jax.Array, d: int) -> jax.Array:
     jax.jit,
     static_argnames=(
         "offsets", "total", "hw", "rounds", "staleness", "ninner", "tol",
-        "n_subd", "axis_name", "interpret",
+        "n_subd", "axis_name", "interpret", "fresh_read",
     ),
 )
 def async_ras_rounds(
@@ -210,6 +214,7 @@ def async_ras_rounds(
     n_subd: int,
     axis_name: str,
     interpret: bool,
+    fresh_read: bool = False,
 ):
     """Run ``rounds`` free-running outer iterations on this device.
 
@@ -301,6 +306,8 @@ def async_ras_rounds(
         rn0 = aux_ref[0, 0]
         done_at = aux_ref[0, 1]
         base_t = aux_ref[0, 2]
+        # fresh-read peek-hit counter (diagnostics; -1 on the first launch)
+        fresh_hits = jnp.maximum(aux_ref[0, 4], 0.0)
 
         dia_k = [dia_ref[k] for k in range(K)]
         bb = b_ref[:]
@@ -374,6 +381,38 @@ def async_ras_rounds(
                 flags_l = recv_l[jc, HWr:]
                 halo_r = recv_r[jc, :HWr]
                 flags_r = recv_r[jc, HWr:]
+                if fresh_read and B > 1:
+                    # freshest-arrived read: peek the recv semaphores of the
+                    # B-1 newer slots (messages t-B+1 .. t-1) and take the
+                    # newest fully-landed one.  Completion counts, probed
+                    # on v5e (scripts/probe_semread.py): the interpreter
+                    # counts exact ELEMENTS (MSG*128); native counts
+                    # bytes/32 of the copy descriptor — for the sliced
+                    # ring copies used here (ring.at[j], (MSG, 128) f32)
+                    # that is exactly MSG*128*4/32 = MSG*16 (a standalone
+                    # whole-ref copy of a non-8-multiple sublane count
+                    # would instead count its padded tile — not our case).
+                    # Safe without extra sync: a slot can only be
+                    # overwritten after we ack it, which happens strictly
+                    # later (round u+B > t), and its previous use was
+                    # already waited (count 0); a partial landing stays
+                    # below the completion value and falls back to an
+                    # older slot.  Peeks do not decrement — the scheduled
+                    # wait_recv at round u+B and the drains are unchanged,
+                    # so flow control and the static bookkeeping stay
+                    # identical.
+                    full_cnt = MSG * 128 if interpret else MSG * 16
+                    for d_ in range(1, B):
+                        jn = (t - B + d_) % M
+                        al = pltpu.semaphore_read(rl_sem.at[jn])
+                        ar = pltpu.semaphore_read(rr_sem.at[jn])
+                        ml = jnp.where(al >= full_cnt, 1.0, 0.0)
+                        mr = jnp.where(ar >= full_cnt, 1.0, 0.0)
+                        halo_l = ml * recv_l[jn, :HWr] + (1.0 - ml) * halo_l
+                        flags_l = jnp.maximum(flags_l, ml * recv_l[jn, HWr:])
+                        halo_r = mr * recv_r[jn, :HWr] + (1.0 - mr) * halo_r
+                        flags_r = jnp.maximum(flags_r, mr * recv_r[jn, HWr:])
+                        fresh_hits = fresh_hits + ml + mr
                 # credit the senders so they may reuse slot jc
                 if t - M >= B:
                     ack_rdma_to_left(jc).wait_send()
@@ -475,6 +514,7 @@ def async_ras_rounds(
         aux_v = jnp.where(lane == 1, done_at, aux_v)
         aux_v = jnp.where(lane == 2, base_t + jnp.float32(T), aux_v)
         aux_v = jnp.where(lane == 3, rn, aux_v)   # last local ||r||^2
+        aux_v = jnp.where(lane == 4, fresh_hits, aux_v)
         aux_out[:] = aux_v
 
     with jax.enable_x64(False):
@@ -530,7 +570,8 @@ class AsyncRASolver:
     def __init__(self, mat, rhs, num_subdomains: int, overlap: int = 2,
                  tolerance: float = 1e-6, staleness: int = 1,
                  ninner: int = 12, chunk_rounds: int = 16,
-                 mesh=None, interpret: bool | None = None):
+                 mesh=None, interpret: bool | None = None,
+                 fresh_read: bool = False):
         from jax.sharding import PartitionSpec as P
 
         from schwarz_tpu.parallel.mesh import SUBD_AXIS, make_mesh
@@ -572,7 +613,7 @@ class AsyncRASolver:
             offsets=p.offsets, total=p.total, hw=p.hw,
             rounds=chunk_rounds, staleness=staleness, ninner=ninner,
             tol=tolerance, n_subd=D, axis_name=SUBD_AXIS,
-            interpret=interpret,
+            interpret=interpret, fresh_read=fresh_read,
         )
         spec = P(SUBD_AXIS)
         self._mapped = jax.jit(jax.shard_map(
@@ -661,4 +702,8 @@ class AsyncRASolver:
             "relative_residual_norm": rel,
             "time_s": elapsed,
             "effective_overlap": p.ovp,
+            # total freshest-read peek hits across devices (0 unless
+            # fresh_read and staleness > 1)
+            "fresh_read_hits": int(np.maximum(np.asarray(aux[:, 4]),
+                                              0.0).sum()),
         }

@@ -1567,7 +1567,7 @@ def solve(
             staleness=max(settings.comm.staleness, 1),
             ninner=(settings.local_max_iters
                     if settings.local_max_iters > 0 else 16),
-            mesh=mesh,
+            mesh=mesh, fresh_read=settings.comm.fresh_read,
         )
         x, info = fr.run(max_rounds=settings.max_iters)
         S = num_subdomains

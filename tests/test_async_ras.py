@@ -96,6 +96,33 @@ def test_async_bounded_staleness_converges(staleness):
     assert info["relative_residual_norm"] < 1e-3
 
 
+def test_async_fresh_read_converges_and_never_slower():
+    """fresh_read peeks the newer slots' DMA semaphores and consumes the
+    freshest fully-arrived message: the fixed point is unchanged, and at
+    staleness 3 the effective staleness can only shrink, so detection
+    must not get slower (arrival timing is scheduler-dependent under the
+    interpreter, so only the one-sided bound is asserted)."""
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n, random=False)
+
+    def run(fresh):
+        s = AsyncRASolver(A, b, num_subdomains=4, overlap=2,
+                          tolerance=1e-5, staleness=3, ninner=20,
+                          chunk_rounds=10, fresh_read=fresh)
+        x, info = s.run(max_rounds=300)
+        assert info["converged"], info
+        x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+        err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+        assert err < 1e-3, err
+        if fresh:
+            assert info["fresh_read_hits"] > 0, info
+        else:
+            assert info["fresh_read_hits"] == 0, info
+        return int(np.max(info["done_at"]))
+
+    assert run(True) <= run(False)
+
+
 def test_async_more_staleness_never_faster():
     A = laplacian_2d(16)
     b = generate_rhs(A.n, random=False)
