@@ -192,7 +192,7 @@ def _sh(x: jax.Array, dy: int, dx: int) -> jax.Array:
     jax.jit,
     static_argnames=(
         "px", "py", "ply", "plx", "bx", "by", "rounds", "staleness",
-        "ninner", "tol", "axis_name", "interpret",
+        "ninner", "tol", "axis_name", "interpret", "fresh_read",
     ),
 )
 def async_ras_2d_rounds(
@@ -207,7 +207,7 @@ def async_ras_2d_rounds(
     *,
     px: int, py: int, ply: int, plx: int, bx: int, by: int,
     rounds: int, staleness: int, ninner: int, tol: float,
-    axis_name: str, interpret: bool,
+    axis_name: str, interpret: bool, fresh_read: bool = False,
 ):
     """Run ``rounds`` free-running 2-D iterations on this device.
 
@@ -314,6 +314,8 @@ def async_ras_2d_rounds(
         rn0 = aux_ref[0, 0]
         done_at = aux_ref[0, 1]
         base_t = aux_ref[0, 2]
+        # fresh-read peek-hit counter (diagnostics; -1 on the first launch)
+        fresh_hits = jnp.maximum(aux_ref[0, 4], 0.0)
 
         cc = [coef_ref[k] for k in range(9)]
         bb = b_ref[:]
@@ -356,7 +358,7 @@ def async_ras_2d_rounds(
         xx = x_ref[:]
         state = (xx, known_k, rn0, done_at)
 
-        def unpack(jc, xx, known_k):
+        def unpack(jc, t_now, xx, known_k, use_fresh):
             # halo refresh from the 4 consumed messages (two-hop corners:
             # LR strips carry the sender's top/bottom halo rows, UD strips
             # its left/right halo columns); fills the device-edge halos of
@@ -364,17 +366,43 @@ def async_ras_2d_rounds(
             # concatenation (functional .at[].set lowers to scatter, which
             # Mosaic does not implement); UD strips span the full width so
             # they own the corner cells, like the write order used to.
+            # With use_fresh (fresh_read, B > 1) each direction peeks the
+            # newer slots' recv semaphores and takes the newest fully
+            # landed message — completion counts as in the 1-D kernel
+            # (interpret: exact elements; native: sliced-copy bytes/32).
+            hits = jnp.float32(0.0)
+
+            def freshest(ring, sems, full_cnt):
+                s = ring[jc]
+                h = jnp.float32(0.0)
+                if use_fresh:
+                    for d_ in range(1, B):
+                        jn = (t_now - B + d_) % M
+                        m = jnp.where(
+                            pltpu.semaphore_read(sems.at[jn]) >= full_cnt,
+                            1.0, 0.0)
+                        s = m * ring[jn] + (1.0 - m) * s
+                        h = h + m
+                return s, h
+
+            full_lr = MSG_LR * 128 if interpret else MSG_LR * 16
+            full_ud = MSG_UD * FX if interpret else MSG_UD * FX // 8
+            vL, h1 = freshest(rL, semrL, full_lr)
+            vR, h2 = freshest(rR, semrR, full_lr)
+            vU, h3 = freshest(rU, semrU, full_ud)
+            vD, h4 = freshest(rD, semrD, full_ud)
+            hits = h1 + h2 + h3 + h4
             mid = jnp.concatenate(
-                [rL[jc, :FY, 0:HX], xx[:, HX:FX - HX],
-                 rR[jc, :FY, 0:HX]], axis=1)
+                [vL[:FY, 0:HX], xx[:, HX:FX - HX],
+                 vR[:FY, 0:HX]], axis=1)
             xx = jnp.concatenate(
-                [rU[jc, 0:HY, 0:FX], mid[HY:FY - HY, :],
-                 rD[jc, 0:HY, 0:FX]], axis=0)
-            for ring in (rL, rR):
-                known_k = jnp.maximum(known_k, ring[jc, FY:FY + 8, :])
-            for ring in (rU, rD):
-                known_k = jnp.maximum(known_k, ring[jc, HY:HY + 8, 0:128])
-            return xx, known_k
+                [vU[0:HY, 0:FX], mid[HY:FY - HY, :],
+                 vD[0:HY, 0:FX]], axis=0)
+            for strip in (vL, vR):
+                known_k = jnp.maximum(known_k, strip[FY:FY + 8, :])
+            for strip in (vU, vD):
+                known_k = jnp.maximum(known_k, strip[HY:HY + 8, 0:128])
+            return xx, known_k, hits
 
         def refresh_intra(xs):
             # same-device neighbor halos, fresh each iteration: full-length
@@ -434,7 +462,9 @@ def async_ras_2d_rounds(
                 jc = (t - B) % M
                 for d_ in (dma_L, dma_R, dma_U, dma_D):
                     d_(jc).wait_recv()
-                xx, known_k = unpack(jc, xx, known_k)
+                xx, known_k, fh = unpack(jc, t, xx, known_k,
+                                         fresh_read and B > 1)
+                fresh_hits = fresh_hits + fh
                 if t - M >= B:
                     for a_ in (ack_to_left, ack_to_right, ack_to_up,
                                ack_to_down):
@@ -468,7 +498,7 @@ def async_ras_2d_rounds(
                 d_(jc).wait_recv()
         if T >= 1:
             # freshest drained message refreshes the halos for next launch
-            xx, known_k = unpack((T - 1) % M, xx, known_k)
+            xx, known_k, _ = unpack((T - 1) % M, T - 1, xx, known_k, False)
         for n_ in range(max(T - M, 0), max(T - B, 0)):
             jn = n_ % M
             for a_ in (ack_to_left, ack_to_right, ack_to_up, ack_to_down):
@@ -488,6 +518,7 @@ def async_ras_2d_rounds(
         aux_v = jnp.where(lane8 == 1, done_at, aux_v)
         aux_v = jnp.where(lane8 == 2, base_t + jnp.float32(T), aux_v)
         aux_v = jnp.where(lane8 == 3, rn, aux_v)
+        aux_v = jnp.where(lane8 == 4, fresh_hits, aux_v)
         aux_out[:] = aux_v
 
     with jax.enable_x64(False):
@@ -546,7 +577,8 @@ class AsyncRASolver2D:
     def __init__(self, mat, rhs, px: int, py: int,
                  tolerance: float = 1e-5, staleness: int = 1,
                  ninner: int = 16, chunk_rounds: int = 16,
-                 mesh=None, interpret: Optional[bool] = None):
+                 mesh=None, interpret: Optional[bool] = None,
+                 fresh_read: bool = False):
         from jax.sharding import PartitionSpec as P
 
         from schwarz_tpu.parallel.mesh import SUBD_AXIS, make_mesh
@@ -603,6 +635,7 @@ class AsyncRASolver2D:
             px=pdx, py=pdy, ply=ply, plx=plx, bx=p.bx, by=p.by,
             rounds=chunk_rounds, staleness=staleness, ninner=ninner,
             tol=tolerance, axis_name=SUBD_AXIS, interpret=interpret,
+            fresh_read=fresh_read,
         )
         spec = P(SUBD_AXIS)
         self._mapped = jax.jit(jax.shard_map(
@@ -662,4 +695,6 @@ class AsyncRASolver2D:
             "time_s": elapsed,
             "grid": (p.py, p.px),
             "device_grid": (self.pdy, self.pdx),
+            "fresh_read_hits": int(np.maximum(np.asarray(aux[:, 4]),
+                                              0.0).sum()),
         }

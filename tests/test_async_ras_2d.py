@@ -48,6 +48,30 @@ def test_async_2d_converges_anisotropic_9pt():
     assert err < 2e-2, err
 
 
+def test_async_2d_fresh_read_converges_and_never_slower():
+    """fresh_read on the 2-D kernel: per-direction DMA-semaphore peeks
+    consume the freshest fully-arrived strips; fixed point unchanged,
+    detection not slower at staleness 3 (cf. the 1-D test)."""
+    A = laplacian_2d(256)
+    b = generate_rhs(A.n, random=False)
+
+    def run(fresh):
+        s = AsyncRASolver2D(A, b, px=4, py=2, tolerance=2e-3, staleness=2,
+                            ninner=30, chunk_rounds=20, fresh_read=fresh)
+        x, info = s.run(max_rounds=800)
+        assert info["converged"], info
+        x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+        err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+        assert err < 5e-3, err
+        if fresh:
+            assert info["fresh_read_hits"] > 0, info
+        else:
+            assert info["fresh_read_hits"] == 0, info
+        return int(np.max(info["done_at"]))
+
+    assert run(True) <= run(False)
+
+
 def test_async_2d_block_batching():
     # 4x4 block grid folded onto 4 devices (2x2 device grid, 2x2 windows
     # per device): intra-device halos refresh in VMEM each iteration, only
