@@ -23,8 +23,11 @@ output write.  1.0 == roofline.
 
 The same JSON line also carries the two other BASELINE.md per-chip metrics:
   - ``trisolve_nnz_per_s`` / ``trisolve_vs_roofline``: batched dense
-    triangular solve (the direct local-solve hot path, solvers/direct.py);
-    roofline = streaming both triangular factors from HBM once per solve.
+    triangular solve (the direct local-solve hot path, solvers/direct.py),
+    measured on the blocked MXU panel substitution (direct_apply='blocked');
+    the plain XLA scalar substitution is reported separately as
+    ``trisolve_xla_elems_per_s``.  Roofline = streaming both triangular
+    factors from HBM once per solve.
   - ``halo_gather_scatter_elems_per_s`` / ``halo_vs_roofline``: the halo
     pack/unpack path (parallel/exchange.py) — the contiguous-run vector-copy
     assembly when the RunPlan engages (the production path; the element-wise
@@ -178,8 +181,29 @@ def main():
     t_tri = max(t_tri_full - t_tri_base, 1e-12)
     # both solves stream one triangular factor each: S * R*(R+1)/2 elements x2
     tri_elems = S_tri * R_fac * (R_fac + 1)  # lower + upper
-    trisolve_elems_per_s = tri_elems / t_tri
     tri_sol = hbm_gbps / 4.0                 # elements/s streaming f32 factors
+    trisolve_xla_elems_per_s = tri_elems / t_tri
+
+    # production trisolve: blocked MXU panel substitution with pre-inverted
+    # diagonal blocks (direct_apply='blocked') — factor conditioning kept,
+    # scalar substitution replaced by matmuls
+    from schwarz_tpu.solvers.direct import (
+        block_diag_inverses,
+        blocked_cholesky_solve,
+        pick_trisolve_block,
+    )
+
+    blk = pick_trisolve_block(R_fac)
+    Dinv_t = jax.jit(block_diag_inverses, static_argnums=1)(L, blk)
+    Dinv_t.block_until_ready()
+
+    def step_tri_blocked(bb):
+        x = blocked_cholesky_solve(L, Dinv_t, bb)
+        return x * 1e-6 + 1.0
+
+    t_trib_full = _chain_time(_make_chain(step_tri_blocked), rhs0, reps=100)
+    t_trib = max(t_trib_full - t_tri_base, 1e-12)
+    trisolve_elems_per_s = tri_elems / t_trib
     trisolve_vs_roofline = min(trisolve_elems_per_s / tri_sol, 1.0)
 
     # recommended TPU direct path: explicit-inverse apply (one batched MXU
@@ -270,6 +294,8 @@ def main():
                 "vs_baseline": vs_baseline,
                 "trisolve_nnz_per_s": trisolve_elems_per_s,
                 "trisolve_vs_roofline": trisolve_vs_roofline,
+                "trisolve_block": blk,
+                "trisolve_xla_elems_per_s": trisolve_xla_elems_per_s,
                 "direct_inverse_elems_per_s": inverse_elems_per_s,
                 "direct_inverse_vs_roofline": inverse_vs_roofline,
                 "halo_gather_scatter_elems_per_s": halo_elems_per_s,

@@ -59,10 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                         " direct-umfpack/direct-ginkgo->lu)")
     p.add_argument("--non_symmetric_matrix", action="store_true")
     p.add_argument("--direct_apply", default="trisolve",
-                   choices=["trisolve", "inverse"],
+                   choices=["trisolve", "inverse", "blocked"],
                    help="direct local-solve application: trisolve = batched "
-                        "substitution; inverse = one MXU matmul per solve "
-                        "(cholesky only)")
+                        "substitution; inverse = one MXU matmul per solve; "
+                        "blocked = MXU panel substitution with pre-inverted "
+                        "diagonal blocks (inverse/blocked: cholesky only)")
     p.add_argument("--restart_iter", type=int, default=30)
     p.add_argument("--reset_local_crit_iter", type=int, default=-1)
     p.add_argument("--use_precond", action="store_true")

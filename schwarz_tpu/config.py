@@ -216,7 +216,9 @@ class Settings:
     # solve.cpp:711-720); "inverse" = setup-time explicit A^-1 applied as
     # ONE batched MXU matmul per solve — far faster applies on TPU at the
     # cost of squared conditioning in the apply (safe for the SPD subdomain
-    # blocks; cholesky only)
+    # blocks; cholesky only); "blocked" = MXU panel substitution with
+    # pre-inverted diagonal blocks — keeps the factor's conditioning while
+    # replacing the scalar-unit substitution with matmuls (cholesky only)
     direct_apply: str = "trisolve"
     comm: CommSettings = dataclasses.field(default_factory=CommSettings)
     convergence: ConvergenceSettings = dataclasses.field(

@@ -417,18 +417,19 @@ class RASolver:
                 "float64 targets with the f32 factorization) or "
                 "local_solver='cholesky' for SPD systems"
             )
-        if s.direct_apply not in ("trisolve", "inverse"):
+        if s.direct_apply not in ("trisolve", "inverse", "blocked"):
             raise ValueError(
-                f"direct_apply must be 'trisolve' or 'inverse', got "
-                f"{s.direct_apply!r}"
+                f"direct_apply must be 'trisolve', 'inverse' or 'blocked', "
+                f"got {s.direct_apply!r}"
             )
         if (
-            s.direct_apply == "inverse"
+            s.direct_apply in ("inverse", "blocked")
             and s.local_solver == LocalSolver.direct_lu
         ):
             raise ValueError(
-                "direct_apply='inverse' requires local_solver='cholesky' "
-                "(the explicit inverse comes from the SPD Cholesky factor)"
+                f"direct_apply={s.direct_apply!r} requires "
+                "local_solver='cholesky' (both paths build on the SPD "
+                "Cholesky factor)"
             )
         if s.local_solver == LocalSolver.direct_cholesky:
             L_fac = jax.jit(cholesky_factor)(fac_vals, plan["lmat_cols"])
@@ -436,6 +437,17 @@ class RASolver:
                 from schwarz_tpu.solvers.direct import cholesky_inverse
 
                 plan["factor_inv"] = jax.jit(cholesky_inverse)(L_fac)
+            elif s.direct_apply == "blocked":
+                from schwarz_tpu.solvers.direct import (
+                    block_diag_inverses,
+                    pick_trisolve_block,
+                )
+
+                blk = pick_trisolve_block(int(L_fac.shape[-1]))
+                plan["factor_L"] = L_fac
+                plan["factor_Dinv"] = jax.jit(
+                    block_diag_inverses, static_argnums=1
+                )(L_fac, blk)
             else:
                 plan["factor_L"] = L_fac
         elif s.local_solver == LocalSolver.direct_lu:
@@ -653,6 +665,12 @@ class RASolver:
                 from schwarz_tpu.solvers.direct import inverse_apply
 
                 z = inverse_apply(plan_block["factor_inv"], rhs_eff)
+            elif "factor_Dinv" in plan_block:
+                from schwarz_tpu.solvers.direct import blocked_cholesky_solve
+
+                z = blocked_cholesky_solve(
+                    plan_block["factor_L"], plan_block["factor_Dinv"], rhs_eff
+                )
             else:
                 z = cholesky_solve(plan_block["factor_L"], rhs_eff)
             zero = jnp.zeros(rhs_eff.shape[0], out_dtype)

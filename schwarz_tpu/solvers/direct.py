@@ -69,6 +69,87 @@ def inverse_apply(Ainv: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.einsum("sij,sj->si", Ainv, b)
 
 
+def pick_trisolve_block(R: int) -> int:
+    """Largest MXU-friendly block size dividing ``R`` (128-multiple if
+    possible, else any divisor >= 8, else R itself = plain inverse apply)."""
+    for blk in (512, 384, 256, 128):
+        if R % blk == 0:
+            return blk
+    for blk in range(min(R, 256), 7, -1):
+        if R % blk == 0:
+            return blk
+    return R
+
+
+def block_diag_inverses(L: jax.Array, block: int) -> jax.Array:
+    """Invert the diagonal ``block``-sized blocks of a lower factor.
+
+    ``L``: (S, R, R) with ``R % block == 0``.  Returns (S, nb, block, block)
+    where slot i holds ``L[i*block:(i+1)*block, i*block:(i+1)*block]^-1``.
+    Setup-time cost for the blocked substitution path
+    (``direct_apply='blocked'``).
+    """
+    S, R, _ = L.shape
+    if R % block:
+        raise ValueError(f"R={R} not a multiple of block={block}")
+    nb = R // block
+    blocks = jnp.stack(
+        [
+            L[:, i * block:(i + 1) * block, i * block:(i + 1) * block]
+            for i in range(nb)
+        ],
+        axis=1,
+    )
+    eye = jnp.eye(block, dtype=L.dtype)
+    return jax.scipy.linalg.solve_triangular(
+        blocks, jnp.broadcast_to(eye, blocks.shape), lower=True
+    )
+
+
+def blocked_cholesky_solve(
+    L: jax.Array, Dinv: jax.Array, b: jax.Array
+) -> jax.Array:
+    """x = A^-1 b via blocked forward/back substitution on the MXU.
+
+    The scalar substitution of ``solve_triangular`` runs at ~3.5% of the HBM
+    roofline on TPU (sequential dependent loads on the scalar unit).  With the
+    diagonal blocks pre-inverted (``Dinv`` from :func:`block_diag_inverses`)
+    each of the ``nb`` substitution steps becomes one MXU panel matmul against
+    already-solved blocks plus one small block matmul — the factor is streamed
+    once per sweep, exactly like the reference's csrsm2/LowerTrs apply
+    (solve.cpp:711-720) but vectorised.  Unlike ``direct_apply='inverse'``
+    this keeps the factor's conditioning (no explicit A^-1).
+    """
+    S, R, _ = L.shape
+    nb, block = Dinv.shape[1], Dinv.shape[2]
+    # forward sweep: L y = b
+    y = jnp.zeros_like(b)
+    for i in range(nb):
+        lo = i * block
+        rhs = b[:, lo:lo + block]
+        if i:
+            rhs = rhs - jnp.einsum(
+                "srk,sk->sr", L[:, lo:lo + block, :lo], y[:, :lo]
+            )
+        y = y.at[:, lo:lo + block].set(
+            jnp.einsum("srk,sk->sr", Dinv[:, i], rhs)
+        )
+    # backward sweep: L^T x = y  (panels read from L's strictly-lower part)
+    x = jnp.zeros_like(b)
+    for i in range(nb - 1, -1, -1):
+        lo = i * block
+        hi = lo + block
+        rhs = y[:, lo:hi]
+        if i < nb - 1:
+            rhs = rhs - jnp.einsum(
+                "skr,sk->sr", L[:, hi:, lo:hi], x[:, hi:]
+            )
+        x = x.at[:, lo:hi].set(
+            jnp.einsum("skr,sk->sr", Dinv[:, i], rhs)
+        )
+    return x
+
+
 def lu_factor(vals: jax.Array, cols: jax.Array):
     """Batched dense partial-pivoting LU: returns (lu, piv) stacked over S."""
     dense = _densify(vals, cols)

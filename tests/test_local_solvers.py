@@ -143,3 +143,50 @@ def test_inverse_apply_requires_cholesky():
                  direct_apply="inverse", local_compute_dtype="float32")
     with _pytest.raises(ValueError, match="cholesky"):
         RASolver(decompose(A, b, s, 2))
+
+
+def test_blocked_trisolve_matches_dense():
+    # blocked MXU substitution == plain trisolve to roundoff, at several
+    # block shapes including the nb == 1 degenerate case
+    from schwarz_tpu.solvers.direct import (
+        block_diag_inverses,
+        blocked_cholesky_solve,
+        pick_trisolve_block,
+    )
+
+    rng = np.random.default_rng(7)
+    S, R = 3, 96
+    M = rng.standard_normal((S, R, R))
+    A = M @ np.swapaxes(M, 1, 2) + R * np.eye(R)
+    b = jnp.asarray(rng.standard_normal((S, R)))
+    L = jnp.linalg.cholesky(jnp.asarray(A))
+    expect = cholesky_solve(L, b)
+    for blk in (8, 16, 32, 48, 96):
+        Dinv = block_diag_inverses(L, blk)
+        got = blocked_cholesky_solve(L, Dinv, b)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expect), rtol=1e-9, atol=1e-9
+        )
+    assert pick_trisolve_block(1024) == 512
+    assert pick_trisolve_block(640) == 128
+    assert pick_trisolve_block(96) == 96
+    with np.testing.assert_raises(Exception):
+        block_diag_inverses(L, 7)
+
+
+def test_blocked_apply_end_to_end():
+    # direct_apply='blocked' through the full solver: same history as trisolve
+    from schwarz_tpu import Settings, generate_rhs, laplacian_2d, solve
+    from schwarz_tpu.config import LocalSolver
+
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    base = Settings(overlap=3, tolerance=1e-8, max_iters=200,
+                    local_solver=LocalSolver.direct_cholesky)
+    r_tri = solve(A, b, base, num_subdomains=4)
+    r_blk = solve(A, b, base.replace(direct_apply="blocked"),
+                  num_subdomains=4)
+    assert r_tri.converged and r_blk.converged
+    assert abs(r_tri.iters - r_blk.iters) <= 1
+    np.testing.assert_allclose(r_blk.solution, r_tri.solution,
+                               rtol=1e-8, atol=1e-10)
