@@ -389,18 +389,38 @@ def main(argv=None):
         )
 
     if args.free_running:
-        from schwarz_tpu.exceptions import SchwarzError
+        from schwarz_tpu.exceptions import NotImplementedFeature, SchwarzError
         from schwarz_tpu.ops.async_ras import AsyncRASolver
 
         try:
-            fr = AsyncRASolver(
-                mat, rhs, num_subdomains=S, overlap=settings.overlap,
-                tolerance=settings.tolerance,
-                staleness=max(settings.comm.staleness, 1),
-                ninner=args.async_ninner,
-                chunk_rounds=args.async_chunk_rounds,
-                fresh_read=args.fresh_read,
-            )
+            try:
+                fr = AsyncRASolver(
+                    mat, rhs, num_subdomains=S, overlap=settings.overlap,
+                    tolerance=settings.tolerance,
+                    staleness=max(settings.comm.staleness, 1),
+                    ninner=args.async_ninner,
+                    chunk_rounds=args.async_chunk_rounds,
+                    fresh_read=args.fresh_read,
+                )
+            except NotImplementedFeature:
+                # unstructured matrix: general-graph free-running kernel
+                from schwarz_tpu.config import Partition
+                from schwarz_tpu.core.partition import make_partition
+                from schwarz_tpu.ops.async_ras_general import (
+                    AsyncGeneralRASolver,
+                )
+
+                part = None
+                if settings.partition != Partition.regular:
+                    part = make_partition(mat, S, settings)
+                fr = AsyncGeneralRASolver(
+                    mat, rhs, num_subdomains=S, overlap=settings.overlap,
+                    tolerance=settings.tolerance,
+                    staleness=max(settings.comm.staleness, 1),
+                    ninner=args.async_ninner,
+                    chunk_rounds=args.async_chunk_rounds,
+                    part=part,
+                )
         except (ValueError, SchwarzError) as e:
             sys.exit(f"error: {e}")
         x, info = fr.run(max_rounds=settings.max_iters)

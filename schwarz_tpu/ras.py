@@ -40,6 +40,7 @@ from schwarz_tpu.config import (
     HaloStrategy,
     LocalCriterion,
     LocalSolver,
+    Partition,
     Settings,
 )
 from schwarz_tpu.core.decompose import Decomposition
@@ -1577,16 +1578,40 @@ def solve(
     if num_subdomains is None:
         num_subdomains = max(1, len(jax.devices()))
     if settings.free_running:
+        from schwarz_tpu.exceptions import NotImplementedFeature
         from schwarz_tpu.ops.async_ras import AsyncRASolver
 
-        fr = AsyncRASolver(
-            mat, rhs, num_subdomains=num_subdomains,
-            overlap=settings.overlap, tolerance=settings.tolerance,
-            staleness=max(settings.comm.staleness, 1),
-            ninner=(settings.local_max_iters
-                    if settings.local_max_iters > 0 else 16),
-            mesh=mesh, fresh_read=settings.comm.fresh_read,
-        )
+        ninner = (settings.local_max_iters
+                  if settings.local_max_iters > 0 else 16)
+        try:
+            if partition_indices is not None:
+                raise NotImplementedFeature(
+                    "banded kernel uses regular 1-D blocks"
+                )
+            fr = AsyncRASolver(
+                mat, rhs, num_subdomains=num_subdomains,
+                overlap=settings.overlap, tolerance=settings.tolerance,
+                staleness=max(settings.comm.staleness, 1),
+                ninner=ninner, mesh=mesh,
+                fresh_read=settings.comm.fresh_read,
+            )
+        except NotImplementedFeature:
+            # unstructured matrix / custom partition: the general-graph
+            # kernel (dense local operators, edge-colored DMA links)
+            from schwarz_tpu.core.partition import make_partition
+            from schwarz_tpu.ops.async_ras_general import (
+                AsyncGeneralRASolver,
+            )
+
+            part = partition_indices
+            if part is None and settings.partition != Partition.regular:
+                part = make_partition(mat, num_subdomains, settings)
+            fr = AsyncGeneralRASolver(
+                mat, rhs, num_subdomains=num_subdomains,
+                overlap=settings.overlap, tolerance=settings.tolerance,
+                staleness=max(settings.comm.staleness, 1),
+                ninner=ninner, part=part, mesh=mesh,
+            )
         x, info = fr.run(max_rounds=settings.max_iters)
         S = num_subdomains
         rel = info["relative_residual_norm"]
