@@ -423,7 +423,14 @@ def main(argv=None):
                 )
         except (ValueError, SchwarzError) as e:
             sys.exit(f"error: {e}")
-        x, info = fr.run(max_rounds=settings.max_iters)
+        fr_resume = (
+            fr.load_checkpoint(args.resume) if args.resume else None
+        )
+        x, info = fr.run(
+            max_rounds=settings.max_iters,
+            resume_state=fr_resume,
+            checkpoint_path=args.checkpoint,
+        )
         print(
             f" free-running async: converged={info['converged']} "
             f"done_at={info['done_at'].tolist()} rounds={info['rounds']}\n"

@@ -641,18 +641,30 @@ class AsyncGeneralRASolver:
             "ts": jax.device_put(jnp.asarray(tgt_sl), shard),
         }
 
-    def run(self, max_rounds: int = 400):
+    def save_checkpoint(self, state, path: str) -> None:
+        """Persist a free-running state (x, known, aux, carry)."""
+        np.savez_compressed(path, *[np.asarray(a) for a in state])
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        return tuple(jnp.asarray(data[f"arr_{i}"]) for i in range(4))
+
+    def run(self, max_rounds: int = 400, resume_state=None,
+            checkpoint_path: Optional[str] = None):
         """Chunked launches until every rank detects global convergence."""
         import time
 
         p = self.plan
         S, D = p.S, self.D
-        x = jnp.zeros((S * p.Rint, 128), jnp.float32)
-        known = jnp.zeros((S * 8, 128), jnp.float32)
-        aux = np.full((S * 8, 128), -1.0, np.float32)
-        aux[:, 2] = 0.0
-        aux = jnp.asarray(aux)
-        carry = jnp.zeros((S * p.C * p.SEG, 128), jnp.float32)
+        if resume_state is not None:
+            x, known, aux, carry = resume_state
+        else:
+            x = jnp.zeros((S * p.Rint, 128), jnp.float32)
+            known = jnp.zeros((S * 8, 128), jnp.float32)
+            aux = np.full((S * 8, 128), -1.0, np.float32)
+            aux[:, 2] = 0.0
+            aux = jnp.asarray(aux)
+            carry = jnp.zeros((S * p.C * p.SEG, 128), jnp.float32)
         t0 = time.perf_counter()
         rounds = 0
         while rounds < max_rounds:
@@ -667,6 +679,8 @@ class AsyncGeneralRASolver:
             if np.all(done >= 0):
                 break
         elapsed = time.perf_counter() - t0
+        if checkpoint_path is not None:
+            self.save_checkpoint((x, known, aux, carry), checkpoint_path)
         x_h = np.asarray(jax.block_until_ready(x))[:, 0].reshape(S, p.Rint)
         sol = np.zeros(p.N, np.float32)
         for s in range(S):

@@ -199,3 +199,24 @@ def test_solve_dispatch_free_running_unstructured():
     r = solve(A, b, st, num_subdomains=4)
     assert r.converged
     assert r.relative_residual_norm < 5e-3
+
+
+def test_checkpoint_resume_matches_straight_run():
+    import os
+    import tempfile
+
+    A, b, part = _problem()
+    kw = dict(overlap=2, tolerance=1e-6, staleness=1, ninner=12,
+              chunk_rounds=8, part=part)
+    s_ref = AsyncGeneralRASolver(A, b, 4, **kw)
+    sol_ref, info_ref = s_ref.run(max_rounds=300)
+    with tempfile.TemporaryDirectory() as td:
+        ck = os.path.join(td, "fr.npz")
+        s1 = AsyncGeneralRASolver(A, b, 4, **kw)
+        s1.run(max_rounds=64, checkpoint_path=ck)
+        s2 = AsyncGeneralRASolver(A, b, 4, **kw)
+        sol2, info2 = s2.run(max_rounds=300,
+                             resume_state=s2.load_checkpoint(ck))
+    # the uniform schedule is deterministic: resumed == straight run
+    np.testing.assert_array_equal(sol_ref, sol2)
+    np.testing.assert_array_equal(info_ref["done_at"], info2["done_at"])
