@@ -390,13 +390,18 @@ def main(argv=None):
 
     if args.free_running:
         from schwarz_tpu.exceptions import NotImplementedFeature, SchwarzError
-        from schwarz_tpu.ops.async_ras import AsyncRASolver
+        from schwarz_tpu.ops.async_ras import F32_TOL_FLOOR, AsyncRASolver
 
+        # below the f32 kernels' reachable relative tolerance, run
+        # iterative-refinement restarts (f64 true-residual recomputation
+        # around the f32 kernel) instead of a single in-band detection
+        refine = settings.tolerance < F32_TOL_FLOOR
+        inner_tol = 1e-4 if refine else settings.tolerance
         try:
             try:
                 fr = AsyncRASolver(
                     mat, rhs, num_subdomains=S, overlap=settings.overlap,
-                    tolerance=settings.tolerance,
+                    tolerance=inner_tol,
                     staleness=max(settings.comm.staleness, 1),
                     ninner=args.async_ninner,
                     chunk_rounds=args.async_chunk_rounds,
@@ -415,7 +420,7 @@ def main(argv=None):
                     part = make_partition(mat, S, settings)
                 fr = AsyncGeneralRASolver(
                     mat, rhs, num_subdomains=S, overlap=settings.overlap,
-                    tolerance=settings.tolerance,
+                    tolerance=inner_tol,
                     staleness=max(settings.comm.staleness, 1),
                     ninner=args.async_ninner,
                     chunk_rounds=args.async_chunk_rounds,
@@ -423,14 +428,34 @@ def main(argv=None):
                 )
         except (ValueError, SchwarzError) as e:
             sys.exit(f"error: {e}")
-        fr_resume = (
-            fr.load_checkpoint(args.resume) if args.resume else None
-        )
-        x, info = fr.run(
-            max_rounds=settings.max_iters,
-            resume_state=fr_resume,
-            checkpoint_path=args.checkpoint,
-        )
+        if refine:
+            import numpy as _np
+
+            fr_resume = (
+                _np.load(args.resume if args.resume.endswith(".npz")
+                         else args.resume + ".npz")["ir_x"]
+                if args.resume else None
+            )
+            x, info = fr.run_refined(
+                tol=settings.tolerance,
+                max_rounds=settings.max_iters,
+                resume_state=fr_resume,
+                checkpoint_path=args.checkpoint,
+            )
+            info["done_at"] = _np.asarray(info["done_at"])
+            print(
+                f" free-running async (refined): restarts="
+                f"{info['restarts']}", file=sys.stderr,
+            )
+        else:
+            fr_resume = (
+                fr.load_checkpoint(args.resume) if args.resume else None
+            )
+            x, info = fr.run(
+                max_rounds=settings.max_iters,
+                resume_state=fr_resume,
+                checkpoint_path=args.checkpoint,
+            )
         print(
             f" free-running async: converged={info['converged']} "
             f"done_at={info['done_at'].tolist()} rounds={info['rounds']}\n"

@@ -73,6 +73,10 @@ from schwarz_tpu.exceptions import NotImplementedFeature
 
 MAX_DIAGS = 16
 
+# relative tolerance the f32 kernels can reliably detect in-band; below
+# this, drivers switch to iterative_refinement_run (f64 restarts)
+F32_TOL_FLOOR = 1e-5
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -621,7 +625,7 @@ class AsyncRASolver:
             in_specs=(spec,) * 10, out_specs=(spec,) * 5,
             check_vma=False,
         ))
-        shard = jax.sharding.NamedSharding(mesh, spec)
+        shard = self._shard = jax.sharding.NamedSharding(mesh, spec)
         self._dev = {
             "dia": jax.device_put(jnp.asarray(p.dia), shard),
             "b": jax.device_put(jnp.asarray(p.b), shard),
@@ -629,6 +633,35 @@ class AsyncRASolver:
             "mask_dom": jax.device_put(jnp.asarray(p.mask_dom), shard),
             "mask_int": jax.device_put(jnp.asarray(p.mask_int), shard),
         }
+
+    def set_rhs(self, rhs) -> None:
+        """Repack the per-device RHS strips without rebuilding the plan.
+
+        Restarts (see :func:`iterative_refinement_run`) reuse the extracted
+        operator, masks, and the jitted kernel; only ``b`` changes.
+        """
+        p = self.plan
+        gb = np.zeros(p.S * p.R, np.float32)
+        gb[:p.N] = np.asarray(rhs, np.float32)
+        b = np.zeros((p.S, p.total), dtype=np.float32)
+        for d in range(p.S):
+            lo = d * p.R - p.hw
+            g0, g1 = max(lo, 0), min(lo + p.total, p.S * p.R)
+            b[d, g0 - lo:g1 - lo] = gb[g0:g1]
+        p.b = b
+        self.rhs = np.asarray(rhs)
+        self._dev["b"] = jax.device_put(jnp.asarray(b), self._shard)
+
+    def run_refined(self, tol: float = 1e-10, max_restarts: int = 12,
+                    max_rounds: int = 400, resume_state=None,
+                    checkpoint_path: Optional[str] = None):
+        """f64-accurate solve via iterative-refinement restarts of the
+        f32 free-running kernel (see :func:`iterative_refinement_run`)."""
+        return iterative_refinement_run(
+            self, tol=tol, max_restarts=max_restarts,
+            max_rounds=max_rounds, resume_state=resume_state,
+            checkpoint_path=checkpoint_path,
+        )
 
     def save_checkpoint(self, state, path: str) -> None:
         """Persist a free-running state (x, known, aux, halo carries)."""
@@ -707,3 +740,74 @@ class AsyncRASolver:
             "fresh_read_hits": int(np.maximum(np.asarray(aux[:, 4]),
                                               0.0).sum()),
         }
+
+
+def iterative_refinement_run(solver, tol: float = 1e-10,
+                             max_restarts: int = 12,
+                             max_rounds: int = 400,
+                             resume_state=None,
+                             checkpoint_path: Optional[str] = None):
+    """f64-accurate solve from the f32 free-running kernels.
+
+    Classic mixed-precision iterative refinement, the free-running analogue
+    of the synchronous path's ``local_compute_dtype`` split (and of the
+    reference's ValueType/ValueTypeInternal two-precision instantiation,
+    include/schwarz/config.hpp): the kernel solves the correction equation
+    ``A dx = r`` in f32 at its own moderate RELATIVE tolerance; the true
+    residual ``r = b - A x`` is recomputed on host in f64 and the
+    correction accumulated in f64.  Each restart multiplies the true
+    residual by ~``solver.tolerance``, so f32 hardware iterations reach
+    f64 accuracy; ``tol`` is the target TRUE relative residual.
+
+    Works with any solver exposing ``mat``/``rhs``/``set_rhs``/``run``
+    (the 1-D banded, 2-D block-grid, and general-graph drivers).
+
+    ``resume_state``: an accumulated f64 solution vector (as saved under
+    the ``ir_x`` key by ``checkpoint_path``) to continue from.
+    """
+    A = solver.mat.to_scipy().astype(np.float64)
+    rhs_orig = solver.rhs
+    b0 = np.asarray(rhs_orig, np.float64)
+    nb = float(np.linalg.norm(b0)) or 1.0
+    if resume_state is not None:
+        x = np.asarray(resume_state, np.float64).copy()
+        r = b0 - A @ x
+    else:
+        x = np.zeros(b0.shape[0], np.float64)
+        r = b0.copy()
+    infos = []
+    rel = float(np.linalg.norm(r)) / nb
+    try:
+        for _ in range(max_restarts):
+            if rel <= tol:
+                break
+            s = float(np.max(np.abs(r)))
+            if s == 0.0:
+                rel = 0.0
+                break
+            solver.set_rhs(r / s)
+            dx, info = solver.run(max_rounds=max_rounds)
+            infos.append(info)
+            x += s * np.asarray(dx, np.float64)
+            r = b0 - A @ x
+            prev, rel = rel, float(np.linalg.norm(r)) / nb
+            if checkpoint_path is not None:
+                np.savez_compressed(checkpoint_path, ir_x=x)
+            if rel > 0.5 * prev:
+                # restart no longer reduces the true residual: the f32
+                # kernel hit its conditioning floor — stop honestly
+                break
+    finally:
+        solver.set_rhs(rhs_orig)
+    last = infos[-1] if infos else {}
+    return x, {
+        "converged": rel <= tol,
+        "restarts": len(infos),
+        "relative_residual_norm": rel,
+        "done_at": last.get("done_at", np.array([-1])),
+        "rounds": int(sum(i["rounds"] for i in infos)),
+        "time_s": float(sum(i["time_s"] for i in infos)),
+        "fresh_read_hits": int(sum(i.get("fresh_read_hits", 0)
+                                   for i in infos)),
+        "inner_infos": infos,
+    }

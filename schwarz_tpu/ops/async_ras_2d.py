@@ -642,7 +642,7 @@ class AsyncRASolver2D:
             kern, mesh=mesh, in_specs=(spec,) * 8,
             out_specs=(spec, spec, spec), check_vma=False,
         ))
-        shard = jax.sharding.NamedSharding(mesh, spec)
+        shard = self._shard = jax.sharding.NamedSharding(mesh, spec)
         self._dev = {
             "coef": jax.device_put(jnp.asarray(p.coef[perm]), shard),
             "b": jax.device_put(jnp.asarray(p.b[perm]), shard),
@@ -652,6 +652,43 @@ class AsyncRASolver2D:
             "mask_int": jax.device_put(jnp.asarray(p.mask_int[perm]),
                                        shard),
         }
+
+    def set_rhs(self, rhs) -> None:
+        """Repack the per-block RHS windows without rebuilding the plan
+        (same window slicing as build_async_plan_2d)."""
+        p = self.plan
+        nY, nX = p.py * p.by, p.px * p.bx
+        bg = np.zeros((nY, nX), np.float32)
+        bg[:p.n, :p.n] = np.asarray(rhs, np.float32).reshape(p.n, p.n)
+        b = np.zeros((p.S, p.By, p.Bx), np.float32)
+        for d in range(p.S):
+            dyy, dxx = divmod(d, p.px)
+            y0, x0 = dyy * p.by, dxx * p.bx
+            ys, xs = y0 - HY, x0 - HX
+            gy0, gy1 = max(ys, 0), min(y0 + p.by + HY, nY)
+            gx0, gx1 = max(xs, 0), min(x0 + p.bx + HX, nX)
+            ty0, tx0 = gy0 - ys, gx0 - xs
+            b[d, ty0:ty0 + gy1 - gy0, tx0:tx0 + gx1 - gx0] = (
+                bg[gy0:gy1, gx0:gx1]
+            )
+        p.b = b
+        self.rhs = np.asarray(rhs)
+        self._dev["b"] = jax.device_put(
+            jnp.asarray(b[self._perm]), self._shard
+        )
+
+    def run_refined(self, tol: float = 1e-10, max_restarts: int = 12,
+                    max_rounds: int = 400, resume_state=None,
+                    checkpoint_path: Optional[str] = None):
+        """f64-accurate solve via iterative-refinement restarts of the
+        f32 kernel (ops.async_ras.iterative_refinement_run)."""
+        from schwarz_tpu.ops.async_ras import iterative_refinement_run
+
+        return iterative_refinement_run(
+            self, tol=tol, max_restarts=max_restarts,
+            max_rounds=max_rounds, resume_state=resume_state,
+            checkpoint_path=checkpoint_path,
+        )
 
     def run(self, max_rounds: int = 400):
         import time

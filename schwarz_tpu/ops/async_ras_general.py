@@ -65,6 +65,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _lane_rep(a2: np.ndarray) -> np.ndarray:
+    """(S, Rext) -> (S*Rext, 128) lane-replicated f32."""
+    return np.repeat(a2.reshape(-1, 1), 128, axis=1).astype(np.float32)
+
+
 @dataclasses.dataclass
 class GeneralAsyncPlan:
     """Host-side static tables for the general free-running kernel."""
@@ -87,6 +92,7 @@ class GeneralAsyncPlan:
     U: np.ndarray           # (S, C, H, SEG) f32 unpack one-hots
     tgt_subd: np.ndarray    # (S, C) int32 partner rank (self for dummies)
     send_len: np.ndarray    # (S, C) int32 true values sent on each link
+    gid: np.ndarray         # (S, Rext) int32 global row per slot (-1 pad)
 
 
 def build_general_plan(mat, rhs, part, overlap: int) -> GeneralAsyncPlan:
@@ -190,6 +196,7 @@ def build_general_plan(mat, rhs, part, overlap: int) -> GeneralAsyncPlan:
     )
     send_len = np.zeros((S, C), np.int32)
 
+    gid = np.full((S, Rext), -1, np.int32)
     rhs_np = np.asarray(rhs, np.float64)
     for s in range(S):
         ext = np.concatenate([int_ids[s], halo_ids[s]])
@@ -202,6 +209,7 @@ def build_general_plan(mat, rhs, part, overlap: int) -> GeneralAsyncPlan:
         # rows
         for g in ext:
             i = slot_of[int(g)]
+            gid[s, i] = g
             if int(g) in dom:
                 lo, hi = A_sp.indptr[g], A_sp.indptr[g + 1]
                 for gc, v in zip(A_sp.indices[lo:hi], A_sp.data[lo:hi]):
@@ -243,7 +251,7 @@ def build_general_plan(mat, rhs, part, overlap: int) -> GeneralAsyncPlan:
         S=S, N=N, Rint=Rint, H=H, Rext=Rext, SEG=SEG, C=C,
         n_int=n_int, int_ids=int_ids, A=A, b=b, dinv=dinv,
         mask_dom=mask_dom, mask_int=mask_int, OH=OH, U=U,
-        tgt_subd=tgt_subd, send_len=send_len,
+        tgt_subd=tgt_subd, send_len=send_len, gid=gid,
     )
 
 
@@ -616,14 +624,8 @@ class AsyncGeneralRASolver:
             kern, mesh=mesh, in_specs=(spec,) * 13, out_specs=(spec,) * 4,
             check_vma=False,
         ))
-        shard = jax.sharding.NamedSharding(mesh, spec)
-
-        def lane_rep(a2):
-            # (S, Rext) -> (S*Rext, 128) lane-replicated
-            return np.repeat(a2.reshape(-1, 1), 128, axis=1).astype(
-                np.float32
-            )
-
+        shard = self._shard = jax.sharding.NamedSharding(mesh, spec)
+        lane_rep = _lane_rep
         tgt_dev = (p.tgt_subd // self.Sl).astype(np.int32)
         tgt_sl = (p.tgt_subd % self.Sl).astype(np.int32)
         self._dev = {
@@ -640,6 +642,31 @@ class AsyncGeneralRASolver:
             "td": jax.device_put(jnp.asarray(tgt_dev), shard),
             "ts": jax.device_put(jnp.asarray(tgt_sl), shard),
         }
+
+    def set_rhs(self, rhs) -> None:
+        """Repack the per-rank RHS slots without rebuilding the plan
+        (restarts reuse the dense operators, link tables, jitted kernel)."""
+        p = self.plan
+        r = np.asarray(rhs, np.float64)
+        b = (p.mask_dom * r[np.clip(p.gid, 0, p.N - 1)]).astype(np.float32)
+        p.b = b
+        self.rhs = np.asarray(rhs)
+        self._dev["b"] = jax.device_put(
+            jnp.asarray(_lane_rep(b)), self._shard
+        )
+
+    def run_refined(self, tol: float = 1e-10, max_restarts: int = 12,
+                    max_rounds: int = 400, resume_state=None,
+                    checkpoint_path: Optional[str] = None):
+        """f64-accurate solve via iterative-refinement restarts of the
+        f32 kernel (ops.async_ras.iterative_refinement_run)."""
+        from schwarz_tpu.ops.async_ras import iterative_refinement_run
+
+        return iterative_refinement_run(
+            self, tol=tol, max_restarts=max_restarts,
+            max_rounds=max_rounds, resume_state=resume_state,
+            checkpoint_path=checkpoint_path,
+        )
 
     def save_checkpoint(self, state, path: str) -> None:
         """Persist a free-running state (x, known, aux, carry)."""

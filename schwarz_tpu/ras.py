@@ -1579,10 +1579,19 @@ def solve(
         num_subdomains = max(1, len(jax.devices()))
     if settings.free_running:
         from schwarz_tpu.exceptions import NotImplementedFeature
-        from schwarz_tpu.ops.async_ras import AsyncRASolver
+        from schwarz_tpu.ops.async_ras import (
+            F32_TOL_FLOOR as FR_F32_TOL_FLOOR,
+            AsyncRASolver,
+        )
 
         ninner = (settings.local_max_iters
                   if settings.local_max_iters > 0 else 16)
+        # below the f32 kernel's reachable relative tolerance, switch to
+        # iterative-refinement restarts: moderate f32 inner tolerance,
+        # f64 true-residual recomputation between launches (the
+        # free-running analogue of local_compute_dtype)
+        refine = settings.tolerance < FR_F32_TOL_FLOOR
+        inner_tol = 1e-4 if refine else settings.tolerance
         try:
             if partition_indices is not None:
                 raise NotImplementedFeature(
@@ -1590,7 +1599,7 @@ def solve(
                 )
             fr = AsyncRASolver(
                 mat, rhs, num_subdomains=num_subdomains,
-                overlap=settings.overlap, tolerance=settings.tolerance,
+                overlap=settings.overlap, tolerance=inner_tol,
                 staleness=max(settings.comm.staleness, 1),
                 ninner=ninner, mesh=mesh,
                 fresh_read=settings.comm.fresh_read,
@@ -1608,11 +1617,16 @@ def solve(
                 part = make_partition(mat, num_subdomains, settings)
             fr = AsyncGeneralRASolver(
                 mat, rhs, num_subdomains=num_subdomains,
-                overlap=settings.overlap, tolerance=settings.tolerance,
+                overlap=settings.overlap, tolerance=inner_tol,
                 staleness=max(settings.comm.staleness, 1),
                 ninner=ninner, part=part, mesh=mesh,
             )
-        x, info = fr.run(max_rounds=settings.max_iters)
+        if refine:
+            x, info = fr.run_refined(
+                tol=settings.tolerance, max_rounds=settings.max_iters
+            )
+        else:
+            x, info = fr.run(max_rounds=settings.max_iters)
         S = num_subdomains
         rel = info["relative_residual_norm"]
         rn = rel * float(np.linalg.norm(np.asarray(rhs)))
