@@ -43,6 +43,7 @@ from schwarz_tpu.config import (  # noqa: E402
     Settings,
 )
 from schwarz_tpu.models import (  # noqa: E402
+    fem_p1_advection,
     fem_p1_poisson,
     CSRMatrix,
     advection_diffusion_2d,
@@ -72,6 +73,7 @@ __all__ = [
     "anisotropic_diffusion_2d",
     "advection_diffusion_2d",
     "fem_p1_poisson",
+    "fem_p1_advection",
     "read_mtx",
     "generate_rhs",
     "decompose",

@@ -32,7 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="grid side n; global size n^2")
     p.add_argument("--problem", default="laplacian",
                    choices=["laplacian", "laplacian3d", "anisotropic",
-                            "advection", "helmholtz", "fem"],
+                            "advection", "helmholtz", "fem",
+                            "fem_advection"],
                    help="generated problem family (replaces the deal.II "
                         "drivers; 'fem' = real P1 assembly with adaptive "
                         "local refinement, the dealii_ex_6 role)")
@@ -222,6 +223,9 @@ def settings_from_args(args):
             f"(choose from {', '.join(sorted(solver_alias))})"
         )
     local_solver = solver_alias[args.local_solver]
+    if args.problem == "fem_advection":
+        # the SUPG advection operator is non-symmetric by construction
+        args.non_symmetric_matrix = True
     if args.non_symmetric_matrix and local_solver == LocalSolver.iterative_cg:
         local_solver = LocalSolver.iterative_gmres  # solve.cpp:746-752 dispatch
 
@@ -359,6 +363,18 @@ def main(argv=None):
             f"P1 FEM matrix (assembled, {args.fem_refine_levels} refinement "
             f"levels), n={mat.n}", file=sys.stderr,
         )
+    elif args.problem == "fem_advection":
+        from schwarz_tpu.models import fem_p1_advection
+
+        mat, fem_rhs, _coords, cell_weights = fem_p1_advection(
+            args.set_1d_laplacian_size,
+            refine_cycles=args.fem_refine_levels,
+        )
+        print(
+            f"P1 SUPG advection matrix (dealii_ex_9 role, "
+            f"{args.fem_refine_levels} gradient-estimator refinement "
+            f"cycles), n={mat.n}", file=sys.stderr,
+        )
     else:
         n = args.set_1d_laplacian_size
         gen = {
@@ -371,7 +387,8 @@ def main(argv=None):
         mat = gen(n)
         print(f"{args.problem} 2D matrix (generated in house), n={mat.n}",
               file=sys.stderr)
-    if args.problem == "fem" and args.matrix_filename == "null":
+    if (args.problem in ("fem", "fem_advection")
+            and args.matrix_filename == "null"):
         rhs = fem_rhs
     else:
         cell_weights = None

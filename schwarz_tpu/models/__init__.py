@@ -15,7 +15,7 @@ from schwarz_tpu.models.fem import (
     helmholtz_2d,
     laplacian_3d,
 )
-from schwarz_tpu.models.fem_assembly import fem_p1_poisson
+from schwarz_tpu.models.fem_assembly import fem_p1_advection, fem_p1_poisson
 from schwarz_tpu.models.mtx import read_mtx
 from schwarz_tpu.models.rhs import generate_rhs
 
@@ -27,6 +27,7 @@ __all__ = [
     "anisotropic_diffusion_2d",
     "advection_diffusion_2d",
     "fem_p1_poisson",
+    "fem_p1_advection",
     "read_mtx",
     "generate_rhs",
 ]

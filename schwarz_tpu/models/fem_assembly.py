@@ -197,3 +197,181 @@ def fem_p1_poisson(
         verts[interior],
         wt_full[interior],
     )
+
+
+# --- dealii_ex_9 role: SUPG-stabilized pure advection ----------------------
+
+def _ex9_beta(p: np.ndarray) -> np.ndarray:
+    """Advection field of the reference driver
+    (benchmarking/dealii_ex_9.cpp:77-84): (2, 1 + 0.8 sin(8 pi x))."""
+    out = np.empty_like(p)
+    out[:, 0] = 2.0
+    out[:, 1] = 1.0 + 0.8 * np.sin(8.0 * np.pi * p[:, 0])
+    return out
+
+
+def _ex9_source(p: np.ndarray) -> np.ndarray:
+    """Right-hand side (dealii_ex_9.cpp:105-115): 0.1/d^2 inside the ball
+    of diameter 0.1 around (-0.75, -0.75), else 0.1."""
+    d = 0.1
+    r2 = ((p - np.array([-0.75, -0.75])) ** 2).sum(axis=1)
+    return np.where(r2 < d * d, 0.1 / d ** 2, 0.1)
+
+
+def _ex9_boundary(p: np.ndarray) -> np.ndarray:
+    """Weak inflow boundary values (dealii_ex_9.cpp:127-135):
+    exp(5 (1 - |p|^2)) sin(16 pi |p|^2)."""
+    r2 = (p ** 2).sum(axis=1)
+    return np.exp(5.0 * (1.0 - r2)) * np.sin(16.0 * np.pi * r2)
+
+
+def _boundary_edges(T: np.ndarray):
+    """(a, b, opp) arrays of edges owned by exactly one triangle."""
+    seen: Dict[frozenset, Tuple[int, int, int]] = {}
+    dup = set()
+    for t in T:
+        for k in range(3):
+            a, b, o = int(t[(k + 1) % 3]), int(t[(k + 2) % 3]), int(t[k])
+            e = frozenset((a, b))
+            if e in seen:
+                dup.add(e)
+            else:
+                seen[e] = (a, b, o)
+    edges = [v for e, v in seen.items() if e not in dup]
+    arr = np.asarray(edges, dtype=np.int64).reshape(-1, 3)
+    return arr[:, 0], arr[:, 1], arr[:, 2]
+
+
+def _assemble_advection(verts, T, beta, source, inflow_values,
+                        delta_factor, dtype):
+    """Vectorized P1 SUPG assembly of ``beta . grad u = f`` with weak
+    inflow boundary conditions (dealii_ex_9.cpp:289-367 semantics).
+
+    Test functions ``phi_i + delta beta . grad phi_i`` with
+    ``delta = delta_factor * diameter``; edge-midpoint quadrature (exact
+    through degree 2); boundary faces with ``beta . n < 0`` contribute
+    ``-(beta.n) phi_i phi_j`` / ``-(beta.n) g phi_i`` via 2-point Gauss.
+    No Dirichlet elimination: every vertex is a DOF (the inflow condition
+    is weak), so the operator is genuinely non-symmetric.
+    """
+    import scipy.sparse as sp
+
+    P = verts[T]                                    # (M, 3, 2)
+    e = P[:, [2, 0, 1], :] - P[:, [1, 2, 0], :]     # edge opposite vertex k
+    twoA = e[:, 0, 0] * e[:, 1, 1] - e[:, 0, 1] * e[:, 1, 0]
+    area = np.abs(twoA) / 2.0
+    grads = np.stack([-e[..., 1], e[..., 0]], axis=-1) / twoA[:, None, None]
+    diam = np.linalg.norm(e, axis=2).max(axis=1)
+    delta = delta_factor * diam                     # (M,)
+
+    # quadrature: midpoint of the edge opposite vertex q
+    mids = (P[:, [1, 2, 0], :] + P[:, [2, 0, 1], :]) / 2.0   # (M, 3, 2)
+    M = len(T)
+    bq = beta(mids.reshape(-1, 2)).reshape(M, 3, 2)
+    fq = np.asarray(source(mids.reshape(-1, 2))).reshape(M, 3)
+    bg = np.einsum("mqa,mja->mqj", bq, grads)       # beta(q) . grad phi_j
+    phi = 0.5 * (1.0 - np.eye(3))                   # phi[i, q] at mid_q
+    w = area / 3.0
+    elem = w[:, None, None] * (
+        np.einsum("iq,mqj->mij", phi, bg)
+        + delta[:, None, None] * np.einsum("mqi,mqj->mij", bg, bg)
+    )
+    rhs_elem = w[:, None] * (
+        np.einsum("iq,mq->mi", phi, fq)
+        + delta[:, None] * np.einsum("mqi,mq->mi", bg, fq)
+    )
+
+    V = len(verts)
+    rows = [np.repeat(T, 3, axis=1).ravel()]
+    cols = [np.tile(T, (1, 3)).ravel()]
+    vals = [elem.reshape(-1)]
+    rhs = np.zeros(V, dtype=np.float64)
+    np.add.at(rhs, T.ravel(), rhs_elem.ravel())
+
+    # weak inflow terms on boundary edges
+    ea, eb, eo = _boundary_edges(T)
+    pa, pb = verts[ea], verts[eb]
+    tang = pb - pa
+    L = np.linalg.norm(tang, axis=1)
+    nrm = np.stack([tang[:, 1], -tang[:, 0]], axis=1) / L[:, None]
+    # outward: away from the opposite vertex
+    flip = ((verts[eo] - (pa + pb) / 2.0) * nrm).sum(axis=1) > 0
+    nrm[flip] *= -1.0
+    for s in ((1.0 - 1.0 / np.sqrt(3.0)) / 2.0,
+              (1.0 + 1.0 / np.sqrt(3.0)) / 2.0):
+        xq = pa + tang * s
+        bn = (beta(xq) * nrm).sum(axis=1)
+        gq = np.asarray(inflow_values(xq))
+        wq = L / 2.0
+        coef = np.where(bn < 0.0, -bn * wq, 0.0)    # per-q-point inflow test
+        pha, phb = 1.0 - s, s
+        for (i, pi) in ((ea, pha), (eb, phb)):
+            for (j, pj) in ((ea, pha), (eb, phb)):
+                rows.append(i)
+                cols.append(j)
+                vals.append(coef * pi * pj)
+            np.add.at(rhs, i, coef * gq * pi)
+
+    A = CSRMatrix.from_scipy(sp.coo_matrix(
+        (np.concatenate(vals).astype(dtype),
+         (np.concatenate(rows), np.concatenate(cols))),
+        shape=(V, V),
+    ).tocsr())
+    return A, rhs.astype(dtype), grads, diam
+
+
+def fem_p1_advection(
+    n: int,
+    refine_cycles: int = 0,
+    refine_fraction: float = 0.3,
+    delta_factor: float = 0.1,
+    beta=None,
+    source=None,
+    inflow_values=None,
+    domain: Tuple[float, float] = (-1.0, 1.0),
+    dtype=np.float64,
+) -> Tuple[CSRMatrix, np.ndarray, np.ndarray, np.ndarray]:
+    """Assemble the P1 SUPG advection operator of dealii_ex_9.
+
+    ``beta . grad u = f`` on ``domain^2`` with weak inflow boundary
+    conditions; defaults reproduce the reference driver's data
+    (dealii_ex_9.cpp:77-135).  ``refine_cycles`` rounds of
+    gradient-estimator adaptive refinement (the GradientEstimation loop,
+    dealii_ex_9.cpp:576-580): solve on the current mesh, mark the
+    ``refine_fraction`` of triangles with the largest
+    ``|grad u_h| diam^1.5`` indicator, Rivara-bisect.
+
+    Returns ``(A, rhs, coords, cell_weights)`` over ALL vertices (the
+    inflow condition is weak — no Dirichlet elimination); ``A`` is
+    non-symmetric, so pair with GMRES local solves
+    (``local_solver=iterative-ginkgo --non_symmetric_matrix`` in CLI
+    terms).
+    """
+    import scipy.sparse.linalg as spla
+
+    beta = beta or _ex9_beta
+    source = source or _ex9_source
+    inflow_values = inflow_values or _ex9_boundary
+
+    verts, tris = _structured_triangulation(n)
+    lo, hi = domain
+    verts = lo + (hi - lo) * verts
+    for _ in range(refine_cycles):
+        T = np.asarray(tris, dtype=np.int64)
+        A, rhs, grads, diam = _assemble_advection(
+            verts, T, beta, source, inflow_values, delta_factor, dtype
+        )
+        u = spla.spsolve(A.to_scipy().tocsc(), rhs)
+        gu = np.einsum("mi,mia->ma", u[T], grads)   # per-cell grad u_h
+        indicator = np.linalg.norm(gu, axis=1) * diam ** 1.5
+        k = max(1, int(refine_fraction * len(T)))
+        marked = np.argsort(indicator)[-k:]
+        verts, tris = _refine(verts, tris, marked)
+
+    T = np.asarray(tris, dtype=np.int64)
+    A, rhs, _grads, _diam = _assemble_advection(
+        verts, T, beta, source, inflow_values, delta_factor, dtype
+    )
+    wt = np.zeros(len(verts), dtype=np.float64)
+    np.add.at(wt, T.ravel(), 1.0)
+    return A, rhs, verts, wt

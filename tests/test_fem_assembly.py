@@ -61,3 +61,72 @@ def test_cell_weights_balance_refined_load():
     loads_w = np.array([wt[pw == p].sum() for p in range(S)])
     imb_w = loads_w.max() / loads_w.mean()
     assert imb_w < 1.35, imb_w
+
+
+# --- dealii_ex_9 role: SUPG advection -------------------------------------
+
+def test_advection_exact_for_linear_solution():
+    # constant beta, linear u: SUPG + weak inflow reproduce u EXACTLY
+    # (edge-midpoint quadrature is exact through degree 2)
+    from schwarz_tpu.models import fem_p1_advection
+
+    def beta(p):
+        out = np.zeros_like(p)
+        out[:, 0] = 1.0
+        out[:, 1] = 0.5
+        return out
+
+    def u_exact(p):
+        return 1.0 + 2.0 * p[:, 0] + 3.0 * p[:, 1]
+
+    def source(p):
+        return np.full(len(p), 1.0 * 2.0 + 0.5 * 3.0)   # beta . grad u
+
+    A, rhs, coords, _wt = fem_p1_advection(
+        8, beta=beta, source=source, inflow_values=u_exact
+    )
+    u = spla.spsolve(A.to_scipy().tocsc(), rhs)
+    np.testing.assert_allclose(u, u_exact(coords), rtol=0, atol=1e-10)
+
+
+def test_advection_operator_shape_and_asymmetry():
+    from schwarz_tpu.models import fem_p1_advection
+
+    A, rhs, coords, wt = fem_p1_advection(12)
+    V = len(coords)
+    assert A.n == V == len(rhs) == len(wt)
+    S = A.to_scipy()
+    asym = abs(S - S.T).max() / abs(S).max()
+    assert asym > 0.1, "SUPG advection operator must be non-symmetric"
+    assert np.isfinite(S.data).all()
+
+
+def test_advection_gradient_refinement_concentrates_cells():
+    # the gradient-estimator cycles must refine where |grad u| is largest
+    # and keep the mesh conforming (solvable system at each level)
+    from schwarz_tpu.models import fem_p1_advection
+
+    A0, _, c0, _ = fem_p1_advection(10, refine_cycles=0)
+    A2, _, c2, w2 = fem_p1_advection(10, refine_cycles=2)
+    assert A2.n > A0.n
+    # refined vertices carry higher incident-cell weight somewhere
+    assert w2.max() > 6  # structured mesh has at most 6 incident cells
+
+
+def test_ras_solves_advection_fem_system():
+    from schwarz_tpu.config import LocalSolver
+    from schwarz_tpu.models import fem_p1_advection
+
+    A, rhs, _c, _w = fem_p1_advection(16, refine_cycles=1)
+    st = Settings(
+        tolerance=1e-7, max_iters=600, overlap=3,
+        partition=Partition.metis,
+        local_solver=LocalSolver.iterative_gmres,
+        non_symmetric_matrix=True,
+    )
+    r = solve(A, rhs, st, num_subdomains=4)
+    assert r.converged, r
+    assert r.relative_residual_norm < 1e-6
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), rhs)
+    err = np.linalg.norm(r.solution - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-5, err
