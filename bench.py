@@ -351,8 +351,15 @@ def main():
                             tolerance=1e-4, staleness=1, ninner=10,
                             chunk_rounds=6, interpret=not on_tpu)
         _, info = s_a.run(max_rounds=120)
+        # iterative-refinement restarts: same compiled kernel (only the b
+        # input changes), so this proves the f64-accurate free-running
+        # path natively at zero extra compile cost
+        _, rinfo = s_a.run_refined(tol=1e-9, max_rounds=120)
         return {"async_native_ok": bool(info["converged"]),
                 "async_rel": info["relative_residual_norm"],
+                "async_refined_ok": bool(rinfo["converged"]),
+                "async_refined_rel": rinfo["relative_residual_norm"],
+                "async_refined_restarts": rinfo["restarts"],
                 "async_native_sl": s_a.Sl,
                 "async_native_mode": "tpu" if on_tpu else "interpret"}
 

@@ -44,6 +44,7 @@ from schwarz_tpu.config import (  # noqa: E402
 )
 from schwarz_tpu.models import (  # noqa: E402
     fem_p1_advection,
+    fem_p1_elasticity,
     fem_p1_poisson,
     CSRMatrix,
     advection_diffusion_2d,
@@ -74,6 +75,7 @@ __all__ = [
     "advection_diffusion_2d",
     "fem_p1_poisson",
     "fem_p1_advection",
+    "fem_p1_elasticity",
     "read_mtx",
     "generate_rhs",
     "decompose",

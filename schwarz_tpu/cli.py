@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--problem", default="laplacian",
                    choices=["laplacian", "laplacian3d", "anisotropic",
                             "advection", "helmholtz", "fem",
-                            "fem_advection"],
+                            "fem_advection", "fem_elasticity"],
                    help="generated problem family (replaces the deal.II "
                         "drivers; 'fem' = real P1 assembly with adaptive "
                         "local refinement, the dealii_ex_6 role)")
@@ -375,6 +375,16 @@ def main(argv=None):
             f"{args.fem_refine_levels} gradient-estimator refinement "
             f"cycles), n={mat.n}", file=sys.stderr,
         )
+    elif args.problem == "fem_elasticity":
+        from schwarz_tpu.models import fem_p1_elasticity
+
+        mat, fem_rhs, _coords, cell_weights = fem_p1_elasticity(
+            args.set_1d_laplacian_size,
+        )
+        print(
+            f"vector-P1 elasticity matrix (dealii_ex_17 role), n={mat.n}",
+            file=sys.stderr,
+        )
     else:
         n = args.set_1d_laplacian_size
         gen = {
@@ -387,7 +397,7 @@ def main(argv=None):
         mat = gen(n)
         print(f"{args.problem} 2D matrix (generated in house), n={mat.n}",
               file=sys.stderr)
-    if (args.problem in ("fem", "fem_advection")
+    if (args.problem in ("fem", "fem_advection", "fem_elasticity")
             and args.matrix_filename == "null"):
         rhs = fem_rhs
     else:

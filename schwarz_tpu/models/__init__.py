@@ -15,7 +15,11 @@ from schwarz_tpu.models.fem import (
     helmholtz_2d,
     laplacian_3d,
 )
-from schwarz_tpu.models.fem_assembly import fem_p1_advection, fem_p1_poisson
+from schwarz_tpu.models.fem_assembly import (
+    fem_p1_advection,
+    fem_p1_elasticity,
+    fem_p1_poisson,
+)
 from schwarz_tpu.models.mtx import read_mtx
 from schwarz_tpu.models.rhs import generate_rhs
 
@@ -28,6 +32,7 @@ __all__ = [
     "advection_diffusion_2d",
     "fem_p1_poisson",
     "fem_p1_advection",
+    "fem_p1_elasticity",
     "read_mtx",
     "generate_rhs",
 ]

@@ -375,3 +375,107 @@ def fem_p1_advection(
     wt = np.zeros(len(verts), dtype=np.float64)
     np.add.at(wt, T.ravel(), 1.0)
     return A, rhs, verts, wt
+
+
+# --- dealii_ex_17 role: step-8/17 linear elasticity ------------------------
+
+def _ex17_body_force(p: np.ndarray) -> np.ndarray:
+    """step-8 body force (dealii_ex_17.cpp:182-204): x-component 1 inside
+    the r=0.2 balls around (+-0.5, 0), y-component 1 inside the r=0.2
+    ball around the origin."""
+    f = np.zeros_like(p)
+    r1 = ((p - np.array([0.5, 0.0])) ** 2).sum(axis=1)
+    r2 = ((p - np.array([-0.5, 0.0])) ** 2).sum(axis=1)
+    f[:, 0] = np.where((r1 < 0.04) | (r2 < 0.04), 1.0, 0.0)
+    f[:, 1] = np.where((p ** 2).sum(axis=1) < 0.04, 1.0, 0.0)
+    return f
+
+
+def fem_p1_elasticity(
+    n: int,
+    lam: float = 1.0,
+    mu: float = 1.0,
+    body_force=None,
+    domain: Tuple[float, float] = (-1.0, 1.0),
+    dtype=np.float64,
+) -> Tuple[CSRMatrix, np.ndarray, np.ndarray, np.ndarray]:
+    """Assemble vector-P1 linear elasticity (the dealii_ex_17 problem).
+
+    The step-8/17 bilinear form (dealii_ex_17.cpp:475-495):
+    ``lambda div u div v + mu grad u : grad v^T + mu grad u : grad v``
+    (strong form ``-mu lap u - (lambda + mu) grad(div u) = f``) on
+    ``domain^2`` with zero Dirichlet boundary, constant ``lambda``/``mu``
+    and the step-8 ball body forces.  The reference drives this with pure
+    deal.II + PETSc CG as an external baseline; here the SPD vector
+    operator feeds the RAS solver directly.
+
+    DOFs interleave components (``dof = 2 vertex + comp``).  Returns
+    ``(A_interior, rhs_interior, coords_interior_dofs, cell_weights)``.
+    """
+    body_force = body_force or _ex17_body_force
+
+    verts, tris = _structured_triangulation(n)
+    lo, hi = domain
+    verts = lo + (hi - lo) * verts
+    T = np.asarray(tris, dtype=np.int64)            # (M, 3)
+    P = verts[T]
+    e = P[:, [2, 0, 1], :] - P[:, [1, 2, 0], :]
+    twoA = e[:, 0, 0] * e[:, 1, 1] - e[:, 0, 1] * e[:, 1, 0]
+    area = np.abs(twoA) / 2.0
+    g = np.stack([-e[..., 1], e[..., 0]], axis=-1) / twoA[:, None, None]
+
+    # block element matrix over (a, ci, b, cj):
+    #   area * (lam g_a[ci] g_b[cj] + mu g_a[cj] g_b[ci]
+    #           + (ci == cj) mu g_a . g_b)
+    gagb = np.einsum("mak,mbk->mab", g, g)          # g_a . g_b
+    elem = (
+        lam * np.einsum("mai,mbj->maibj", g, g)
+        + mu * np.einsum("maj,mbi->maibj", g, g)
+        + mu * gagb[:, :, None, :, None] * np.eye(2)[None, None, :, None, :]
+    ) * area[:, None, None, None, None]
+
+    dof = 2 * T[:, :, None] + np.arange(2)[None, None, :]   # (M, 3, 2)
+    drow = np.broadcast_to(dof[:, :, :, None, None], elem.shape)
+    dcol = np.broadcast_to(dof[:, None, None, :, :], elem.shape)
+
+    # rhs: edge-midpoint quadrature of phi_a f_c
+    mids = (P[:, [1, 2, 0], :] + P[:, [2, 0, 1], :]) / 2.0
+    M = len(T)
+    fq = body_force(mids.reshape(-1, 2)).reshape(M, 3, 2)
+    phi = 0.5 * (1.0 - np.eye(3))                   # phi[a, q]
+    rhs_elem = (area / 3.0)[:, None, None] * np.einsum(
+        "aq,mqc->mac", phi, fq
+    )                                               # (M, 3, 2)
+
+    V = len(verts)
+    rhs_full = np.zeros(2 * V, dtype=np.float64)
+    np.add.at(rhs_full, dof.ravel(), rhs_elem.ravel())
+
+    on_bnd = (
+        (np.abs(verts[:, 0] - lo) < 1e-12) | (np.abs(verts[:, 0] - hi) < 1e-12)
+        | (np.abs(verts[:, 1] - lo) < 1e-12) | (np.abs(verts[:, 1] - hi) < 1e-12)
+    )
+    dof_bnd = np.repeat(on_bnd, 2)
+    interior = np.where(~dof_bnd)[0]
+    new_id = -np.ones(2 * V, dtype=np.int64)
+    new_id[interior] = np.arange(len(interior))
+
+    rows, cols, vals = drow.ravel(), dcol.ravel(), elem.ravel()
+    keep = (~dof_bnd[rows]) & (~dof_bnd[cols])
+    import scipy.sparse as sp
+
+    A = CSRMatrix.from_scipy(sp.coo_matrix(
+        (vals[keep].astype(dtype),
+         (new_id[rows[keep]], new_id[cols[keep]])),
+        shape=(len(interior), len(interior)),
+    ).tocsr())
+
+    wt_full = np.zeros(V, dtype=np.float64)
+    np.add.at(wt_full, T.ravel(), 1.0)
+    coords_dof = np.repeat(verts, 2, axis=0)
+    return (
+        A,
+        rhs_full[interior].astype(dtype),
+        coords_dof[interior],
+        np.repeat(wt_full, 2)[interior],
+    )

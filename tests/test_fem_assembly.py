@@ -130,3 +130,87 @@ def test_ras_solves_advection_fem_system():
     x_ref = spla.spsolve(A.to_scipy().tocsc(), rhs)
     err = np.linalg.norm(r.solution - x_ref) / np.linalg.norm(x_ref)
     assert err < 1e-5, err
+
+
+# --- dealii_ex_17 role: vector-P1 elasticity --------------------------------
+
+def _naive_elasticity(n, lam=1.0, mu=1.0):
+    """Independent loop-based assembly of the step-8 bilinear form (the
+    test oracle for the vectorized production code)."""
+    from schwarz_tpu.models.fem_assembly import _structured_triangulation
+
+    verts, tris = _structured_triangulation(n)
+    verts = -1.0 + 2.0 * verts
+    V = len(verts)
+    A = np.zeros((2 * V, 2 * V))
+    for t in tris:
+        P = verts[list(t)]
+        e = P[[2, 0, 1]] - P[[1, 2, 0]]
+        twoA = e[0, 0] * e[1, 1] - e[0, 1] * e[1, 0]
+        area = abs(twoA) / 2.0
+        g = np.stack([-e[:, 1], e[:, 0]], axis=-1) / twoA
+        for a in range(3):
+            for b in range(3):
+                for ci in range(2):
+                    for cj in range(2):
+                        v = lam * g[a, ci] * g[b, cj] \
+                            + mu * g[a, cj] * g[b, ci] \
+                            + (mu * g[a] @ g[b] if ci == cj else 0.0)
+                        A[2 * t[a] + ci, 2 * t[b] + cj] += area * v
+    on_bnd = (np.abs(np.abs(verts) - 1.0) < 1e-12).any(axis=1)
+    keep = ~np.repeat(on_bnd, 2)
+    return A[np.ix_(keep, keep)]
+
+
+def test_elasticity_matches_naive_assembly():
+    from schwarz_tpu.models import fem_p1_elasticity
+
+    A, _rhs, _c, _w = fem_p1_elasticity(4)
+    ref = _naive_elasticity(4)
+    np.testing.assert_allclose(A.to_scipy().toarray(), ref, atol=1e-12)
+
+
+def test_elasticity_spd():
+    from schwarz_tpu.models import fem_p1_elasticity
+
+    A, rhs, coords, wt = fem_p1_elasticity(8)
+    S = A.to_scipy()
+    assert abs(S - S.T).max() < 1e-12
+    w = np.linalg.eigvalsh(S.toarray())
+    assert w.min() > 0, w.min()
+    assert A.n == len(rhs) == len(coords) == len(wt)
+
+
+def test_elasticity_manufactured_solution_converges():
+    # u1 = u2 = sin(pi x) sin(pi y):  f = pi^2 (2 mu w + (lam+mu)(w - c))
+    # in both components, with w = sin sin and c = cos cos; nodal error
+    # must shrink ~O(h^2)
+    from schwarz_tpu.models import fem_p1_elasticity
+
+    def force(p):
+        w = np.sin(np.pi * p[:, 0]) * np.sin(np.pi * p[:, 1])
+        c = np.cos(np.pi * p[:, 0]) * np.cos(np.pi * p[:, 1])
+        f1 = np.pi ** 2 * (2.0 * w + 2.0 * (w - c))
+        return np.stack([f1, f1], axis=1)
+
+    errs = []
+    for n in (8, 16):
+        A, rhs, coords, _ = fem_p1_elasticity(n, body_force=force)
+        u = spla.spsolve(A.to_scipy().tocsc(), rhs)
+        w = np.sin(np.pi * coords[:, 0]) * np.sin(np.pi * coords[:, 1])
+        errs.append(np.max(np.abs(u - w)))
+    assert errs[1] < 0.35 * errs[0], errs
+
+
+def test_ras_solves_elasticity_system():
+    from schwarz_tpu.models import fem_p1_elasticity
+
+    A, rhs, _c, wt = fem_p1_elasticity(12)
+    st = Settings(tolerance=1e-7, max_iters=600, overlap=3,
+                  partition=Partition.metis)
+    r = solve(A, rhs, st, num_subdomains=4, cell_weights=wt)
+    assert r.converged, r
+    assert r.relative_residual_norm < 1e-6
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), rhs)
+    err = np.linalg.norm(r.solution - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-5, err
