@@ -40,3 +40,14 @@ print(f"effective overlap:      {info['effective_overlap']}")
 x_ref = np.linalg.solve(A.to_scipy().toarray(), b)
 err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
 print(f"error vs direct solve:  {err:.3e}")
+
+# --- below the f32 floor: iterative-refinement restarts ---------------------
+# The f32 kernel cannot detect relative tolerances below ~1e-5 in-band.
+# run_refined() reuses the SAME compiled kernel: it solves correction
+# equations A dx = r at the solver's moderate tolerance, recomputes the
+# true residual in f64 between launches, and repacks only the RHS.
+x64, rinfo = solver.run_refined(tol=1e-12, max_rounds=300)
+err64 = np.linalg.norm(x64 - x_ref) / np.linalg.norm(x_ref)
+print(f"refined ({rinfo['restarts']} restarts): "
+      f"true residual {rinfo['relative_residual_norm']:.3e}, "
+      f"error vs direct {err64:.3e}")
