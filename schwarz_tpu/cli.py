@@ -416,45 +416,20 @@ def main(argv=None):
         )
 
     if args.free_running:
-        from schwarz_tpu.exceptions import NotImplementedFeature, SchwarzError
-        from schwarz_tpu.ops.async_ras import F32_TOL_FLOOR, AsyncRASolver
+        from schwarz_tpu.exceptions import SchwarzError
+        from schwarz_tpu.ras import make_free_running_solver
 
-        # below the f32 kernels' reachable relative tolerance, run
-        # iterative-refinement restarts (f64 true-residual recomputation
-        # around the f32 kernel) instead of a single in-band detection
-        refine = settings.tolerance < F32_TOL_FLOOR
-        inner_tol = 1e-4 if refine else settings.tolerance
         try:
-            try:
-                fr = AsyncRASolver(
-                    mat, rhs, num_subdomains=S, overlap=settings.overlap,
-                    tolerance=inner_tol,
-                    staleness=max(settings.comm.staleness, 1),
-                    ninner=args.async_ninner,
-                    chunk_rounds=args.async_chunk_rounds,
-                    fresh_read=args.fresh_read,
-                )
-            except NotImplementedFeature:
-                # unstructured matrix: general-graph free-running kernel
-                from schwarz_tpu.config import Partition
-                from schwarz_tpu.core.partition import make_partition
-                from schwarz_tpu.ops.async_ras_general import (
-                    AsyncGeneralRASolver,
-                )
-
-                part = None
-                if settings.partition != Partition.regular:
-                    part = make_partition(mat, S, settings)
-                fr = AsyncGeneralRASolver(
-                    mat, rhs, num_subdomains=S, overlap=settings.overlap,
-                    tolerance=inner_tol,
-                    staleness=max(settings.comm.staleness, 1),
-                    ninner=args.async_ninner,
-                    chunk_rounds=args.async_chunk_rounds,
-                    part=part,
-                )
+            fr, refine = make_free_running_solver(
+                mat, rhs, S, settings,
+                ninner=args.async_ninner,
+                chunk_rounds=args.async_chunk_rounds,
+                fresh_read=args.fresh_read,
+            )
         except (ValueError, SchwarzError) as e:
             sys.exit(f"error: {e}")
+        print(f" free-running kernel: {type(fr).__name__}",
+              file=sys.stderr)
         if refine:
             import numpy as _np
 

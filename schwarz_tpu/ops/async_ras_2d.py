@@ -690,14 +690,27 @@ class AsyncRASolver2D:
             checkpoint_path=checkpoint_path,
         )
 
-    def run(self, max_rounds: int = 400):
+    def save_checkpoint(self, state, path: str) -> None:
+        """Persist a free-running state (X incl. halo windows, known, aux)."""
+        np.savez_compressed(path, *[np.asarray(a) for a in state])
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        return tuple(jnp.asarray(data[f"arr_{i}"]) for i in range(3))
+
+    def run(self, max_rounds: int = 400, resume_state=None,
+            checkpoint_path: Optional[str] = None):
         import time
 
         p = self.plan
         S = p.S
-        X = jnp.zeros((S, p.By, p.Bx), jnp.float32)
-        known = jnp.zeros((self.D, 128), jnp.float32)
-        aux = jnp.full((self.D, 128), -1.0, jnp.float32).at[:, 2].set(0.0)
+        if resume_state is not None:
+            X, known, aux = resume_state
+        else:
+            X = jnp.zeros((S, p.By, p.Bx), jnp.float32)
+            known = jnp.zeros((self.D, 128), jnp.float32)
+            aux = jnp.full((self.D, 128), -1.0,
+                           jnp.float32).at[:, 2].set(0.0)
         t0 = time.perf_counter()
         rounds = 0
         while rounds < max_rounds:
@@ -711,6 +724,8 @@ class AsyncRASolver2D:
             if np.all(done >= 0):
                 break
         elapsed = time.perf_counter() - t0
+        if checkpoint_path is not None:
+            self.save_checkpoint((X, known, aux), checkpoint_path)
         X_h = np.asarray(jax.block_until_ready(X))
         sol_grid = np.zeros((p.py * p.by, p.px * p.bx), np.float32)
         for i in range(S):

@@ -1555,6 +1555,80 @@ class RASolver:
         )
 
 
+def make_free_running_solver(mat, rhs, num_subdomains, settings,
+                             partition_indices=None, mesh=None,
+                             ninner=None, chunk_rounds=16,
+                             fresh_read=None):
+    """Pick the best free-running kernel for this matrix/partition.
+
+    Dispatch chain (each tier fails loudly with NotImplementedFeature and
+    the next one is tried):
+      1. 2-D block-grid kernel for square-grid 5/9-point stencils when the
+         subdomain count factors as px x py (best surface-to-volume);
+      2. 1-D banded kernel (any <= 16-diagonal operator, regular strips);
+      3. general-graph kernel (arbitrary matrices/partitions).
+
+    Returns ``(solver, refine)`` where ``refine`` says the requested
+    tolerance sits below the f32 in-band floor and the caller should use
+    ``run_refined(tol=settings.tolerance)``.
+    """
+    from schwarz_tpu.exceptions import NotImplementedFeature
+    from schwarz_tpu.ops.async_ras import F32_TOL_FLOOR, AsyncRASolver
+
+    S = num_subdomains
+    if ninner is None:
+        ninner = (settings.local_max_iters
+                  if settings.local_max_iters > 0 else 16)
+    if fresh_read is None:
+        fresh_read = settings.comm.fresh_read
+    # below the f32 kernels' reachable relative tolerance, switch to
+    # iterative-refinement restarts: moderate f32 inner tolerance, f64
+    # true-residual recomputation between launches (the free-running
+    # analogue of local_compute_dtype)
+    refine = settings.tolerance < F32_TOL_FLOOR
+    inner_tol = 1e-4 if refine else settings.tolerance
+    staleness = max(settings.comm.staleness, 1)
+
+    if partition_indices is None:
+        # 2-D block grid: the most scalable tier when it applies
+        py = max((d for d in range(2, int(S ** 0.5) + 1) if S % d == 0),
+                 default=None)
+        if py is not None:
+            from schwarz_tpu.ops.async_ras_2d import AsyncRASolver2D
+
+            try:
+                return AsyncRASolver2D(
+                    mat, rhs, px=S // py, py=py, tolerance=inner_tol,
+                    staleness=staleness, ninner=ninner,
+                    chunk_rounds=chunk_rounds, mesh=mesh,
+                    fresh_read=fresh_read,
+                ), refine
+            except (NotImplementedFeature, ValueError):
+                pass
+        try:
+            return AsyncRASolver(
+                mat, rhs, num_subdomains=S, overlap=settings.overlap,
+                tolerance=inner_tol, staleness=staleness, ninner=ninner,
+                chunk_rounds=chunk_rounds, mesh=mesh,
+                fresh_read=fresh_read,
+            ), refine
+        except NotImplementedFeature:
+            pass
+    # unstructured matrix / custom partition: the general-graph kernel
+    # (dense local operators, edge-colored DMA links)
+    from schwarz_tpu.core.partition import make_partition
+    from schwarz_tpu.ops.async_ras_general import AsyncGeneralRASolver
+
+    part = partition_indices
+    if part is None and settings.partition != Partition.regular:
+        part = make_partition(mat, S, settings)
+    return AsyncGeneralRASolver(
+        mat, rhs, num_subdomains=S, overlap=settings.overlap,
+        tolerance=inner_tol, staleness=staleness, ninner=ninner,
+        chunk_rounds=chunk_rounds, part=part, mesh=mesh,
+    ), refine
+
+
 def solve(
     mat,
     rhs,
@@ -1578,49 +1652,10 @@ def solve(
     if num_subdomains is None:
         num_subdomains = max(1, len(jax.devices()))
     if settings.free_running:
-        from schwarz_tpu.exceptions import NotImplementedFeature
-        from schwarz_tpu.ops.async_ras import (
-            F32_TOL_FLOOR as FR_F32_TOL_FLOOR,
-            AsyncRASolver,
+        fr, refine = make_free_running_solver(
+            mat, rhs, num_subdomains, settings,
+            partition_indices=partition_indices, mesh=mesh,
         )
-
-        ninner = (settings.local_max_iters
-                  if settings.local_max_iters > 0 else 16)
-        # below the f32 kernel's reachable relative tolerance, switch to
-        # iterative-refinement restarts: moderate f32 inner tolerance,
-        # f64 true-residual recomputation between launches (the
-        # free-running analogue of local_compute_dtype)
-        refine = settings.tolerance < FR_F32_TOL_FLOOR
-        inner_tol = 1e-4 if refine else settings.tolerance
-        try:
-            if partition_indices is not None:
-                raise NotImplementedFeature(
-                    "banded kernel uses regular 1-D blocks"
-                )
-            fr = AsyncRASolver(
-                mat, rhs, num_subdomains=num_subdomains,
-                overlap=settings.overlap, tolerance=inner_tol,
-                staleness=max(settings.comm.staleness, 1),
-                ninner=ninner, mesh=mesh,
-                fresh_read=settings.comm.fresh_read,
-            )
-        except NotImplementedFeature:
-            # unstructured matrix / custom partition: the general-graph
-            # kernel (dense local operators, edge-colored DMA links)
-            from schwarz_tpu.core.partition import make_partition
-            from schwarz_tpu.ops.async_ras_general import (
-                AsyncGeneralRASolver,
-            )
-
-            part = partition_indices
-            if part is None and settings.partition != Partition.regular:
-                part = make_partition(mat, num_subdomains, settings)
-            fr = AsyncGeneralRASolver(
-                mat, rhs, num_subdomains=num_subdomains,
-                overlap=settings.overlap, tolerance=inner_tol,
-                staleness=max(settings.comm.staleness, 1),
-                ninner=ninner, part=part, mesh=mesh,
-            )
         if refine:
             x, info = fr.run_refined(
                 tol=settings.tolerance, max_rounds=settings.max_iters

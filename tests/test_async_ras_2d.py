@@ -185,3 +185,63 @@ def test_async_2d_plan_invariants(gen):
             p.mask_int[d, HY:HY + p.by, HX:HX + p.bx]
         )
     assert np.all(cover[:p.n, :p.n] == 1.0)
+
+
+def test_make_free_running_solver_dispatch():
+    # the shared dispatch helper behind solve()/CLI: 2-D kernel for
+    # square-grid stencils with composite S, 1-D banded otherwise,
+    # general-graph for unstructured; refine flag below the f32 floor
+    import scipy.sparse as sp
+
+    from schwarz_tpu.config import Settings
+    from schwarz_tpu.models.csr import CSRMatrix
+    from schwarz_tpu.ops.async_ras import AsyncRASolver
+    from schwarz_tpu.ops.async_ras_general import AsyncGeneralRASolver
+    from schwarz_tpu.ras import make_free_running_solver
+
+    A = laplacian_2d(32)
+    b = generate_rhs(A.n, random=False)
+    st = Settings(free_running=True, tolerance=1e-3, overlap=2)
+    s, refine = make_free_running_solver(A, b, 4, st)
+    assert isinstance(s, AsyncRASolver2D) and not refine
+
+    # prime S cannot tile a block grid -> 1-D banded strips
+    s, _ = make_free_running_solver(A, b, 5, st)
+    assert isinstance(s, AsyncRASolver)
+
+    # tridiagonal chain (not a 2-D grid) -> 1-D banded
+    n = 600
+    tri = CSRMatrix.from_scipy(sp.diags(
+        [-np.ones(n - 1), 2.0 * np.ones(n), -np.ones(n - 1)],
+        [-1, 0, 1]).tocsr())
+    s, _ = make_free_running_solver(tri, np.ones(n), 4, st)
+    assert isinstance(s, AsyncRASolver)
+
+    # explicit partition -> general-graph kernel
+    part = np.repeat(np.arange(4), A.n // 4)
+    s, _ = make_free_running_solver(A, b, 4, st, partition_indices=part)
+    assert isinstance(s, AsyncGeneralRASolver)
+
+    # below the f32 floor -> refine
+    _, refine = make_free_running_solver(
+        A, b, 4, Settings(free_running=True, tolerance=1e-9, overlap=2)
+    )
+    assert refine
+
+
+def test_async_2d_checkpoint_resume_matches_straight_run(tmp_path):
+    A = laplacian_2d(64)
+    b = generate_rhs(A.n, random=False)
+    kw = dict(px=2, py=2, tolerance=1e-3, staleness=1, ninner=20,
+              chunk_rounds=8)
+    s_ref = AsyncRASolver2D(A, b, **kw)
+    sol_ref, info_ref = s_ref.run(max_rounds=200)
+    ck = str(tmp_path / "fr2d.npz")
+    s1 = AsyncRASolver2D(A, b, **kw)
+    s1.run(max_rounds=32, checkpoint_path=ck)
+    s2 = AsyncRASolver2D(A, b, **kw)
+    sol2, info2 = s2.run(max_rounds=200,
+                         resume_state=s2.load_checkpoint(ck))
+    # the uniform schedule is deterministic: resumed == straight run
+    np.testing.assert_array_equal(sol_ref, sol2)
+    np.testing.assert_array_equal(info_ref["done_at"], info2["done_at"])
