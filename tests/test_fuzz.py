@@ -118,3 +118,57 @@ def test_random_systems_round2_features(seed):
     assert r.converged, (seed, s)
     x_ref = sp.linalg.spsolve(A.to_scipy().tocsc(), b)
     np.testing.assert_allclose(r.solution, x_ref, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_random_fem_systems_refined_async(seed):
+    """Random draws through the late-round-2 surface: assembled FEM
+    operators (Poisson / advection / elasticity) through the synchronous
+    path, and random free-running refined solves on grid operators."""
+    from schwarz_tpu.config import LocalSolver, Partition
+    from schwarz_tpu.models import (
+        fem_p1_advection,
+        fem_p1_elasticity,
+        fem_p1_poisson,
+        generate_rhs,
+        laplacian_2d,
+    )
+
+    rng = np.random.default_rng(seed)
+    fam = rng.choice(["poisson", "advection", "elasticity"])
+    n = int(rng.integers(8, 14))
+    if fam == "poisson":
+        A, b, _c, w = fem_p1_poisson(
+            n, refine_levels=int(rng.integers(0, 3)),
+            eps=float(rng.choice([1.0, 10.0])),
+        )
+        st = Settings(overlap=3, tolerance=1e-7, max_iters=500,
+                      partition=Partition.metis)
+    elif fam == "advection":
+        A, b, _c, w = fem_p1_advection(
+            n + 4, refine_cycles=int(rng.integers(0, 2)))
+        st = Settings(overlap=3, tolerance=1e-7, max_iters=500,
+                      partition=Partition.metis,
+                      local_solver=LocalSolver.iterative_gmres,
+                      non_symmetric_matrix=True)
+    else:
+        A, b, _c, w = fem_p1_elasticity(n)
+        st = Settings(overlap=3, tolerance=1e-7, max_iters=500,
+                      partition=Partition.metis)
+    kw = {"cell_weights": w} if rng.random() < 0.5 else {}
+    r = solve(A, b, st, num_subdomains=int(rng.choice([2, 4])), **kw)
+    assert r.converged, fam
+    x_ref = sp.linalg.spsolve(A.to_scipy().tocsc(), b)
+    err = np.linalg.norm(r.solution - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-4, (fam, err)
+
+    # free-running refined on a random grid operator (any kernel tier)
+    gn = int(rng.choice([12, 16]))
+    Ag = laplacian_2d(gn)
+    bg = generate_rhs(Ag.n, random=False)
+    sf = Settings(free_running=True, overlap=2, max_iters=400,
+                  local_max_iters=20,
+                  tolerance=float(rng.choice([1e-8, 1e-9])))
+    rf = solve(Ag, bg, sf, num_subdomains=int(rng.choice([2, 4])))
+    assert rf.converged
+    assert rf.relative_residual_norm <= sf.tolerance
