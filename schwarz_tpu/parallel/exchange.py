@@ -120,6 +120,11 @@ def build_run_plan(
                    run_src=tuple(run_src), run_dst=tuple(run_dst))
 
 
+# DUS-op budget for the unrolled runs assembly; beyond it the vmapped
+# (scatter-lowered) form bounds compile time instead
+UNROLL_LIMIT = 1024
+
+
 def assemble_x_ext(
     x_own: jax.Array,          # (Sl, R_int)
     interior_off: jax.Array,   # (Sl,) closure slot of first interior row
@@ -159,25 +164,52 @@ def assemble_x_ext_runs(
     """Run-based x_ext assembly: exact-length vector copies per subdomain
     instead of an element-wise gather/scatter (see RunPlan).  Interior window
     first, halo runs after — the same order as assemble_x_ext, so
-    window-covered halo slots get their true values."""
+    window-covered halo slots get their true values.
+
+    The subdomain loop is UNROLLED (Sl is a static shape) so every update
+    is a true scalar-offset ``dynamic_update_slice``: a vmapped DUS with
+    per-row offsets lowers to an element-wise TPU scatter, measured 3.7x
+    slower on the 1M-row plan (467 us -> 127 us, scripts/probe_halo_runs).
+    Offsets stay traced, so the same program runs on every shard_map
+    device.  Very large unrolls fall back to the vmapped form to bound
+    compile time."""
     Sl, r_int = x_own.shape
     L_max = max(lengths)
     pad = max(r_int, L_max) + 1
     buf = jnp.zeros((Sl, r_ext + pad), x_own.dtype)
-    buf = jax.vmap(
-        lambda b, xo, o: jax.lax.dynamic_update_slice(b, xo, (o,))
-    )(buf, x_own, interior_off)
+    n_runs = sum(s.shape[1] for s in run_src)
+    unroll = Sl * (n_runs + 1) <= UNROLL_LIMIT
+    if unroll:
+        for s in range(Sl):
+            buf = jax.lax.dynamic_update_slice(
+                buf, x_own[s:s + 1],
+                (jnp.int32(s), interior_off[s].astype(jnp.int32)),
+            )
+    else:
+        buf = jax.vmap(
+            lambda b, xo, o: jax.lax.dynamic_update_slice(b, xo, (o,))
+        )(buf, x_own, interior_off)
     # pad the source so an end-of-array start never triggers dynamic_slice
     # clamping (the scratch-directed unused entries read arbitrary starts)
     x_all_flat = jnp.pad(x_all_flat, (0, L_max))
     for L, srcs, dsts in zip(lengths, run_src, run_dst):
         for k in range(srcs.shape[1]):
-            vals = jax.vmap(
-                lambda s0: jax.lax.dynamic_slice(x_all_flat, (s0,), (L,))
-            )(srcs[:, k]).astype(compute_dtype)
-            buf = jax.vmap(
-                lambda b, v, d: jax.lax.dynamic_update_slice(b, v, (d,))
-            )(buf, vals, dsts[:, k])
+            if unroll:
+                for s in range(Sl):
+                    v = jax.lax.dynamic_slice(
+                        x_all_flat, (srcs[s, k],), (L,)
+                    ).astype(compute_dtype)
+                    buf = jax.lax.dynamic_update_slice(
+                        buf, v[None, :],
+                        (jnp.int32(s), dsts[s, k].astype(jnp.int32)),
+                    )
+            else:
+                vals = jax.vmap(
+                    lambda s0: jax.lax.dynamic_slice(x_all_flat, (s0,), (L,))
+                )(srcs[:, k]).astype(compute_dtype)
+                buf = jax.vmap(
+                    lambda b, v, d: jax.lax.dynamic_update_slice(b, v, (d,))
+                )(buf, vals, dsts[:, k])
     return buf[:, :r_ext]
 
 

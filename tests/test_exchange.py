@@ -262,3 +262,39 @@ def test_run_plan_falls_back_on_metis():
     # both must produce the same converged answer as all strategies do
     r = solver.run()
     assert r.converged
+
+
+def test_runs_assembly_unrolled_matches_vmapped(monkeypatch):
+    # the unrolled scalar-offset DUS form (TPU: true slice updates, no
+    # scatter) must be bit-identical to the vmapped fallback
+    import jax.numpy as jnp
+
+    from schwarz_tpu.core.decompose import decompose as _dec
+    from schwarz_tpu.parallel import exchange as ex
+
+    A = laplacian_2d(20)
+    b = generate_rhs(A.n)
+    dec = _dec(A, b, Settings(overlap=3), 4)
+    rp = ex.build_run_plan(
+        dec.halo_src_halo, dec.halo_slots, dec.meta.max_ext,
+        dec.meta.max_interior, dec.interior_offset,
+    )
+    assert rp is not None
+    rng = np.random.default_rng(3)
+    xo = jnp.asarray(
+        rng.standard_normal((4, dec.meta.max_interior)), jnp.float32
+    )
+    args = (
+        xo, xo.reshape(-1),
+        jnp.asarray(dec.interior_offset.astype(np.int32)),
+        rp.lengths,
+        tuple(jnp.asarray(t) for t in rp.run_src),
+        tuple(jnp.asarray(t) for t in rp.run_dst),
+        dec.meta.max_ext, jnp.float32,
+    )
+    y_unrolled = ex.assemble_x_ext_runs(*args)
+    monkeypatch.setattr(ex, "UNROLL_LIMIT", 0)   # force the vmapped form
+    y_vmapped = ex.assemble_x_ext_runs(*args)
+    np.testing.assert_array_equal(
+        np.asarray(y_unrolled), np.asarray(y_vmapped)
+    )
