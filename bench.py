@@ -418,6 +418,9 @@ def main():
             local_max_iters=20,
             precond=Precond.block_jacobi, block_jacobi_block_size=32,
             row_pad_multiple=128, two_level=True,
+            # 16 sub-aggregates per subdomain: measured 120 -> 95 outer
+            # iterations at this config (stationary mode; fgmres prefers 1)
+            coarse_aggregates=16,
         )
         solver = RASolver(decompose(A2, b2, s2, S))
         # chunked: keeps each device execution well under the ~60s watchdog

@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--two_level", action="store_true",
                    help="multiplicative Nicolaides coarse correction "
                         "(beyond-reference scalability feature)")
+    p.add_argument("--coarse_aggregates", type=int, default=1,
+                   help="sub-aggregates per subdomain in the two-level "
+                        "coarse space (1 = Nicolaides; must divide the "
+                        "padded interior width)")
     p.add_argument("--accelerator", default="none", choices=["none", "fgmres"],
                    help="fgmres: Krylov-accelerate with RAS as preconditioner "
                         "(several-fold fewer outer iterations)")
@@ -261,6 +265,7 @@ def settings_from_args(args):
         block_jacobi_block_size=args.precond_max_block_size,
         max_iters=args.num_iters,
         two_level=args.two_level,
+        coarse_aggregates=args.coarse_aggregates,
         accelerator=args.accelerator,
         fused_local_cg=args.fused_local_cg,
         oras_weight=args.oras_weight,

@@ -309,6 +309,14 @@ class Settings:
     # strictly one-level); off by default for parity, on for scalability in
     # the subdomain count.
     two_level: bool = False
+    # Richer aggregation coarse space: split every subdomain's interior into
+    # q equal contiguous sub-aggregates (q coarse DOFs per subdomain instead
+    # of Nicolaides' one).  The restriction/prolongation stay gather-free
+    # (reshape segment sums / broadcasts) and the (q S)^2 coarse solve stays
+    # replicated-trivial; larger q kills more low-frequency error per outer
+    # iteration at negligible cost.  Must divide the padded interior width;
+    # only meaningful with two_level=True.
+    coarse_aggregates: int = 1
     # Krylov acceleration: "none" iterates the RAS fixed point (reference
     # behavior); "fgmres" solves the global system with flexible GMRES
     # preconditioned by one RAS application — typically several-fold fewer

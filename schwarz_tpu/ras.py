@@ -73,6 +73,30 @@ def _extract_interior(z: jax.Array, interior_off: jax.Array, r_int: int,
     return jnp.where(interior_mask, win, 0.0)
 
 
+def _coarse_correct(plan, r_int_win: jax.Array) -> jax.Array:
+    """Aggregation coarse correction field (Sl, R_int).
+
+    Restriction is a gather-free reshape segment sum over the q equal
+    contiguous sub-aggregates per subdomain (q = 1 is Nicolaides); the
+    replicated coarse inverse is row-sharded over the mesh, so the matmul
+    directly yields this device's (Sl, q) coefficients; prolongation is a
+    broadcast.  ``r_int_win`` must already be interior-masked (padding
+    slots zero) so partially-padded aggregates restrict correctly.
+    """
+    from schwarz_tpu.parallel.mesh import SUBD_AXIS
+
+    ci = plan["coarse_inv"]            # per-device shard (Sl*q, S*q)
+    Sl, R_int = r_int_win.shape
+    q = ci.shape[0] // Sl
+    w = R_int // q
+    r_c = jnp.sum(r_int_win.reshape(Sl, q, w), axis=2)          # (Sl, q)
+    r_c_all = jax.lax.all_gather(
+        r_c, SUBD_AXIS, tiled=True
+    ).reshape(-1)                                               # (S*q,)
+    c = (ci @ r_c_all).reshape(Sl, q)
+    return jnp.broadcast_to(c[:, :, None], (Sl, q, w)).reshape(Sl, R_int)
+
+
 def _interface_apply(plan, x_ext: jax.Array, base: jax.Array) -> jax.Array:
     """``base + A_interface @ x_ext`` scattered onto the interface rows via the
     row-compacted tables (O(interface nnz) gather/scatter volume)."""
@@ -336,11 +360,22 @@ class RASolver:
                     lv_solve.astype(self._lc_dtype)
                 )
         if s.two_level:
-            # Nicolaides coarse space: R_c = piecewise-constant per subdomain;
-            # A_c[p, q] = sum_{i in int(p), j in int(q)} A[i, j].  The S x S
-            # coarse solve is replicated and trivially cheap; the correction
-            # kills the low-frequency error the one-level method propagates
-            # only one overlap-width per iteration (beyond-reference feature).
+            # Aggregation coarse space: q equal contiguous sub-aggregates of
+            # interior slots per subdomain (q = 1 is the classic Nicolaides
+            # piecewise-constant space); A_c[a, b] = sum over rows in
+            # aggregate a, cols in aggregate b of A.  The (q S)^2 coarse
+            # solve is replicated and trivially cheap; the correction kills
+            # the low-frequency error the one-level method propagates only
+            # one overlap-width per iteration (beyond-reference feature).
+            q = max(1, int(s.coarse_aggregates))
+            R_int_c = self.meta.max_interior
+            if R_int_c % q:
+                raise ValueError(
+                    f"coarse_aggregates ({q}) must divide the padded "
+                    f"interior width ({R_int_c}); pick a power-of-two "
+                    "divisor or adjust row_pad_multiple"
+                )
+            w_c = R_int_c // q
             gm = dec.global_matrix
             rows_of = np.repeat(
                 np.arange(gm.n, dtype=np.int64), np.diff(gm.row_ptrs)
@@ -348,8 +383,15 @@ class RASolver:
             po = np.searchsorted(dec.first_row, rows_of, side="right") - 1
             qo = np.searchsorted(dec.first_row, gm.col_idxs, side="right") - 1
             S = self.meta.num_subdomains
-            A_c = np.zeros((S, S), dtype=np.float64)
-            np.add.at(A_c, (po, qo), gm.values)
+            cr = po * q + (rows_of - dec.first_row[po]) // w_c
+            cc = qo * q + (gm.col_idxs - dec.first_row[qo]) // w_c
+            A_c = np.zeros((S * q, S * q), dtype=np.float64)
+            np.add.at(A_c, (cr, cc), gm.values)
+            # aggregates made of padding only (small subdomains): identity
+            # rows keep A_c nonsingular; their residual sums are zero, so
+            # their corrections are exactly zero
+            empty = ~A_c.any(axis=1)
+            A_c[empty, empty] = 1.0
             try:
                 coarse_inv = np.linalg.inv(A_c)
             except np.linalg.LinAlgError:
@@ -821,12 +863,10 @@ class RASolver:
                 r_int_win = _extract_interior(
                     r, plan["interior_off"], R_int, plan["interior_mask"]
                 )
-                r_c = jnp.sum(r_int_win, axis=1)                    # (Sl,)
-                r_c_all = jax.lax.all_gather(r_c, SUBD_AXIS, tiled=True)
-                coarse_c = plan["coarse_inv"] @ r_c_all             # (Sl,)
+                cfield = _coarse_correct(plan, r_int_win)
                 corr = jnp.where(
                     conv_state.detected[:, None], 0.0,
-                    jnp.where(plan["interior_mask"], coarse_c[:, None], 0.0),
+                    jnp.where(plan["interior_mask"], cfield, 0.0),
                 )
                 x_own = x_own + corr
                 x_ext2 = do_exchange(plan, x_own)
@@ -1049,16 +1089,14 @@ class RASolver:
             return _interface_update(plan, x_ext)
 
         def coarse(plan, x_own, r, detected):
-            # two-level Nicolaides correction (fused-loop equivalent)
+            # two-level aggregation correction (fused-loop equivalent)
             r_int_win = _extract_interior(
                 r, plan["interior_off"], R_int, plan["interior_mask"]
             )
-            r_c = jnp.sum(r_int_win, axis=1)
-            r_c_all = jax.lax.all_gather(r_c, SUBD_AXIS, tiled=True)
-            coarse_c = plan["coarse_inv"] @ r_c_all
+            cfield = _coarse_correct(plan, r_int_win)
             corr = jnp.where(
                 detected[:, None], 0.0,
-                jnp.where(plan["interior_mask"], coarse_c[:, None], 0.0),
+                jnp.where(plan["interior_mask"], cfield, 0.0),
             )
             return x_own + corr
 
@@ -1293,12 +1331,10 @@ class RASolver:
                 z, plan["interior_off"], R_int, plan["interior_mask"]
             )
             if "coarse_inv" in plan:
-                r_c = jnp.sum(r, axis=1)
-                r_c_all = jax.lax.all_gather(r_c, SUBD_AXIS, tiled=True)
-                c = plan["coarse_inv"] @ r_c_all
-                mr = mr + jnp.where(
-                    plan["interior_mask"], c[:, None], 0.0
+                cfield = _coarse_correct(
+                    plan, jnp.where(plan["interior_mask"], r, 0.0)
                 )
+                mr = mr + jnp.where(plan["interior_mask"], cfield, 0.0)
             return mr
 
         return matvec, precond
