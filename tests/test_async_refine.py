@@ -151,3 +151,22 @@ def test_cli_free_running_refined(tmp_path, capsys):
     payload = json.loads(out)
     assert payload["converged"]
     assert payload["relative_residual_norm"] <= 1e-9
+
+
+def test_free_running_rejects_unsupported_settings():
+    # silent knob inertness is worse than an error: the free-running
+    # dispatch must fail loudly on settings the kernels cannot honor
+    from schwarz_tpu.exceptions import NotImplementedFeature
+    from schwarz_tpu.ras import make_free_running_solver
+
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n, random=False)
+    base = dict(free_running=True, tolerance=1e-4, overlap=2)
+    for bad in (
+        {"non_symmetric_matrix": True},
+        {"two_level": True},
+        {"accelerator": "fgmres"},
+        {"oras_weight": -0.5},
+    ):
+        with pytest.raises(NotImplementedFeature):
+            make_free_running_solver(A, b, 4, Settings(**base, **bad))
