@@ -170,3 +170,24 @@ def test_free_running_rejects_unsupported_settings():
     ):
         with pytest.raises(NotImplementedFeature):
             make_free_running_solver(A, b, 4, Settings(**base, **bad))
+
+
+def test_refined_general_ani3_to_1e8():
+    # the reference's own anisotropic FEM test matrix through the TRUE
+    # free-running mode to BASELINE's 1e-8 target: f32 kernel + f64
+    # iterative-refinement restarts clear the conditioning floor that a
+    # single f32 solve cannot (round-2 known-gap, now closed)
+    from schwarz_tpu.models.mtx import read_mtx
+
+    A = read_mtx("/root/reference/matrices/ani3_crop.mtx")
+    b = generate_rhs(A.n, random=False)
+    part = make_partition(A, 4, Settings(partition=Partition.metis))
+    s = AsyncGeneralRASolver(A, b, 4, overlap=2, tolerance=1e-4,
+                             staleness=1, ninner=24, chunk_rounds=8,
+                             part=part)
+    x, info = s.run_refined(tol=1e-8, max_rounds=600)
+    assert info["converged"], info
+    assert info["relative_residual_norm"] <= 1e-8
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+    err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-6, err
