@@ -43,7 +43,9 @@ def main(argv=None):
     # detection x local solver — plus our beyond-reference axes
     axes = {
         "partition": [Partition.regular, Partition.regular2d, Partition.metis],
-        "mode": ["twosided", "onesided"],
+        # free_running = the TRUE asynchronous mode (multi-iteration Pallas
+        # kernel; the reference campaign's event/onesided paradigm axis)
+        "mode": ["twosided", "onesided", "free_running"],
         "strategy": [HaloStrategy.all_gather, HaloStrategy.neighbor],
         "accel": ["none", "fgmres"],
     }
@@ -60,22 +62,37 @@ def main(argv=None):
             continue
         if mode == "onesided" and accel == "fgmres":
             continue  # acceleration presumes synchronous preconditioning
-        s = Settings(
-            partition=partition,
-            overlap=4,
-            tolerance=args.tol,
-            max_iters=500,
-            precond=Precond.block_jacobi,
-            block_jacobi_block_size=8,
-            two_level=(accel == "none"),
-            accelerator=accel,
-            comm=CommSettings(
-                onesided=(mode == "onesided"),
-                staleness=1 if mode == "onesided" else 0,
-                strategy=strategy,
-            ),
-            convergence=ConvergenceSettings(method=conv_for_mode[mode]),
-        )
+        if mode == "free_running":
+            # one axis point per partition (strategy/accel are meaningless
+            # inside the kernel and rejected loudly by the dispatch)
+            if strategy != HaloStrategy.all_gather or accel != "none":
+                continue
+        if mode == "free_running":
+            s = Settings(
+                partition=partition, overlap=4, tolerance=args.tol,
+                max_iters=500, local_max_iters=20, free_running=True,
+                comm=CommSettings(staleness=1),
+            )
+        else:
+            s = Settings(
+                partition=partition,
+                overlap=4,
+                tolerance=args.tol,
+                max_iters=500,
+                precond=Precond.block_jacobi,
+                block_jacobi_block_size=8,
+                two_level=(accel == "none"),
+                # richer aggregation coarse space helps the stationary
+                # mode (measured 120 -> 95 at 128^2/16); fgmres prefers 1
+                coarse_aggregates=4 if accel == "none" else 1,
+                accelerator=accel,
+                comm=CommSettings(
+                    onesided=(mode == "onesided"),
+                    staleness=1 if mode == "onesided" else 0,
+                    strategy=strategy,
+                ),
+                convergence=ConvergenceSettings(method=conv_for_mode[mode]),
+            )
         try:
             r = solve(A, b, s, num_subdomains=args.subdomains)
             rows.append({

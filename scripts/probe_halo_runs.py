@@ -66,7 +66,10 @@ def main():
     interior_off = jnp.asarray(dec.interior_offset.astype(np.int32))
     rs = tuple(jnp.asarray(t) for t in rp.run_src)
     rd = tuple(jnp.asarray(t) for t in rp.run_dst)
-    xo0 = jnp.ones((S, r_int), jnp.float32)
+    # varying values so index errors cannot hide in the equality checks
+    xo0 = jnp.asarray(
+        np.random.default_rng(0).standard_normal((S, r_int)), jnp.float32
+    )
     L_max = max(rp.lengths)
 
     def reduce_keep(xo, x_ext):
@@ -173,6 +176,45 @@ def main():
     def step_D(xo):
         return reduce_keep(xo, assemble_unrolled_dyn(xo, xo.reshape(-1)))
 
+    # --- E: contiguous-ext slice + validity mask ---------------------------
+    # For sorted-closure 1-D strips every subdomain's ext ids are ONE
+    # contiguous global range: slot j = global (c_s + j).  Detect c_s from
+    # the run tables + interior window; one vmapped dynamic_slice + one
+    # mask multiply replaces every copy.  Exact (incl. interior) when
+    # halo_dtype is None, since x_all IS the x_own blocks.
+    c_host = np.full(S, np.iinfo(np.int32).max, np.int64)
+    ok_contig = True
+    off_h = dec.interior_offset.astype(np.int64)
+    for s in range(S):
+        cs = s * r_int - off_h[s]
+        for srcs_h, dsts_h, L in zip(rp.run_src, rp.run_dst, rp.lengths):
+            for k in range(srcs_h.shape[1]):
+                if dsts_h[s, k] >= r_ext:   # scratch-directed dummy
+                    continue
+                if srcs_h[s, k] - dsts_h[s, k] != cs:
+                    ok_contig = False
+        if cs < 0:
+            ok_contig = False
+        c_host[s] = cs
+    print("contiguous-ext detected:", ok_contig, c_host[:4])
+    mask_h = np.zeros((S, r_ext), np.float32)
+    for s in range(S):
+        mask_h[s, off_h[s]:off_h[s] + r_int] = 1.0
+        hs = dec.halo_slots[s]
+        mask_h[s, hs[hs < r_ext]] = 1.0
+    mask_d = jnp.asarray(mask_h)
+    starts_d = jnp.asarray(np.maximum(c_host, 0).astype(np.int32))
+
+    def assemble_contig(x_own, x_all_flat):
+        xpad = jnp.pad(x_all_flat, (0, r_ext))
+        buf = jax.vmap(
+            lambda st: jax.lax.dynamic_slice(xpad, (st,), (r_ext,))
+        )(starts_d)
+        return buf * mask_d
+
+    def step_E(xo):
+        return reduce_keep(xo, assemble_contig(xo, xo.reshape(-1)))
+
     # --- noop baseline ----------------------------------------------------
     def step_noop(xo):
         return xo * 0.999999 + jnp.sum(
@@ -181,16 +223,18 @@ def main():
 
     # correctness first (on tiny reps)
     ya = jax.jit(step_A)(xo0)
-    for name, stp in (("A2", step_A2), ("B", step_B), ("C", step_C),
-                      ("D", step_D)):
+    variants = [("A2", step_A2), ("B", step_B), ("C", step_C),
+                ("D", step_D)]
+    if ok_contig:
+        variants.append(("E", step_E))
+    for name, stp in variants:
         yv = jax.jit(stp)(xo0)
         err = float(jnp.abs(ya - yv).max())
         print(f"{name} vs A max diff: {err:.3e}")
         assert err == 0.0, name
 
     t0, _ = chain_time(step_noop, xo0)
-    for name, stp in (("A", step_A), ("A2", step_A2), ("B", step_B),
-                      ("C", step_C), ("D", step_D)):
+    for name, stp in [("A", step_A)] + variants:
         t, _ = chain_time(stp, xo0)
         halo = t - t0
         print(f"{name}: chain {t*1e6:.1f} us  halo {halo*1e6:.1f} us  "
