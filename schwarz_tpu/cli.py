@@ -72,9 +72,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multiplicative Nicolaides coarse correction "
                         "(beyond-reference scalability feature)")
     p.add_argument("--coarse_aggregates", type=int, default=1,
-                   help="sub-aggregates per subdomain in the two-level "
-                        "coarse space (1 = Nicolaides; must divide the "
-                        "padded interior width)")
+                   help="coarse DOFs per subdomain in the two-level "
+                        "coarse space (1 = Nicolaides; aggregates mode "
+                        "requires a divisor of the padded interior width)")
+    p.add_argument("--coarse_space", default="aggregates",
+                   choices=["aggregates", "spectral"],
+                   help="two-level coarse DOF type: contiguous index "
+                        "aggregates, or per-subdomain lowest eigenvectors "
+                        "(GenEO-style; stronger per DOF, algebraic)")
     p.add_argument("--accelerator", default="none", choices=["none", "fgmres"],
                    help="fgmres: Krylov-accelerate with RAS as preconditioner "
                         "(several-fold fewer outer iterations)")
@@ -266,6 +271,7 @@ def settings_from_args(args):
         max_iters=args.num_iters,
         two_level=args.two_level,
         coarse_aggregates=args.coarse_aggregates,
+        coarse_space=args.coarse_space,
         accelerator=args.accelerator,
         fused_local_cg=args.fused_local_cg,
         oras_weight=args.oras_weight,

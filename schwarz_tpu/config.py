@@ -314,9 +314,23 @@ class Settings:
     # of Nicolaides' one).  The restriction/prolongation stay gather-free
     # (reshape segment sums / broadcasts) and the (q S)^2 coarse solve stays
     # replicated-trivial; larger q kills more low-frequency error per outer
-    # iteration at negligible cost.  Must divide the padded interior width;
-    # only meaningful with two_level=True.
+    # iteration at negligible cost.  Must divide the padded interior width
+    # (aggregates mode); only meaningful with two_level=True.
     coarse_aggregates: int = 1
+    # What the q coarse DOFs per subdomain ARE:
+    #   - "aggregates": piecewise-constant indicator over q equal contiguous
+    #     interior chunks (q = 1 is classic Nicolaides).  Zero setup cost,
+    #     geometric quality.
+    #   - "spectral":  the q lowest eigenvectors of each subdomain's interior
+    #     diagonal block A_ss (a GenEO-style spectral coarse space, computed
+    #     once at setup on host).  Captures exactly the local near-kernel the
+    #     one-level method propagates slowest — markedly fewer outer
+    #     iterations per coarse DOF than geometric chunks, especially on
+    #     anisotropic / unstructured operators where contiguous index chunks
+    #     don't follow the physics.  Runtime cost is identical in shape to
+    #     aggregates (one small einsum per side instead of a reshape-sum);
+    #     the (q S)^2 Galerkin coarse matrix V^T A V stays replicated.
+    coarse_space: str = "aggregates"
     # Krylov acceleration: "none" iterates the RAS fixed point (reference
     # behavior); "fgmres" solves the global system with flexible GMRES
     # preconditioned by one RAS application — typically several-fold fewer

@@ -74,20 +74,31 @@ def _extract_interior(z: jax.Array, interior_off: jax.Array, r_int: int,
 
 
 def _coarse_correct(plan, r_int_win: jax.Array) -> jax.Array:
-    """Aggregation coarse correction field (Sl, R_int).
+    """Coarse correction field (Sl, R_int) from the interior residual.
 
-    Restriction is a gather-free reshape segment sum over the q equal
-    contiguous sub-aggregates per subdomain (q = 1 is Nicolaides); the
-    replicated coarse inverse is row-sharded over the mesh, so the matmul
-    directly yields this device's (Sl, q) coefficients; prolongation is a
-    broadcast.  ``r_int_win`` must already be interior-masked (padding
-    slots zero) so partially-padded aggregates restrict correctly.
+    Aggregates mode: restriction is a gather-free reshape segment sum over
+    the q equal contiguous sub-aggregates per subdomain (q = 1 is
+    Nicolaides) and prolongation a broadcast.  Spectral mode
+    (``coarse_basis`` present): restriction/prolongation are one small
+    einsum each against the per-subdomain eigenvector basis — same shapes,
+    same communication.  Either way the replicated coarse inverse is
+    row-sharded over the mesh, so the matmul directly yields this device's
+    (Sl, q) coefficients.  ``r_int_win`` must already be interior-masked
+    (padding slots zero) so partially-padded aggregates restrict correctly.
     """
     from schwarz_tpu.parallel.mesh import SUBD_AXIS
 
     ci = plan["coarse_inv"]            # per-device shard (Sl*q, S*q)
     Sl, R_int = r_int_win.shape
     q = ci.shape[0] // Sl
+    if "coarse_basis" in plan:
+        basis = plan["coarse_basis"]   # (Sl, q, R_int), zero in padding
+        r_c = jnp.einsum("sqr,sr->sq", basis, r_int_win)        # (Sl, q)
+        r_c_all = jax.lax.all_gather(
+            r_c, SUBD_AXIS, tiled=True
+        ).reshape(-1)                                           # (S*q,)
+        c = (ci @ r_c_all).reshape(Sl, q)
+        return jnp.einsum("sq,sqr->sr", c, basis)
     w = R_int // q
     r_c = jnp.sum(r_int_win.reshape(Sl, q, w), axis=2)          # (Sl, q)
     r_c_all = jax.lax.all_gather(
@@ -95,6 +106,79 @@ def _coarse_correct(plan, r_int_win: jax.Array) -> jax.Array:
     ).reshape(-1)                                               # (S*q,)
     c = (ci @ r_c_all).reshape(Sl, q)
     return jnp.broadcast_to(c[:, :, None], (Sl, q, w)).reshape(Sl, R_int)
+
+
+def _spectral_coarse_basis(dec, q: int, r_int: int):
+    """GenEO-style spectral coarse space: per subdomain, the ``q`` lowest
+    eigenvectors of the algebraic NEUMANN block (symmetrized for the
+    eigenproblem; the Galerkin coarse matrix uses the true ``A``).
+
+    The Neumann block is ``A_ss + diag(exterior rowsums)`` — the diagonal
+    is corrected so each row keeps its GLOBAL rowsum, which algebraically
+    undoes the Dirichlet clamping the plain diagonal block ``A_ss``
+    carries at subdomain interfaces.  That matters: Dirichlet-block
+    eigenvectors vanish at the interfaces, exactly where the Schwarz error
+    concentrates, and a coarse space built from them cannot represent it
+    (measured: WORSE than contiguous aggregates).  The Neumann modes are
+    interface-free near-kernel vectors (the lowest is the constant, so
+    q = 1 recovers Nicolaides' span), the standard spectral coarse-space
+    construction (cf. Spillane et al. GenEO; Neumann-Neumann coarse
+    spaces).  Fully algebraic — no grid assumption; works for metis /
+    unstructured / anisotropic operators.  Computed once at setup on
+    host; beyond the reference, which is strictly one-level.
+
+    Returns ``(basis, A_c)``: basis (S, q, r_int) zero-padded, and the dense
+    Galerkin coarse matrix ``V^T A V`` of shape (S q, S q).
+    """
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    gm = dec.global_matrix
+    S = dec.meta.num_subdomains
+    A = sp.csr_matrix(
+        (gm.values, gm.col_idxs, gm.row_ptrs), shape=(gm.n, gm.n)
+    )
+    total_rowsum = np.asarray(A.sum(axis=1)).ravel()
+    basis = np.zeros((S, q, r_int), dtype=np.float64)
+    vrows, vcols, vvals = [], [], []
+    for sd in range(S):
+        lo = int(dec.first_row[sd])
+        hi = int(dec.first_row[sd + 1])
+        n_s = hi - lo
+        if n_s == 0:
+            continue
+        k = min(q, n_s)
+        Ass = A[lo:hi, lo:hi]
+        local_rowsum = np.asarray(Ass.sum(axis=1)).ravel()
+        ext = total_rowsum[lo:hi] - local_rowsum
+        A_neu = Ass + sp.diags(ext)
+        Asym = (0.5 * (A_neu + A_neu.T)).tocsc()
+        # the Neumann block is singular (constant near-kernel): shift-invert
+        # just below zero keeps the factorization definite while targeting
+        # the lowest modes
+        scale = float(np.abs(Asym.diagonal()).max()) or 1.0
+        if k >= n_s - 1 or n_s <= 64:
+            _, v = np.linalg.eigh(Asym.toarray())
+            vecs = v[:, :k]
+        else:
+            try:
+                _, vecs = spla.eigsh(Asym, k=k, sigma=-1e-8 * scale,
+                                     which="LM")
+            except Exception:
+                _, v = np.linalg.eigh(Asym.toarray())
+                vecs = v[:, :k]
+        basis[sd, :k, :n_s] = vecs.T
+        for j in range(k):
+            vrows.append(np.arange(lo, hi, dtype=np.int64))
+            vcols.append(np.full(n_s, sd * q + j, dtype=np.int64))
+            vvals.append(vecs[:, j])
+    V = sp.csr_matrix(
+        (np.concatenate(vvals), (np.concatenate(vrows),
+                                 np.concatenate(vcols))),
+        shape=(gm.n, S * q),
+    )
+    A_c = np.asarray((V.T @ A @ V).todense(), dtype=np.float64)
+    return basis, A_c
 
 
 def _interface_apply(plan, x_ext: jax.Array, base: jax.Array) -> jax.Array:
@@ -369,27 +453,38 @@ class RASolver:
             # one overlap-width per iteration (beyond-reference feature).
             q = max(1, int(s.coarse_aggregates))
             R_int_c = self.meta.max_interior
-            if R_int_c % q:
-                raise ValueError(
-                    f"coarse_aggregates ({q}) must divide the padded "
-                    f"interior width ({R_int_c}); pick a power-of-two "
-                    "divisor or adjust row_pad_multiple"
-                )
-            w_c = R_int_c // q
             gm = dec.global_matrix
-            rows_of = np.repeat(
-                np.arange(gm.n, dtype=np.int64), np.diff(gm.row_ptrs)
-            )
-            po = np.searchsorted(dec.first_row, rows_of, side="right") - 1
-            qo = np.searchsorted(dec.first_row, gm.col_idxs, side="right") - 1
             S = self.meta.num_subdomains
-            cr = po * q + (rows_of - dec.first_row[po]) // w_c
-            cc = qo * q + (gm.col_idxs - dec.first_row[qo]) // w_c
-            A_c = np.zeros((S * q, S * q), dtype=np.float64)
-            np.add.at(A_c, (cr, cc), gm.values)
-            # aggregates made of padding only (small subdomains): identity
-            # rows keep A_c nonsingular; their residual sums are zero, so
-            # their corrections are exactly zero
+            if s.coarse_space == "aggregates":
+                if R_int_c % q:
+                    raise ValueError(
+                        f"coarse_aggregates ({q}) must divide the padded "
+                        f"interior width ({R_int_c}); pick a power-of-two "
+                        "divisor or adjust row_pad_multiple"
+                    )
+                w_c = R_int_c // q
+                rows_of = np.repeat(
+                    np.arange(gm.n, dtype=np.int64), np.diff(gm.row_ptrs)
+                )
+                po = np.searchsorted(dec.first_row, rows_of, side="right") - 1
+                qo = np.searchsorted(dec.first_row, gm.col_idxs,
+                                     side="right") - 1
+                cr = po * q + (rows_of - dec.first_row[po]) // w_c
+                cc = qo * q + (gm.col_idxs - dec.first_row[qo]) // w_c
+                A_c = np.zeros((S * q, S * q), dtype=np.float64)
+                np.add.at(A_c, (cr, cc), gm.values)
+            elif s.coarse_space == "spectral":
+                basis, A_c = _spectral_coarse_basis(dec, q, R_int_c)
+                plan["coarse_basis"] = put(basis.astype(dtype))
+            else:
+                raise ValueError(
+                    f"coarse_space must be 'aggregates' or 'spectral', got "
+                    f"{s.coarse_space!r}"
+                )
+            # coarse DOFs with no support (padding-only aggregates, or
+            # zero-padded basis columns where q > interior size): identity
+            # rows keep A_c nonsingular; their restricted residuals are
+            # zero, so their corrections are exactly zero
             empty = ~A_c.any(axis=1)
             A_c[empty, empty] = 1.0
             try:

@@ -52,6 +52,58 @@ def test_coarse_aggregates_accelerate_stationary():
     assert err < 1e-5
 
 
+def test_spectral_coarse_space_beats_aggregates():
+    # GenEO-style Neumann-block eigenvector coarse space: at equal coarse
+    # size it must need (substantially) fewer outer iterations than the
+    # contiguous-aggregate space, and reach the same fixed point.
+    # Measured at 128^2/16, q=16: aggregates 117 -> spectral 15 iters.
+    import scipy.sparse.linalg as spla
+
+    from schwarz_tpu.config import Partition, Precond
+
+    A = laplacian_2d(64)
+    b = generate_rhs(A.n)
+    base = Settings(overlap=4, tolerance=1e-7, max_iters=600,
+                    two_level=True, partition=Partition.regular2d,
+                    precond=Precond.block_jacobi, local_max_iters=20,
+                    row_pad_multiple=128, coarse_aggregates=8)
+    ra = solve(A, b, base, num_subdomains=4)
+    rs = solve(A, b, base.replace(coarse_space="spectral"), num_subdomains=4)
+    assert ra.converged and rs.converged
+    assert rs.iters < ra.iters
+    x_direct = spla.spsolve(A.to_scipy().tocsc(), b)
+    err = np.linalg.norm(rs.solution - x_direct) / np.linalg.norm(x_direct)
+    assert err < 1e-5
+
+
+def test_spectral_coarse_space_anisotropic_metis():
+    # the algebraic construction must work on unstructured (metis)
+    # partitions of non-grid-aligned anisotropic operators — where
+    # geometric index aggregates have no meaning
+    from schwarz_tpu.config import Partition
+    from schwarz_tpu.models.fem import anisotropic_diffusion_2d
+
+    A = anisotropic_diffusion_2d(48, eps=100.0, theta=0.5)
+    b = generate_rhs(A.n)
+    base = Settings(overlap=3, tolerance=1e-7, max_iters=800,
+                    two_level=True, partition=Partition.metis,
+                    coarse_aggregates=8)
+    ra = solve(A, b, base, num_subdomains=4)
+    rs = solve(A, b, base.replace(coarse_space="spectral"), num_subdomains=4)
+    assert ra.converged and rs.converged
+    assert rs.iters < ra.iters
+
+
+def test_coarse_space_invalid_value_raises():
+    import pytest
+
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    with pytest.raises(ValueError, match="coarse_space"):
+        solve(A, b, Settings(two_level=True, coarse_space="nope"),
+              num_subdomains=4)
+
+
 def test_coarse_aggregates_must_divide_interior():
     import pytest
 
