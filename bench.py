@@ -418,9 +418,12 @@ def main():
             local_max_iters=20,
             precond=Precond.block_jacobi, block_jacobi_block_size=32,
             row_pad_multiple=128, two_level=True,
-            # 16 sub-aggregates per subdomain: measured 120 -> 95 outer
-            # iterations at this config (stationary mode; fgmres prefers 1)
-            coarse_aggregates=16,
+            # spectral (Neumann-block eigenvector) coarse space, 16 DOFs
+            # per subdomain: measured 117 -> 15 outer iterations vs the
+            # equal-size aggregate space at this config (BENCHMARKING.md);
+            # the 1M-row/1e-8 flagship record (6.6 s one-chip) runs the
+            # same construction at q=64
+            coarse_aggregates=16, coarse_space="spectral",
         )
         solver = RASolver(decompose(A2, b2, s2, S))
         # chunked: keeps each device execution well under the ~60s watchdog

@@ -82,9 +82,11 @@ def main(argv=None):
                 precond=Precond.block_jacobi,
                 block_jacobi_block_size=8,
                 two_level=(accel == "none"),
-                # richer aggregation coarse space helps the stationary
-                # mode (measured 120 -> 95 at 128^2/16); fgmres prefers 1
+                # the spectral (Neumann-block eigenvector) coarse space is
+                # the strongest per coarse DOF (measured 117 -> 15 at
+                # 128^2/16 vs equal-size aggregates); fgmres keeps q small
                 coarse_aggregates=4 if accel == "none" else 1,
+                coarse_space="spectral" if accel == "none" else "aggregates",
                 accelerator=accel,
                 comm=CommSettings(
                     onesided=(mode == "onesided"),
