@@ -454,6 +454,8 @@ def main(argv=None):
                 max_rounds=settings.max_iters,
                 resume_state=fr_resume,
                 checkpoint_path=args.checkpoint,
+                coarse_q=(max(1, settings.coarse_aggregates)
+                          if settings.two_level else 0),
             )
             info["done_at"] = _np.asarray(info["done_at"])
             print(

@@ -654,13 +654,18 @@ class AsyncRASolver:
 
     def run_refined(self, tol: float = 1e-10, max_restarts: int = 12,
                     max_rounds: int = 400, resume_state=None,
-                    checkpoint_path: Optional[str] = None):
+                    checkpoint_path: Optional[str] = None,
+                    coarse_q: int = 0,
+                    coarse_subdomains: Optional[int] = None):
         """f64-accurate solve via iterative-refinement restarts of the
-        f32 free-running kernel (see :func:`iterative_refinement_run`)."""
+        f32 free-running kernel (see :func:`iterative_refinement_run`);
+        ``coarse_q`` > 0 adds spectral coarse corrections at the restarts
+        (two-level asynchronous Schwarz)."""
         return iterative_refinement_run(
             self, tol=tol, max_restarts=max_restarts,
             max_rounds=max_rounds, resume_state=resume_state,
-            checkpoint_path=checkpoint_path,
+            checkpoint_path=checkpoint_path, coarse_q=coarse_q,
+            coarse_subdomains=coarse_subdomains,
         )
 
     def save_checkpoint(self, state, path: str) -> None:
@@ -746,7 +751,9 @@ def iterative_refinement_run(solver, tol: float = 1e-10,
                              max_restarts: int = 12,
                              max_rounds: int = 400,
                              resume_state=None,
-                             checkpoint_path: Optional[str] = None):
+                             checkpoint_path: Optional[str] = None,
+                             coarse_q: int = 0,
+                             coarse_subdomains: Optional[int] = None):
     """f64-accurate solve from the f32 free-running kernels.
 
     Classic mixed-precision iterative refinement, the free-running analogue
@@ -764,11 +771,29 @@ def iterative_refinement_run(solver, tol: float = 1e-10,
 
     ``resume_state``: an accumulated f64 solution vector (as saved under
     the ``ir_x`` key by ``checkpoint_path``) to continue from.
+
+    ``coarse_q`` > 0 enables TWO-LEVEL asynchronous Schwarz: before every
+    kernel launch the host applies a spectral coarse correction
+    (``core.coarse.HostCoarse``, q Neumann-block eigenvectors per coarse
+    strip) to the f64 residual, so the barrier-free kernel only has to
+    contract the high-frequency remainder — the coarse solves happen at
+    the restart synchronization points, the one-level iteration between
+    them stays genuinely free-running.  ``coarse_subdomains`` defaults to
+    the kernel's device count.
     """
     A = solver.mat.to_scipy().astype(np.float64)
     rhs_orig = solver.rhs
     b0 = np.asarray(rhs_orig, np.float64)
     nb = float(np.linalg.norm(b0)) or 1.0
+    coarse = None
+    if coarse_q > 0:
+        from schwarz_tpu.core.coarse import (HostCoarse,
+                                             equal_strip_boundaries)
+
+        S_c = coarse_subdomains or getattr(solver, "D", None) or 8
+        coarse = HostCoarse(
+            A, equal_strip_boundaries(b0.shape[0], S_c), coarse_q
+        )
     if resume_state is not None:
         x = np.asarray(resume_state, np.float64).copy()
         r = b0 - A @ x
@@ -781,6 +806,12 @@ def iterative_refinement_run(solver, tol: float = 1e-10,
         for _ in range(max_restarts):
             if rel <= tol:
                 break
+            if coarse is not None:
+                x += coarse.solve(r)
+                r = b0 - A @ x
+                rel = float(np.linalg.norm(r)) / nb
+                if rel <= tol:
+                    break
             s = float(np.max(np.abs(r)))
             if s == 0.0:
                 rel = 0.0
@@ -793,9 +824,12 @@ def iterative_refinement_run(solver, tol: float = 1e-10,
             prev, rel = rel, float(np.linalg.norm(r)) / nb
             if checkpoint_path is not None:
                 np.savez_compressed(checkpoint_path, ir_x=x)
-            if rel > 0.5 * prev:
+            if rel > 0.5 * prev and coarse is None:
                 # restart no longer reduces the true residual: the f32
-                # kernel hit its conditioning floor — stop honestly
+                # kernel hit its conditioning floor — stop honestly.
+                # (With the coarse step the next restart acts on a
+                # different error split, so the plateau test would fire
+                # spuriously; the restart budget bounds it instead.)
                 break
     finally:
         solver.set_rhs(rhs_orig)

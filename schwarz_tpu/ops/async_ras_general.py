@@ -657,15 +657,18 @@ class AsyncGeneralRASolver:
 
     def run_refined(self, tol: float = 1e-10, max_restarts: int = 12,
                     max_rounds: int = 400, resume_state=None,
-                    checkpoint_path: Optional[str] = None):
+                    checkpoint_path: Optional[str] = None,
+                    coarse_q: int = 0, coarse_subdomains=None):
         """f64-accurate solve via iterative-refinement restarts of the
-        f32 kernel (ops.async_ras.iterative_refinement_run)."""
+        f32 kernel (ops.async_ras.iterative_refinement_run); ``coarse_q``
+        > 0 adds spectral coarse corrections at the restarts."""
         from schwarz_tpu.ops.async_ras import iterative_refinement_run
 
         return iterative_refinement_run(
             self, tol=tol, max_restarts=max_restarts,
             max_rounds=max_rounds, resume_state=resume_state,
-            checkpoint_path=checkpoint_path,
+            checkpoint_path=checkpoint_path, coarse_q=coarse_q,
+            coarse_subdomains=coarse_subdomains,
         )
 
     def save_checkpoint(self, state, path: str) -> None:

@@ -131,53 +131,23 @@ def _spectral_coarse_basis(dec, q: int, r_int: int):
     Galerkin coarse matrix ``V^T A V`` of shape (S q, S q).
     """
     import scipy.sparse as sp
-    import scipy.sparse.linalg as spla
+
+    from schwarz_tpu.core.coarse import (build_prolongator,
+                                         neumann_spectral_vectors)
 
     gm = dec.global_matrix
     S = dec.meta.num_subdomains
     A = sp.csr_matrix(
         (gm.values, gm.col_idxs, gm.row_ptrs), shape=(gm.n, gm.n)
     )
-    total_rowsum = np.asarray(A.sum(axis=1)).ravel()
+    vectors = neumann_spectral_vectors(A, dec.first_row[:S + 1], q)
     basis = np.zeros((S, q, r_int), dtype=np.float64)
-    vrows, vcols, vvals = [], [], []
     for sd in range(S):
-        lo = int(dec.first_row[sd])
-        hi = int(dec.first_row[sd + 1])
-        n_s = hi - lo
-        if n_s == 0:
-            continue
-        k = min(q, n_s)
-        Ass = A[lo:hi, lo:hi]
-        local_rowsum = np.asarray(Ass.sum(axis=1)).ravel()
-        ext = total_rowsum[lo:hi] - local_rowsum
-        A_neu = Ass + sp.diags(ext)
-        Asym = (0.5 * (A_neu + A_neu.T)).tocsc()
-        # the Neumann block is singular (constant near-kernel): shift-invert
-        # just below zero keeps the factorization definite while targeting
-        # the lowest modes
-        scale = float(np.abs(Asym.diagonal()).max()) or 1.0
-        if k >= n_s - 1 or n_s <= 64:
-            _, v = np.linalg.eigh(Asym.toarray())
-            vecs = v[:, :k]
-        else:
-            try:
-                _, vecs = spla.eigsh(Asym, k=k, sigma=-1e-8 * scale,
-                                     which="LM")
-            except Exception:
-                _, v = np.linalg.eigh(Asym.toarray())
-                vecs = v[:, :k]
-        basis[sd, :k, :n_s] = vecs.T
-        for j in range(k):
-            vrows.append(np.arange(lo, hi, dtype=np.int64))
-            vcols.append(np.full(n_s, sd * q + j, dtype=np.int64))
-            vvals.append(vecs[:, j])
-    V = sp.csr_matrix(
-        (np.concatenate(vvals), (np.concatenate(vrows),
-                                 np.concatenate(vcols))),
-        shape=(gm.n, S * q),
-    )
-    A_c = np.asarray((V.T @ A @ V).todense(), dtype=np.float64)
+        vecs = vectors[sd]
+        if vecs.size:
+            basis[sd, :vecs.shape[1], :vecs.shape[0]] = vecs.T
+    V = build_prolongator(vectors, dec.first_row[:S + 1], gm.n, q)
+    A_c = np.asarray((V.T @ (A @ V)).todense(), dtype=np.float64)
     return basis, A_c
 
 
@@ -1699,9 +1669,12 @@ def make_free_running_solver(mat, rhs, num_subdomains, settings,
       2. 1-D banded kernel (any <= 16-diagonal operator, regular strips);
       3. general-graph kernel (arbitrary matrices/partitions).
 
-    Returns ``(solver, refine)`` where ``refine`` says the requested
-    tolerance sits below the f32 in-band floor and the caller should use
-    ``run_refined(tol=settings.tolerance)``.
+    Returns ``(solver, refine)`` where ``refine`` says the caller should
+    use ``run_refined(tol=settings.tolerance)`` — either because the
+    requested tolerance sits below the f32 in-band floor, or because
+    ``two_level`` is set (the coarse corrections live at the restart
+    synchronization points: pass ``coarse_q=settings.coarse_aggregates``
+    to ``run_refined`` — two-level asynchronous Schwarz).
     """
     from schwarz_tpu.exceptions import NotImplementedFeature
     from schwarz_tpu.ops.async_ras import F32_TOL_FLOOR, AsyncRASolver
@@ -1712,11 +1685,6 @@ def make_free_running_solver(mat, rhs, num_subdomains, settings,
         raise NotImplementedFeature(
             "free-running kernels use CG local solves; non-symmetric "
             "operators need the synchronous path with GMRES locals"
-        )
-    if settings.two_level:
-        raise NotImplementedFeature(
-            "no coarse space inside the free-running kernels; use the "
-            "synchronous two_level path (or accept one-level asynchrony)"
         )
     if settings.accelerator != "none":
         raise NotImplementedFeature(
@@ -1739,8 +1707,15 @@ def make_free_running_solver(mat, rhs, num_subdomains, settings,
     # iterative-refinement restarts: moderate f32 inner tolerance, f64
     # true-residual recomputation between launches (the free-running
     # analogue of local_compute_dtype)
-    refine = settings.tolerance < F32_TOL_FLOOR
+    # two_level also routes through the refined driver: the coarse solves
+    # happen on host between kernel launches (no barrier inside them)
+    refine = settings.tolerance < F32_TOL_FLOOR or settings.two_level
     inner_tol = 1e-4 if refine else settings.tolerance
+    if settings.two_level:
+        # with coarse restarts the kernel only contracts the
+        # high-frequency remainder: a loose in-band tolerance per launch
+        # converges in far fewer total rounds
+        inner_tol = max(inner_tol, 1e-2)
     staleness = max(settings.comm.staleness, 1)
 
     if partition_indices is None:
@@ -1812,7 +1787,9 @@ def solve(
         )
         if refine:
             x, info = fr.run_refined(
-                tol=settings.tolerance, max_rounds=settings.max_iters
+                tol=settings.tolerance, max_rounds=settings.max_iters,
+                coarse_q=(max(1, settings.coarse_aggregates)
+                          if settings.two_level else 0),
             )
         else:
             x, info = fr.run(max_rounds=settings.max_iters)

@@ -164,12 +164,53 @@ def test_free_running_rejects_unsupported_settings():
     base = dict(free_running=True, tolerance=1e-4, overlap=2)
     for bad in (
         {"non_symmetric_matrix": True},
-        {"two_level": True},
         {"accelerator": "fgmres"},
         {"oras_weight": -0.5},
     ):
         with pytest.raises(NotImplementedFeature):
             make_free_running_solver(A, b, 4, Settings(**base, **bad))
+
+
+def test_two_level_async_coarse_restarts():
+    # TWO-LEVEL asynchronous Schwarz: spectral coarse corrections applied
+    # at the refinement restarts (host side, between kernel launches); the
+    # barrier-free kernel only contracts the high-frequency remainder.
+    # Must reach the same fixed point and spend fewer total kernel rounds
+    # than the one-level refined run at the same target.
+    from schwarz_tpu.ops.async_ras import AsyncRASolver
+
+    A = laplacian_2d(48)
+    b = generate_rhs(A.n, random=False)
+
+    def make():
+        return AsyncRASolver(A, b, num_subdomains=4, overlap=2,
+                             tolerance=1e-2, staleness=1, ninner=16,
+                             chunk_rounds=8)
+
+    x1, i1 = make().run_refined(tol=1e-9, max_rounds=400)
+    x2, i2 = make().run_refined(tol=1e-9, max_rounds=400, coarse_q=8)
+    assert i2["converged"], i2
+    assert i2["relative_residual_norm"] <= 1e-9
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+    err = np.linalg.norm(x2 - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-7, err
+    # the coarse corrections must shrink the kernel's share of the work
+    assert i2["rounds"] < i1["rounds"], (i1["rounds"], i2["rounds"])
+
+
+def test_two_level_async_through_solve():
+    # two_level + free_running through the one-call API routes to the
+    # coarse-restart refined driver instead of raising
+    from schwarz_tpu import solve
+
+    A = laplacian_2d(32)
+    b = generate_rhs(A.n, random=False)
+    r = solve(A, b, Settings(free_running=True, two_level=True,
+                             coarse_aggregates=8, tolerance=1e-8,
+                             max_iters=400, overlap=2),
+              num_subdomains=4)
+    assert r.converged
+    assert r.relative_residual_norm <= 1e-8
 
 
 def test_refined_general_ani3_to_1e8():
