@@ -355,11 +355,17 @@ def main():
         # input changes), so this proves the f64-accurate free-running
         # path natively at zero extra compile cost
         _, rinfo = s_a.run_refined(tol=1e-9, max_rounds=120)
+        # two-level asynchronous Schwarz: spectral coarse corrections at
+        # the restarts (host side; same compiled kernel)
+        _, cinfo = s_a.run_refined(tol=1e-9, max_rounds=120, coarse_q=4)
         return {"async_native_ok": bool(info["converged"]),
                 "async_rel": info["relative_residual_norm"],
                 "async_refined_ok": bool(rinfo["converged"]),
                 "async_refined_rel": rinfo["relative_residual_norm"],
                 "async_refined_restarts": rinfo["restarts"],
+                "async_coarse_ok": bool(cinfo["converged"]),
+                "async_coarse_rounds": int(cinfo["rounds"]),
+                "async_onelevel_rounds": int(rinfo["rounds"]),
                 "async_native_sl": s_a.Sl,
                 "async_native_mode": "tpu" if on_tpu else "interpret"}
 

@@ -94,6 +94,25 @@ def test_spectral_coarse_space_anisotropic_metis():
     assert rs.iters < ra.iters
 
 
+def test_spectral_coarse_space_nonsymmetric():
+    # symmetrized-Neumann eigenbasis + true-A Galerkin coarse matrix: the
+    # spectral space must accelerate the nonsymmetric (GMRES-local) path
+    # too (measured 51 -> 11 outer iterations at 64^2/4, q=8)
+    from schwarz_tpu.config import LocalSolver
+    from schwarz_tpu.models.fem import advection_diffusion_2d
+
+    A = advection_diffusion_2d(48)
+    b = generate_rhs(A.n)
+    base = Settings(overlap=3, tolerance=1e-7, max_iters=600,
+                    non_symmetric_matrix=True,
+                    local_solver=LocalSolver.iterative_gmres)
+    r1 = solve(A, b, base, num_subdomains=4)
+    rs = solve(A, b, base.replace(two_level=True, coarse_space="spectral",
+                                  coarse_aggregates=8), num_subdomains=4)
+    assert r1.converged and rs.converged
+    assert rs.iters < r1.iters
+
+
 def test_coarse_space_invalid_value_raises():
     import pytest
 
