@@ -790,7 +790,11 @@ def iterative_refinement_run(solver, tol: float = 1e-10,
         from schwarz_tpu.core.coarse import (HostCoarse,
                                              equal_strip_boundaries)
 
-        S_c = coarse_subdomains or getattr(solver, "D", None) or 8
+        # default granularity = the kernel's subdomain count (p.S), not the
+        # device count (subdomains may be folded Sl-per-device)
+        S_c = coarse_subdomains or getattr(
+            getattr(solver, "plan", None), "S", None
+        ) or getattr(solver, "D", None) or 8
         coarse = HostCoarse(
             A, equal_strip_boundaries(b0.shape[0], S_c), coarse_q
         )
