@@ -1,9 +1,13 @@
-"""TPU probe: can stationary RAS + the spectral coarse space beat the
-FGMRES flagship record (1M-row Laplacian to 1e-8; 190 iters / 30.9 s warm,
-BENCHMARKING.md) on one v5e chip?
+"""TPU probe: the 1M-row/1e-8 flagship through the spectral coarse space.
 
-Run (default axon TPU env, background, generous timeout — cold remote
-compiles take minutes): python scripts/probe_spectral_flagship.py
+Stationary two-level RAS + spectral coarse vs the FGMRES record.  Measured
+on v5e (2026-08-17): stationary q=16 77 its / 13.4 s, q=32 42 its / 8.8 s,
+q=64 27 its / 6.6 s warm (cap=20 regresses: 113 its / 15.8 s); FGMRES +
+spectral q=16 45 its / 32.9 s.  Previous records: fgmres+aggregates
+190 its / 30.9 s (round 2), 61.7 s (round 1), one-level stationary 376 s.
+
+Run (default axon TPU env, background; cold remote compiles take minutes):
+    python scripts/probe_spectral_flagship.py
 """
 
 import json
@@ -19,25 +23,20 @@ from schwarz_tpu.ras import RASolver
 S = 16
 
 
-def run_config(A, b, s, tag, accel, chunk):
+def run_config(A, b, s, tag, accel=False, chunk=40):
     t0 = time.time()
-    dec = decompose(A, b, s, S)
-    solver = RASolver(dec)
+    solver = RASolver(decompose(A, b, s, S))
     setup_s = time.time() - t0
-    for attempt in ("cold", "warm"):
-        t0 = time.time()
-        if accel:
-            r = solver.run_accelerated(chunk_iters=chunk)
-        else:
-            r = solver.run(chunk_iters=chunk)
-        wall = time.time() - t0
-        print(json.dumps({
-            "tag": tag, "attempt": attempt, "setup_s": round(setup_s, 1),
-            "iters": int(r.iters), "converged": bool(r.converged),
-            "rel": float(r.relative_residual_norm),
-            "wall_s": round(wall, 1),
-        }), flush=True)
-    return r
+    run = solver.run_accelerated if accel else solver.run
+    run(chunk_iters=chunk)                 # cold (compile)
+    t0 = time.time()
+    r = run(chunk_iters=chunk)             # warm
+    print(json.dumps({
+        "tag": tag, "setup_s": round(setup_s, 1), "iters": int(r.iters),
+        "converged": bool(r.converged),
+        "rel": float(r.relative_residual_norm),
+        "warm_wall_s": round(time.time() - t0, 1),
+    }), flush=True)
 
 
 if __name__ == "__main__":
@@ -49,14 +48,10 @@ if __name__ == "__main__":
         max_iters=3000, dtype="float64", local_compute_dtype="float32",
         local_tolerance=1e-2, local_max_iters=30,
         precond=Precond.block_jacobi, block_jacobi_block_size=32,
-        row_pad_multiple=128, two_level=True,
+        row_pad_multiple=128, two_level=True, coarse_space="spectral",
     )
-    # candidate: stationary + spectral coarse q=16
-    run_config(A, b, base.replace(coarse_space="spectral",
-                                  coarse_aggregates=16),
-               "stationary spectral q=16", accel=False, chunk=40)
-    # candidate: fgmres + spectral coarse q=16 (record config had q=1 aggs)
-    run_config(A, b, base.replace(coarse_space="spectral",
-                                  coarse_aggregates=16,
+    for q in (16, 32, 64):
+        run_config(A, b, base.replace(coarse_aggregates=q), f"q={q} cap=30")
+    run_config(A, b, base.replace(coarse_aggregates=64,
                                   accelerator="fgmres", restart_iter=40),
-               "fgmres spectral q=16", accel=True, chunk=40)
+               "fgmres q=64", accel=True)
