@@ -172,3 +172,36 @@ def test_random_fem_systems_refined_async(seed):
     rf = solve(Ag, bg, sf, num_subdomains=int(rng.choice([2, 4])))
     assert rf.converged
     assert rf.relative_residual_norm <= sf.tolerance
+
+
+@pytest.mark.parametrize("seed", [13, 14, 15])
+def test_random_systems_coarse_spaces(seed):
+    """Random draws through the coarse-space surface: aggregates vs
+    spectral x q x stationary/fgmres, plus a free-running two-level
+    (coarse-restart) solve — the true-residual oracle must hold."""
+    from schwarz_tpu.models import generate_rhs, laplacian_2d
+
+    rng = np.random.default_rng(seed)
+    A = laplacian_2d(int(rng.choice([24, 32, 40])))
+    b = rng.standard_normal(A.n)
+    S = int(rng.choice([2, 4]))
+    s = Settings(
+        overlap=int(rng.integers(2, 4)), tolerance=1e-8, max_iters=800,
+        two_level=True,
+        coarse_space=str(rng.choice(["aggregates", "spectral"])),
+        coarse_aggregates=int(rng.choice([1, 2, 4, 8])),
+        accelerator=str(rng.choice(["none", "fgmres"])),
+    )
+    r = solve(A, b, s, num_subdomains=S)
+    assert r.converged, (seed, s)
+    x_ref = sp.linalg.spsolve(A.to_scipy().tocsc(), b)
+    np.testing.assert_allclose(r.solution, x_ref, rtol=1e-5, atol=1e-7)
+
+    # two-level asynchronous Schwarz (spectral coarse at restarts)
+    bg = generate_rhs(A.n, random=False)
+    sf = Settings(free_running=True, two_level=True,
+                  coarse_aggregates=int(rng.choice([2, 4, 8])),
+                  overlap=2, max_iters=400, tolerance=1e-8)
+    rf = solve(A, bg, sf, num_subdomains=S)
+    assert rf.converged
+    assert rf.relative_residual_norm <= sf.tolerance

@@ -134,6 +134,23 @@ def test_coarse_aggregates_must_divide_interior():
               num_subdomains=4)
 
 
+def test_spectral_coarse_instrumented_matches_fused():
+    # the staged instrumented loop's coarse stage must reproduce the fused
+    # loop bit-for-bit with the spectral basis too
+    from schwarz_tpu.core.decompose import decompose
+    from schwarz_tpu.ras import RASolver
+
+    A = laplacian_2d(24)
+    b = generate_rhs(A.n)
+    s = Settings(overlap=3, tolerance=1e-8, max_iters=200, two_level=True,
+                 coarse_space="spectral", coarse_aggregates=4,
+                 row_pad_multiple=64)
+    r_fused = RASolver(decompose(A, b, s, 4)).run()
+    r_inst = RASolver(decompose(A, b, s, 4)).run_instrumented()
+    assert r_fused.iters == r_inst.iters
+    np.testing.assert_array_equal(r_fused.solution, r_inst.solution)
+
+
 def test_coarse_aggregates_instrumented_matches_fused():
     # the staged instrumented loop's coarse stage must reproduce the fused
     # loop bit-for-bit with q > 1 as well
