@@ -58,9 +58,14 @@ def neumann_spectral_vectors(A, boundaries, q: int):
             _, v = np.linalg.eigh(Asym.toarray())
             vecs = v[:, :k]
         else:
+            # deterministic Lanczos start: ARPACK's default v0 is random,
+            # which rotates degenerate eigenspaces between calls — two
+            # otherwise-identical setups would build (slightly) different
+            # coarse spaces and bit-different solves
+            v0 = np.random.default_rng(12345).standard_normal(n_s)
             try:
                 _, vecs = spla.eigsh(Asym, k=k, sigma=-1e-8 * scale,
-                                     which="LM")
+                                     which="LM", v0=v0)
             except Exception:
                 _, v = np.linalg.eigh(Asym.toarray())
                 vecs = v[:, :k]
