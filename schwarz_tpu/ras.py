@@ -272,6 +272,39 @@ class RASolver:
         self._plan = self._build_plan()
         self._run_fn = self._build_run_fn()
 
+    def set_rhs(self, rhs) -> None:
+        """Re-target the solver at a new right-hand side of the SAME
+        operator, reusing the decomposition, factorizations,
+        preconditioners, coarse space, and the compiled loop (the plan
+        arrays keep their shapes, so no recompilation happens).
+
+        The reference re-runs its whole ``initialize()`` for every system
+        (schwarz_base.cpp:127-271); on TPU, where setup is
+        compile/factorize-dominated, factorize-once / solve-many is the
+        production deployment pattern (cf. the free-running drivers'
+        ``set_rhs``).  Affects ``run()``, ``run_accelerated()``,
+        ``run_instrumented()``.
+        """
+        dec = self.dec
+        N = dec.meta.global_size
+        rhs = np.asarray(rhs).reshape(-1)
+        if rhs.shape[0] != N:
+            raise ValueError(
+                f"rhs has {rhs.shape[0]} entries, operator has {N} rows"
+            )
+        rhs_p = rhs.astype(np.float64)[dec.perm]
+        S = dec.meta.num_subdomains
+        local_rhs = np.zeros_like(dec.local_rhs)
+        for p in range(S):
+            rc = int(dec.rows_count[p])
+            local_rhs[p, :rc] = rhs_p[dec.local_to_global[p, :rc]]
+        dec.local_rhs = local_rhs
+        dec.global_rhs = rhs_p.astype(dec.global_rhs.dtype)
+        shard = jax.sharding.NamedSharding(self.mesh, P(SUBD_AXIS))
+        self._plan["local_rhs"] = jax.device_put(
+            jnp.asarray(local_rhs.astype(self.settings.value_dtype)), shard
+        )
+
     # ------------------------------------------------------------------ setup --
     def _build_plan(self) -> Dict[str, jax.Array]:
         dec = self.dec
