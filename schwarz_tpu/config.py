@@ -302,7 +302,9 @@ class Settings:
     # -0.8 regresses at the f32 floor (155 -> 189 iters) while -0.6 is
     # the sweep optimum in BOTH dtypes — 148 f32 / 105 f64 vs 155/120
     # classical; scripts/probe_oras_twolevel.py).  Pass an explicit float
-    # to tune per problem.
+    # to tune per problem.  Also honored by the free-running kernels
+    # (preconditioner form on the in-kernel correction CG; measured
+    # 384 -> 128 detection rounds at 64^2/8 strips, c=-0.8).
     oras_weight: object = 0.0   # float, or the string "auto"
     # Two-level RAS: additive Nicolaides (piecewise-constant per subdomain)
     # coarse correction each iteration.  BEYOND the reference (which is

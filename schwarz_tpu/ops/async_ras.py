@@ -98,13 +98,23 @@ class AsyncPlan:
     dinv: np.ndarray        # (S, total) f32 Jacobi inverse diagonal
     mask_dom: np.ndarray    # (S, total) f32 — local solve domain
     mask_int: np.ndarray    # (S, total) f32 — owned interior rows
+    boost: "np.ndarray | None" = None   # (S, total) f32 O-RAS Robin diag term
 
 
-def build_async_plan(mat, rhs, num_subdomains: int, overlap: int) -> AsyncPlan:
+def build_async_plan(mat, rhs, num_subdomains: int, overlap: int,
+                     oras_weight: float = 0.0) -> AsyncPlan:
     """Extract the banded extended-domain operators for each device.
 
     ``mat``: CSRMatrix (models/). Raises NotImplementedFeature when the
     matrix is not banded enough for the DIA-only kernel.
+
+    ``oras_weight`` (c in (-1, 0], 0 = classical RAS): O-RAS Robin
+    transmission in the standard preconditioner form — the in-kernel
+    correction solves use ``A_dom + c * D_drop`` where ``D_drop[i] =
+    sum_k |A[i, i+o_k]|`` over couplings dropped at the artificial
+    interface (targets outside the solve domain).  The residual keeps the
+    true A, so the fixed point is unchanged (cf. ras.py RASolver O-RAS:
+    the reference declares this checkbox but never implements it).
     """
     S = num_subdomains
     N = mat.n
@@ -170,9 +180,45 @@ def build_async_plan(mat, rhs, num_subdomains: int, overlap: int) -> AsyncPlan:
     # zero those dia rows so A*v there contributes nothing
     dia *= mask_dom[:, None, :]
 
+    boost = None
+    if oras_weight:
+        c = float(oras_weight)
+        if c < -1.0:
+            raise ValueError(
+                f"oras_weight={c} is below -1 (the Neumann limit): the "
+                "Robin coefficient must sit in (-1, 0]"
+            )
+        # c * sum of |couplings| whose target column falls outside the
+        # solve domain (the entries the restricted solve drops).  Physical
+        # boundaries contribute nothing: A has no entries there.
+        boost = np.zeros((S, total), np.float32)
+        slot = np.arange(total)
+        for d in range(S):
+            lo = d * R - hw
+            in_dom = np.zeros(total, dtype=bool)
+            dom_lo, dom_hi = max(d * R - ovp, 0), min((d + 1) * R + ovp, Np)
+            in_dom[dom_lo - lo:dom_hi - lo] = True
+            for k, o in enumerate(offsets):
+                if o == 0:
+                    continue
+                j = slot + o
+                tgt_dom = np.zeros(total, dtype=bool)
+                valid = (j >= 0) & (j < total)
+                tgt_dom[valid] = in_dom[j[valid]]
+                dropped = in_dom & ~tgt_dom
+                boost[d, dropped] += np.abs(dia[d, k, dropped])
+        boost *= c
+        # Jacobi preconditioner of the boosted solve operator
+        for d in range(S):
+            dg = dia[d, off_pos[0]] + boost[d]
+            dinv[d] = np.where(
+                np.abs(dg) > 0, 1.0 / np.where(dg == 0, 1, dg), 1.0
+            )
+
     return AsyncPlan(
         S=S, N=N, R=R, hw=hw, ovp=ovp, total=total, offsets=offsets,
         dia=dia, b=b, dinv=dinv, mask_dom=mask_dom, mask_int=mask_int,
+        boost=boost,
     )
 
 
@@ -207,6 +253,7 @@ def async_ras_rounds(
     aux: jax.Array,        # (1, 128) f32: [0]=rn0 (-1 first), [1]=done_at (-1)
     hl_carry: jax.Array,   # (1, hw) freshest left-halo strip from prev launch
     hr_carry: jax.Array,   # (1, hw) freshest right-halo strip
+    boost: "jax.Array | None" = None,  # (Sl, total) O-RAS Robin diagonal term
     *,
     offsets: Tuple[int, ...],
     total: int,
@@ -258,13 +305,17 @@ def async_ras_rounds(
     aux2 = jnp.broadcast_to(aux.reshape(1, 128), (8, 128))
     hl2 = hl_carry.reshape(HWr, 128)
     hr2 = hr_carry.reshape(HWr, 128)
+    use_oras = boost is not None
+    NIN = 11 if use_oras else 10
 
-    def kernel(dia_ref, b_ref, dinv_ref, mdom_ref, mint_ref, x_ref,
-               known_ref, aux_ref, hl_ref, hr_ref,
-               x_out, known_out, aux_out, hl_out, hr_out,
-               send_l, send_r, recv_l, recv_r, ack_src, ack_l, ack_r,
-               sl_sem, sr_sem, rl_sem, rr_sem,
-               asl_sem, asr_sem, arl_sem, arr_sem):
+    def kernel(*refs):
+        (dia_ref, b_ref, dinv_ref, mdom_ref, mint_ref, x_ref,
+         known_ref, aux_ref, hl_ref, hr_ref) = refs[:10]
+        boost_ref = refs[10] if use_oras else None
+        (x_out, known_out, aux_out, hl_out, hr_out) = refs[NIN:NIN + 5]
+        (send_l, send_r, recv_l, recv_r, ack_src, ack_l, ack_r,
+         sl_sem, sr_sem, rl_sem, rr_sem,
+         asl_sem, asr_sem, arl_sem, arr_sem) = refs[NIN + 5:]
         me = jax.lax.axis_index(axis_name)
         left = jax.lax.rem(me - 1 + jnp.int32(n_subd), jnp.int32(n_subd))
         right = jax.lax.rem(me + 1, jnp.int32(n_subd))
@@ -318,6 +369,7 @@ def async_ras_rounds(
         dv = dinv_ref[:]
         md = mdom_ref[:]
         mi = mint_ref[:]
+        bo = boost_ref[:] if use_oras else None
 
         def apply_dom(v):
             # A on the local solve domain; identity outside (v already 0
@@ -332,7 +384,11 @@ def async_ras_rounds(
             return jnp.sum(s, axis=0, keepdims=True)
 
         def cg_dom(r):
-            """ninner Jacobi-PCG iterations for A_dom z = r, z0 = 0."""
+            """ninner Jacobi-PCG iterations for A_solve z = r, z0 = 0.
+
+            A_solve = masked A_dom, plus the O-RAS Robin diagonal on the
+            artificial-interface rows when enabled (the residual r always
+            comes from the true A — the fixed point is unchanged)."""
             eps = jnp.finfo(jnp.float32).tiny
             z0 = jnp.zeros_like(r)
             s0 = dv * r
@@ -341,6 +397,8 @@ def async_ras_rounds(
             def body(_, c):
                 zz, rr_, p, rho = c
                 ap = md * apply_dom(p)
+                if use_oras:
+                    ap = ap + bo * p
                 pap = dot(p, ap)
                 alpha = jnp.where(pap > 0, rho / jnp.maximum(pap, eps), 0.0)
                 zz = zz + alpha * p
@@ -521,10 +579,13 @@ def async_ras_rounds(
         aux_v = jnp.where(lane == 4, fresh_hits, aux_v)
         aux_out[:] = aux_v
 
+    args = (dia3, b2, dinv2, mdom, mint, x2, known2, aux2, hl2, hr2)
+    if use_oras:
+        args = args + (boost.reshape(SlTr, 128),)
     with jax.enable_x64(False):
         x_o, known_o, aux_o, hl_o, hr_o = pl.pallas_call(
             kernel,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * NIN,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 5,
             out_shape=(
                 jax.ShapeDtypeStruct((SlRr, 128), jnp.float32),
@@ -552,7 +613,7 @@ def async_ras_rounds(
             ],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(dia3, b2, dinv2, mdom, mint, x2, known2, aux2, hl2, hr2)
+        )(*args)
     return (
         x_o.reshape(Sl, R),
         known_o[0:1, :],
@@ -575,12 +636,14 @@ class AsyncRASolver:
                  tolerance: float = 1e-6, staleness: int = 1,
                  ninner: int = 12, chunk_rounds: int = 16,
                  mesh=None, interpret: bool | None = None,
-                 fresh_read: bool = False):
+                 fresh_read: bool = False, oras_weight: float = 0.0):
         from jax.sharding import PartitionSpec as P
 
         from schwarz_tpu.parallel.mesh import SUBD_AXIS, make_mesh
 
-        self.plan = build_async_plan(mat, rhs, num_subdomains, overlap)
+        self.plan = build_async_plan(mat, rhs, num_subdomains, overlap,
+                                     oras_weight=oras_weight)
+        self.oras_weight = float(oras_weight)
         self.mat = mat
         self.rhs = np.asarray(rhs)
         self.tolerance = tolerance
@@ -620,9 +683,10 @@ class AsyncRASolver:
             interpret=interpret, fresh_read=fresh_read,
         )
         spec = P(SUBD_AXIS)
+        n_in = 11 if p.boost is not None else 10
         self._mapped = jax.jit(jax.shard_map(
             kern, mesh=mesh,
-            in_specs=(spec,) * 10, out_specs=(spec,) * 5,
+            in_specs=(spec,) * n_in, out_specs=(spec,) * 5,
             check_vma=False,
         ))
         shard = self._shard = jax.sharding.NamedSharding(mesh, spec)
@@ -633,6 +697,8 @@ class AsyncRASolver:
             "mask_dom": jax.device_put(jnp.asarray(p.mask_dom), shard),
             "mask_int": jax.device_put(jnp.asarray(p.mask_int), shard),
         }
+        if p.boost is not None:
+            self._dev["boost"] = jax.device_put(jnp.asarray(p.boost), shard)
 
     def set_rhs(self, rhs) -> None:
         """Repack the per-device RHS strips without rebuilding the plan.
@@ -702,11 +768,12 @@ class AsyncRASolver:
             hr = jnp.zeros((D, p.hw), jnp.float32)
         t0 = time.perf_counter()
         rounds = 0
+        extra = ((self._dev["boost"],) if "boost" in self._dev else ())
         while rounds < max_rounds:
             x, known, aux, hl, hr = self._mapped(
                 self._dev["dia"], self._dev["b"], self._dev["dinv"],
                 self._dev["mask_dom"], self._dev["mask_int"],
-                x, known, aux, hl, hr,
+                x, known, aux, hl, hr, *extra,
             )
             rounds += self.chunk_rounds
             done = np.asarray(aux[:, 1])

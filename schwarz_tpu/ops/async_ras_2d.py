@@ -77,15 +77,17 @@ class AsyncPlan2D:
     dinv: np.ndarray        # (S, By, Bx)
     mask_dom: np.ndarray    # (S, By, Bx) local solve domain
     mask_int: np.ndarray    # (S, By, Bx) owned block
+    boost: "np.ndarray | None" = None   # (S, By, Bx) O-RAS Robin diag term
 
 
 def build_async_plan_2d(
-    mat, rhs, px: int, py: int,
+    mat, rhs, px: int, py: int, oras_weight: float = 0.0,
 ) -> AsyncPlan2D:
     """Extract per-device 5-point stencil coefficient blocks.
 
     Raises NotImplementedFeature when the sparsity leaves the 5-point grid
-    stencil.
+    stencil.  ``oras_weight`` adds the O-RAS Robin diagonal on solve-domain
+    boundary cells (preconditioner form — see build_async_plan).
     """
     N = mat.n
     n = int(math.isqrt(N))
@@ -168,9 +170,41 @@ def build_async_plan_2d(
         dinv[d] = np.where(np.abs(dg) > 0, 1.0 / np.where(dg == 0, 1, dg),
                            1.0)
     coef *= mask_dom[:, None, :, :]
+
+    boost = None
+    if oras_weight:
+        c = float(oras_weight)
+        if c < -1.0:
+            raise ValueError(
+                f"oras_weight={c} is below -1 (the Neumann limit): the "
+                "Robin coefficient must sit in (-1, 0]"
+            )
+        # displacement of each stencil entry k (grid rows, grid cols)
+        disp = {1: (0, 1), 2: (0, -1), 3: (1, 0), 4: (-1, 0),
+                5: (1, 1), 6: (1, -1), 7: (-1, 1), 8: (-1, -1)}
+        boost = np.zeros((S, By, Bx), np.float32)
+        for d in range(S):
+            dom = mask_dom[d] > 0
+            for k, (dy, dx) in disp.items():
+                # target-in-domain mask: shift dom by (-dy, -dx) with zero
+                # (out-of-window == dropped) fill
+                tgt = np.zeros_like(dom)
+                ys = slice(max(dy, 0), By + min(dy, 0))
+                yt = slice(max(-dy, 0), By + min(-dy, 0))
+                xs = slice(max(dx, 0), Bx + min(dx, 0))
+                xt = slice(max(-dx, 0), Bx + min(-dx, 0))
+                tgt[yt, xt] = dom[ys, xs]
+                dropped = dom & ~tgt
+                boost[d][dropped] += np.abs(coef[d, k][dropped])
+        boost *= c
+        dg = coef[:, 0] + boost
+        dinv = np.where(np.abs(dg) > 0,
+                        1.0 / np.where(dg == 0, 1, dg), 1.0).astype(np.float32)
+
     return AsyncPlan2D(
         S=S, px=px, py=py, n=n, N=N, bx=bx, by=by, Bx=Bx, By=By,
         coef=coef, b=b, dinv=dinv, mask_dom=mask_dom, mask_int=mask_int,
+        boost=boost,
     )
 
 
@@ -204,6 +238,7 @@ def async_ras_2d_rounds(
     X: jax.Array,          # (Slb, By, Bx) extended iterates (halos included)
     known: jax.Array,      # (1, 128)
     aux: jax.Array,        # (1, 128): [0]=rn0, [1]=done_at, [2]=round base
+    boost: "jax.Array | None" = None,  # (Slb, By, Bx) O-RAS Robin diagonal
     *,
     px: int, py: int, ply: int, plx: int, bx: int, by: int,
     rounds: int, staleness: int, ninner: int, tol: float,
@@ -241,16 +276,20 @@ def async_ras_2d_rounds(
     X2 = fold(X)
     known2 = jnp.broadcast_to(known.reshape(1, 128), (8, 128))
     aux2 = jnp.broadcast_to(aux.reshape(1, 128), (8, 128))
+    use_oras = boost is not None
+    NIN = 9 if use_oras else 8
 
-    def kernel(coef_ref, b_ref, dinv_ref, mdom_ref, mint_ref, x_ref,
-               known_ref, aux_ref,
-               x_out, known_out, aux_out,
-               sL, sR, sU, sD, rL, rR, rU, rD,
-               ack_src, aL, aR, aU, aD,
-               semsL, semsR, semsU, semsD,
-               semrL, semrR, semrU, semrD,
-               sasL, sasR, sasU, sasD,
-               sarL, sarR, sarU, sarD):
+    def kernel(*refs):
+        (coef_ref, b_ref, dinv_ref, mdom_ref, mint_ref, x_ref,
+         known_ref, aux_ref) = refs[:8]
+        boost_ref = refs[8] if use_oras else None
+        (x_out, known_out, aux_out) = refs[NIN:NIN + 3]
+        (sL, sR, sU, sD, rL, rR, rU, rD,
+         ack_src, aL, aR, aU, aD,
+         semsL, semsR, semsU, semsD,
+         semrL, semrR, semrU, semrD,
+         sasL, sasR, sasU, sasD,
+         sarL, sarR, sarU, sarD) = refs[NIN + 3:]
         me = jax.lax.axis_index(axis_name)
         dyy = me // jnp.int32(px)
         dxx = jax.lax.rem(me, jnp.int32(px))
@@ -322,6 +361,7 @@ def async_ras_2d_rounds(
         dv = dinv_ref[:]
         md = mdom_ref[:]
         mi = mint_ref[:]
+        bo = boost_ref[:] if use_oras else None
 
         def apply_dom(v):
             return (cc[0] * v
@@ -343,6 +383,10 @@ def async_ras_2d_rounds(
             def body(_, c):
                 zz, rr_, p, rho = c
                 ap = md * apply_dom(p)
+                if use_oras:
+                    # O-RAS Robin diagonal on the solve operator only; the
+                    # residual keeps the true A (fixed point unchanged)
+                    ap = ap + bo * p
                 pap = dot(p, ap)
                 alpha = jnp.where(pap > 0, rho / jnp.maximum(pap, eps), 0.0)
                 zz = zz + alpha * p
@@ -521,10 +565,13 @@ def async_ras_2d_rounds(
         aux_v = jnp.where(lane8 == 4, fresh_hits, aux_v)
         aux_out[:] = aux_v
 
+    args = (coef3, b2, dinv2, mdom, mint, X2, known2, aux2)
+    if use_oras:
+        args = args + (fold(boost),)
     with jax.enable_x64(False):
         x_o, known_o, aux_o = pl.pallas_call(
             kernel,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * NIN,
             out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
             out_shape=(
                 jax.ShapeDtypeStruct((FY, FX), jnp.float32),
@@ -542,7 +589,7 @@ def async_ras_2d_rounds(
             ),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(coef3, b2, dinv2, mdom, mint, X2, known2, aux2)
+        )(*args)
     x_unfold = (x_o.reshape(ply, By, plx, Bx)
                 .transpose(0, 2, 1, 3).reshape(ply * plx, By, Bx))
     return x_unfold, known_o[0:1, :], aux_o[0:1, :]
@@ -578,12 +625,14 @@ class AsyncRASolver2D:
                  tolerance: float = 1e-5, staleness: int = 1,
                  ninner: int = 16, chunk_rounds: int = 16,
                  mesh=None, interpret: Optional[bool] = None,
-                 fresh_read: bool = False):
+                 fresh_read: bool = False, oras_weight: float = 0.0):
         from jax.sharding import PartitionSpec as P
 
         from schwarz_tpu.parallel.mesh import SUBD_AXIS, make_mesh
 
-        self.plan = build_async_plan_2d(mat, rhs, px, py)
+        self.plan = build_async_plan_2d(mat, rhs, px, py,
+                                        oras_weight=oras_weight)
+        self.oras_weight = float(oras_weight)
         self.mat = mat
         self.rhs = np.asarray(rhs)
         self.tolerance = tolerance
@@ -638,8 +687,9 @@ class AsyncRASolver2D:
             fresh_read=fresh_read,
         )
         spec = P(SUBD_AXIS)
+        n_in = 9 if p.boost is not None else 8
         self._mapped = jax.jit(jax.shard_map(
-            kern, mesh=mesh, in_specs=(spec,) * 8,
+            kern, mesh=mesh, in_specs=(spec,) * n_in,
             out_specs=(spec, spec, spec), check_vma=False,
         ))
         shard = self._shard = jax.sharding.NamedSharding(mesh, spec)
@@ -652,6 +702,10 @@ class AsyncRASolver2D:
             "mask_int": jax.device_put(jnp.asarray(p.mask_int[perm]),
                                        shard),
         }
+        if p.boost is not None:
+            self._dev["boost"] = jax.device_put(
+                jnp.asarray(p.boost[perm]), shard
+            )
 
     def set_rhs(self, rhs) -> None:
         """Repack the per-block RHS windows without rebuilding the plan
@@ -716,11 +770,12 @@ class AsyncRASolver2D:
                            jnp.float32).at[:, 2].set(0.0)
         t0 = time.perf_counter()
         rounds = 0
+        extra = ((self._dev["boost"],) if "boost" in self._dev else ())
         while rounds < max_rounds:
             X, known, aux = self._mapped(
                 self._dev["coef"], self._dev["b"], self._dev["dinv"],
                 self._dev["mask_dom"], self._dev["mask_int"],
-                X, known, aux,
+                X, known, aux, *extra,
             )
             rounds += self.chunk_rounds
             done = np.asarray(aux[:, 1])

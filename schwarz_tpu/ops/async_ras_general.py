@@ -93,13 +93,18 @@ class GeneralAsyncPlan:
     tgt_subd: np.ndarray    # (S, C) int32 partner rank (self for dummies)
     send_len: np.ndarray    # (S, C) int32 true values sent on each link
     gid: np.ndarray         # (S, Rext) int32 global row per slot (-1 pad)
+    boost: "np.ndarray | None" = None   # (S, Rext) O-RAS Robin diag term
 
 
-def build_general_plan(mat, rhs, part, overlap: int) -> GeneralAsyncPlan:
+def build_general_plan(mat, rhs, part, overlap: int,
+                       oras_weight: float = 0.0) -> GeneralAsyncPlan:
     """Extract dense extended operators + edge-colored link tables.
 
     ``mat``: CSRMatrix; ``part``: (N,) subdomain id per row (any partition,
     e.g. core.partition.make_partition metis output); ``overlap`` >= 1.
+    ``oras_weight`` adds the O-RAS Robin diagonal on solve-domain rows with
+    couplings dropped at the artificial interface (preconditioner form —
+    see async_ras.build_async_plan).
     """
     import scipy.sparse as sp
 
@@ -247,11 +252,30 @@ def build_general_plan(mat, rhs, part, overlap: int) -> GeneralAsyncPlan:
             for k, g in enumerate(recv_ids):
                 U[s, c, slot_of[int(g)] - Rint, k] = 1.0
 
+    boost = None
+    if oras_weight:
+        c0 = float(oras_weight)
+        if c0 < -1.0:
+            raise ValueError(
+                f"oras_weight={c0} is below -1 (the Neumann limit): the "
+                "Robin coefficient must sit in (-1, 0]"
+            )
+        # couplings of solve-domain rows to non-domain slots (the frontier
+        # ring the restricted CG treats as Dirichlet)
+        boost = (c0 * np.einsum(
+            "sij,sj->si", np.abs(A), 1.0 - mask_dom
+        ) * mask_dom).astype(np.float32)
+        dg = np.einsum("sii->si", A) + boost
+        dinv = np.where(
+            (np.abs(dg) > 0) & (mask_dom > 0),
+            1.0 / np.where(dg == 0, 1, dg), 1.0
+        ).astype(np.float32)
+
     return GeneralAsyncPlan(
         S=S, N=N, Rint=Rint, H=H, Rext=Rext, SEG=SEG, C=C,
         n_int=n_int, int_ids=int_ids, A=A, b=b, dinv=dinv,
         mask_dom=mask_dom, mask_int=mask_int, OH=OH, U=U,
-        tgt_subd=tgt_subd, send_len=send_len, gid=gid,
+        tgt_subd=tgt_subd, send_len=send_len, gid=gid, boost=boost,
     )
 
 
@@ -261,7 +285,8 @@ def vmem_estimate_bytes(p: GeneralAsyncPlan, Sl: int, staleness: int) -> int:
     MSG = p.SEG + 8
     f = 4
     ops = Sl * p.Rext * p.Rext * f          # A
-    ops += 4 * Sl * p.Rext * 128 * f        # b, dinv, masks (lane-replicated)
+    nvec = 4 + (1 if p.boost is not None else 0)
+    ops += nvec * Sl * p.Rext * 128 * f     # b, dinv, masks[, boost]
     ops += Sl * p.C * p.SEG * p.Rint * f    # OH
     ops += Sl * p.C * p.H * p.SEG * f       # U
     rings = 2 * M * Sl * p.C * MSG * 128 * f    # send + recv
@@ -279,7 +304,7 @@ def vmem_estimate_bytes(p: GeneralAsyncPlan, Sl: int, staleness: int) -> int:
 )
 def async_general_rounds(
     A, b, dinv, mdom, mint, OH, U, tgt_dev, tgt_sl,
-    x, known, aux, carry,
+    x, known, aux, carry, boost=None,
     *,
     Rint: int, Rext: int, H: int, SEG: int, C: int, Sl: int,
     rounds: int, staleness: int, ninner: int, tol: float,
@@ -302,11 +327,16 @@ def async_general_rounds(
     L = Sl * C                     # links per device
     tol2 = float(tol) * float(tol)
 
-    def kernel(A_ref, b_ref, dinv_ref, mdom_ref, mint_ref, OH_ref, U_ref,
-               td_ref, ts_ref, x_ref, known_ref, aux_ref, carry_ref,
-               x_out, known_out, aux_out, carry_out,
-               send, recv, ackpay, ackbuf,
-               ssem, rsem, asem, arsem):
+    use_oras = boost is not None
+    NIN = 14 if use_oras else 13
+
+    def kernel(*refs):
+        (A_ref, b_ref, dinv_ref, mdom_ref, mint_ref, OH_ref, U_ref,
+         td_ref, ts_ref, x_ref, known_ref, aux_ref, carry_ref) = refs[:13]
+        boost_ref = refs[13] if use_oras else None
+        (x_out, known_out, aux_out, carry_out) = refs[NIN:NIN + 4]
+        (send, recv, ackpay, ackbuf,
+         ssem, rsem, asem, arsem) = refs[NIN + 4:]
         me = jax.lax.axis_index(axis_name)
         devty = pltpu.DeviceIdType.LOGICAL
 
@@ -363,6 +393,8 @@ def async_general_rounds(
         dv_s = [dinv_ref[s * Rext:(s + 1) * Rext] for s in range(Sl)]
         md_s = [mdom_ref[s * Rext:(s + 1) * Rext] for s in range(Sl)]
         mi_s = [mint_ref[s * Rext:(s + 1) * Rext] for s in range(Sl)]
+        bo_s = ([boost_ref[s * Rext:(s + 1) * Rext] for s in range(Sl)]
+                if use_oras else None)
         OH_sc = [
             [OH_ref[(s * C + c) * SEG:(s * C + c + 1) * SEG]
              for c in range(C)] for s in range(Sl)
@@ -387,6 +419,10 @@ def async_general_rounds(
                 ap = md_s[s] * jnp.dot(
                     A_s[s], pp, preferred_element_type=jnp.float32
                 )
+                if use_oras:
+                    # O-RAS Robin diagonal on the solve operator only; the
+                    # residual keeps the true A (fixed point unchanged)
+                    ap = ap + bo_s[s] * pp
                 pap = dot(pp, ap)
                 alpha = jnp.where(pap > 0, rho / jnp.maximum(pap, eps), 0.0)
                 zz = zz + alpha * pp
@@ -530,9 +566,14 @@ def async_general_rounds(
 
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        args = (A, b, dinv, mdom, mint, OH, U, tgt_dev, tgt_sl,
+                x, known, aux, carry)
+        if use_oras:
+            args = args + (boost,)
         x_o, known_o, aux_o, carry_o = pl.pallas_call(
             kernel,
-            in_specs=[vmem] * 7 + [smem, smem] + [vmem] * 4,
+            in_specs=([vmem] * 7 + [smem, smem] + [vmem] * 4
+                      + ([vmem] if use_oras else [])),
             out_specs=(vmem,) * 4,
             out_shape=(
                 jax.ShapeDtypeStruct((Sl * Rint, 128), jnp.float32),
@@ -552,8 +593,7 @@ def async_general_rounds(
             ],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(A, b, dinv, mdom, mint, OH, U, tgt_dev, tgt_sl,
-          x, known, aux, carry)
+        )(*args)
     return x_o, known_o, aux_o, carry_o
 
 
@@ -568,7 +608,7 @@ class AsyncGeneralRASolver:
                  tolerance: float = 1e-6, staleness: int = 1,
                  ninner: int = 12, chunk_rounds: int = 16,
                  part=None, mesh=None, interpret: Optional[bool] = None,
-                 vmem_budget: int = 14 << 20):
+                 vmem_budget: int = 14 << 20, oras_weight: float = 0.0):
         from jax.sharding import PartitionSpec as P
 
         from schwarz_tpu.core.partition import partition_regular_1d
@@ -577,7 +617,9 @@ class AsyncGeneralRASolver:
         S = num_subdomains
         if part is None:
             part = partition_regular_1d(mat.n, S)
-        self.plan = build_general_plan(mat, rhs, part, overlap)
+        self.plan = build_general_plan(mat, rhs, part, overlap,
+                                       oras_weight=oras_weight)
+        self.oras_weight = float(oras_weight)
         if self.plan.S != S:
             raise ValueError(
                 f"partition has {self.plan.S} parts, expected {S}"
@@ -620,9 +662,10 @@ class AsyncGeneralRASolver:
             interpret=interpret,
         )
         spec = P(SUBD_AXIS)
+        n_in = 14 if p.boost is not None else 13
         self._mapped = jax.jit(jax.shard_map(
-            kern, mesh=mesh, in_specs=(spec,) * 13, out_specs=(spec,) * 4,
-            check_vma=False,
+            kern, mesh=mesh, in_specs=(spec,) * n_in,
+            out_specs=(spec,) * 4, check_vma=False,
         ))
         shard = self._shard = jax.sharding.NamedSharding(mesh, spec)
         lane_rep = _lane_rep
@@ -642,6 +685,10 @@ class AsyncGeneralRASolver:
             "td": jax.device_put(jnp.asarray(tgt_dev), shard),
             "ts": jax.device_put(jnp.asarray(tgt_sl), shard),
         }
+        if p.boost is not None:
+            self._dev["boost"] = jax.device_put(
+                jnp.asarray(lane_rep(p.boost)), shard
+            )
 
     def set_rhs(self, rhs) -> None:
         """Repack the per-rank RHS slots without rebuilding the plan
@@ -697,12 +744,13 @@ class AsyncGeneralRASolver:
             carry = jnp.zeros((S * p.C * p.SEG, 128), jnp.float32)
         t0 = time.perf_counter()
         rounds = 0
+        extra = ((self._dev["boost"],) if "boost" in self._dev else ())
         while rounds < max_rounds:
             x, known, aux, carry = self._mapped(
                 self._dev["A"], self._dev["b"], self._dev["dinv"],
                 self._dev["mdom"], self._dev["mint"], self._dev["OH"],
                 self._dev["U"], self._dev["td"], self._dev["ts"],
-                x, known, aux, carry,
+                x, known, aux, carry, *extra,
             )
             rounds += self.chunk_rounds
             done = np.asarray(aux[::8, 1])

@@ -1724,11 +1724,14 @@ def make_free_running_solver(mat, rhs, num_subdomains, settings,
             "free-running mode is the stationary asynchronous iteration; "
             "Krylov acceleration requires the synchronous run_accelerated"
         )
-    if settings.oras_weight not in (0.0, 0):
-        raise NotImplementedFeature(
-            "O-RAS Robin transmission is not wired into the free-running "
-            "kernels; set oras_weight=0 with free_running"
-        )
+    # O-RAS Robin transmission in the free-running kernels (preconditioner
+    # form: the in-kernel correction CG runs on A_dom + c*D_drop, the
+    # residual keeps the true A).  Measured (interpret, 64^2/8 strips,
+    # tol 1e-4): 384 -> 128 detection rounds at c=-0.8.
+    if settings.oras_weight == "auto":
+        oras_c = -0.6 if settings.two_level else -0.8
+    else:
+        oras_c = float(settings.oras_weight)
 
     S = num_subdomains
     if ninner is None:
@@ -1763,7 +1766,7 @@ def make_free_running_solver(mat, rhs, num_subdomains, settings,
                     mat, rhs, px=S // py, py=py, tolerance=inner_tol,
                     staleness=staleness, ninner=ninner,
                     chunk_rounds=chunk_rounds, mesh=mesh,
-                    fresh_read=fresh_read,
+                    fresh_read=fresh_read, oras_weight=oras_c,
                 ), refine
             except (NotImplementedFeature, ValueError):
                 pass
@@ -1772,7 +1775,7 @@ def make_free_running_solver(mat, rhs, num_subdomains, settings,
                 mat, rhs, num_subdomains=S, overlap=settings.overlap,
                 tolerance=inner_tol, staleness=staleness, ninner=ninner,
                 chunk_rounds=chunk_rounds, mesh=mesh,
-                fresh_read=fresh_read,
+                fresh_read=fresh_read, oras_weight=oras_c,
             ), refine
         except NotImplementedFeature:
             pass
@@ -1788,6 +1791,7 @@ def make_free_running_solver(mat, rhs, num_subdomains, settings,
         mat, rhs, num_subdomains=S, overlap=settings.overlap,
         tolerance=inner_tol, staleness=staleness, ninner=ninner,
         chunk_rounds=chunk_rounds, part=part, mesh=mesh,
+        oras_weight=oras_c,
     ), refine
 
 

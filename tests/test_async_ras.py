@@ -138,6 +138,68 @@ def test_async_more_staleness_never_faster():
     assert iters(3) >= iters(1)
 
 
+def test_async_oras_fewer_rounds_same_fixed_point():
+    # O-RAS Robin transmission in the kernel (preconditioner form): the
+    # correction CG runs on A_dom + c*D_drop while the residual keeps the
+    # true A.  Measured 384 -> 128 rounds at 64^2/8; here a smaller grid
+    # with a comparative assertion (heuristic margins are fragile).
+    A = laplacian_2d(32)
+    b = generate_rhs(A.n, random=False)
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+
+    def run(c):
+        s = AsyncRASolver(A, b, num_subdomains=8, overlap=2,
+                          tolerance=1e-4, staleness=1, ninner=10,
+                          chunk_rounds=8, oras_weight=c)
+        x, info = s.run(max_rounds=400)
+        assert info["converged"], (c, info)
+        err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+        assert err < 1e-2, (c, err)
+        return int(np.max(info["done_at"]))
+
+    assert run(-0.8) < run(0.0)
+
+
+def test_async_oras_rejects_super_neumann():
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n, random=False)
+    with pytest.raises(ValueError, match="Neumann"):
+        build_async_plan(A, b, 4, 2, oras_weight=-1.5)
+
+
+def test_async_oras_boost_values():
+    # interface rows get c * sum|dropped couplings|; interior rows none;
+    # physical-boundary rows none (A has no entries beyond the grid)
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n, random=False)
+    c = -0.5
+    p = build_async_plan(A, b, 4, 2, oras_weight=c)
+    assert p.boost is not None
+    for d in range(p.S):
+        lo = d * p.R - p.hw
+        dom = p.mask_dom[d] > 0
+        # recompute dropped-coupling sums directly from the DIA data
+        exp = np.zeros(p.total)
+        for k, off in enumerate(p.offsets):
+            if off == 0:
+                continue
+            j = np.arange(p.total) + off
+            ok = (j >= 0) & (j < p.total)
+            tgt = np.zeros(p.total, dtype=bool)
+            tgt[ok] = dom[j[ok]]
+            drop = dom & ~tgt
+            exp[drop] += np.abs(p.dia[d, k, drop])
+        np.testing.assert_allclose(p.boost[d], c * exp, rtol=1e-6)
+        # boosted Jacobi diagonal
+        k0 = p.offsets.index(0)
+        dg = p.dia[d, k0] + p.boost[d]
+        nz = np.abs(dg) > 0
+        np.testing.assert_allclose(p.dinv[d][nz], 1.0 / dg[nz], rtol=1e-6)
+    # interior-only rows (away from any window edge) are unboosted
+    mid = p.hw + p.R // 2
+    assert p.boost[1][mid] == 0.0
+
+
 def test_async_plan_gates_fail_loudly():
     # unstructured (too many diagonals) must raise, not silently degrade
     rng = np.random.default_rng(0)

@@ -48,6 +48,25 @@ def test_async_2d_converges_anisotropic_9pt():
     assert err < 2e-2, err
 
 
+def test_async_2d_oras_converges_not_slower():
+    # O-RAS Robin diagonal on the in-kernel correction CG (same fixed
+    # point — the residual keeps the true A); comparative assertion only
+    A = laplacian_2d(64)
+    b = generate_rhs(A.n, random=False)
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+
+    def run(c):
+        s = AsyncRASolver2D(A, b, px=2, py=4, tolerance=1e-4, staleness=1,
+                            ninner=12, chunk_rounds=8, oras_weight=c)
+        x, info = s.run(max_rounds=400)
+        assert info["converged"], (c, info)
+        err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+        assert err < 1e-2, (c, err)
+        return info["rounds"]
+
+    assert run(-0.8) <= run(0.0)
+
+
 def test_async_2d_fresh_read_converges_and_never_slower():
     """fresh_read on the 2-D kernel: per-direction DMA-semaphore peeks
     consume the freshest fully-arrived strips; fixed point unchanged,

@@ -119,6 +119,28 @@ def test_kernel_converges_and_detection_is_per_rank():
     assert err < 1e-4
 
 
+def test_general_oras_fewer_rounds_same_fixed_point():
+    # O-RAS Robin diagonal on the dense in-kernel CG (preconditioner
+    # form; the residual keeps the true A).  Measured 192 -> 96 rounds at
+    # 48^2/8 strips; metis partition here, comparative assertion.
+    import scipy.sparse.linalg as spla
+
+    A, b, part = _problem(n=24, S=4)
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), np.asarray(b))
+
+    def run(c):
+        s = AsyncGeneralRASolver(A, b, 4, overlap=2, tolerance=1e-4,
+                                 staleness=1, ninner=8, chunk_rounds=8,
+                                 part=part, oras_weight=c)
+        sol, info = s.run(max_rounds=400)
+        assert info["converged"], (c, info)
+        err = np.abs(sol - x_ref).max() / np.abs(x_ref).max()
+        assert err < 1e-2, (c, err)
+        return int(np.max(info["done_at"]))
+
+    assert run(-0.8) <= run(0.0)
+
+
 def test_device_count_invariance():
     # the uniform schedule is deterministic: folding ranks onto fewer
     # devices (self-DMA rings) must not change a single bit

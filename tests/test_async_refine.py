@@ -165,10 +165,16 @@ def test_free_running_rejects_unsupported_settings():
     for bad in (
         {"non_symmetric_matrix": True},
         {"accelerator": "fgmres"},
-        {"oras_weight": -0.5},
     ):
         with pytest.raises(NotImplementedFeature):
             make_free_running_solver(A, b, 4, Settings(**base, **bad))
+    # O-RAS is supported in-kernel now: the dispatch must build a boosted
+    # solver, not raise
+    s, _ = make_free_running_solver(
+        A, b, 4, Settings(**base, oras_weight=-0.5)
+    )
+    assert s.oras_weight == -0.5
+    assert s.plan.boost is not None
 
 
 def test_two_level_async_coarse_restarts():
