@@ -56,7 +56,12 @@ single chip (the self-ring exercises the real DMA path).
 Local solves are a fixed number of Jacobi-preconditioned CG iterations on
 the overlapped subdomain (two-stage/inexact inner solves — the reference's
 own paper campaign configuration, run_script:35-44), using the lane/sublane
-roll SpMV of ops/fused_cg.py.
+roll SpMV of ops/fused_cg.py.  Non-symmetric operators (``nonsym=True``)
+switch the correction solver to Jacobi-BiCGStab — the free-running
+counterpart of the reference's GMRES local branch (solve.cpp:486-570).
+O-RAS Robin transmission (``oras_weight``) applies in the preconditioner
+form: the correction solves run on ``A_dom + c*D_drop`` while the residual
+keeps the true A.
 """
 
 from __future__ import annotations
@@ -222,6 +227,46 @@ def build_async_plan(mat, rhs, num_subdomains: int, overlap: int,
     )
 
 
+def _bicgstab_correction(apply_solve, dot, dv, r, ninner: int):
+    """Jacobi-preconditioned BiCGStab correction solve (z ~= A_solve^-1 r).
+
+    The non-symmetric counterpart of the kernels' Jacobi-PCG: two operator
+    applies per iteration, division guards against breakdown (a stagnated
+    step contributes zero rather than NaN).  Runs inside the Pallas kernel
+    trace — elementwise ops + the callers' chained-keepdims ``dot`` only
+    (Mosaic-safe; cf. the kernel-body rules in ops/fused_cg.py).
+    Mirrors the reference's GMRES branch role for non-symmetric local
+    solves (solve.cpp:486-570) in free-running form.
+    """
+    eps = jnp.finfo(jnp.float32).tiny
+
+    def sdiv(a, b):
+        return jnp.where(jnp.abs(b) > eps,
+                         a / jnp.where(b == 0, 1.0, b), 0.0)
+
+    one = jnp.ones((1, 1), jnp.float32)
+
+    def body(_, c):
+        zz, rr, p, v, rho, alpha, omega = c
+        rho_n = dot(r, rr)              # shadow residual r0 = initial r
+        beta = sdiv(rho_n * alpha, rho * omega)
+        p = rr + beta * (p - omega * v)
+        ph = dv * p
+        v = apply_solve(ph)
+        alpha = sdiv(rho_n, dot(r, v))
+        s = rr - alpha * v
+        sh = dv * s
+        t = apply_solve(sh)
+        omega = sdiv(dot(t, s), dot(t, t))
+        zz = zz + alpha * ph + omega * sh
+        rr = s - omega * t
+        return zz, rr, p, v, rho_n, alpha, omega
+
+    init = (jnp.zeros_like(r), r, jnp.zeros_like(r), jnp.zeros_like(r),
+            one, one, one)
+    return jax.lax.fori_loop(0, ninner, body, init)[0]
+
+
 def _shift(x: jax.Array, d: int) -> jax.Array:
     """w[i] = x_flat[(i + d) % T] on a (Tr, 128) tile (cf. fused_cg._flat_shift)."""
     from jax.experimental.pallas import tpu as pltpu
@@ -239,7 +284,7 @@ def _shift(x: jax.Array, d: int) -> jax.Array:
     jax.jit,
     static_argnames=(
         "offsets", "total", "hw", "rounds", "staleness", "ninner", "tol",
-        "n_subd", "axis_name", "interpret", "fresh_read",
+        "n_subd", "axis_name", "interpret", "fresh_read", "nonsym",
     ),
 )
 def async_ras_rounds(
@@ -266,6 +311,7 @@ def async_ras_rounds(
     axis_name: str,
     interpret: bool,
     fresh_read: bool = False,
+    nonsym: bool = False,
 ):
     """Run ``rounds`` free-running outer iterations on this device.
 
@@ -383,12 +429,17 @@ def async_ras_rounds(
             s = jnp.sum(u * v, axis=1, keepdims=True)
             return jnp.sum(s, axis=0, keepdims=True)
 
-        def cg_dom(r):
-            """ninner Jacobi-PCG iterations for A_solve z = r, z0 = 0.
+        def apply_solve(v):
+            # A_solve = masked A_dom, plus the O-RAS Robin diagonal on the
+            # artificial-interface rows when enabled (the residual always
+            # comes from the true A — the fixed point is unchanged)
+            av = md * apply_dom(v)
+            if use_oras:
+                av = av + bo * v
+            return av
 
-            A_solve = masked A_dom, plus the O-RAS Robin diagonal on the
-            artificial-interface rows when enabled (the residual r always
-            comes from the true A — the fixed point is unchanged)."""
+        def cg_dom(r):
+            """ninner Jacobi-PCG iterations for A_solve z = r, z0 = 0."""
             eps = jnp.finfo(jnp.float32).tiny
             z0 = jnp.zeros_like(r)
             s0 = dv * r
@@ -396,9 +447,7 @@ def async_ras_rounds(
 
             def body(_, c):
                 zz, rr_, p, rho = c
-                ap = md * apply_dom(p)
-                if use_oras:
-                    ap = ap + bo * p
+                ap = apply_solve(p)
                 pap = dot(p, ap)
                 alpha = jnp.where(pap > 0, rho / jnp.maximum(pap, eps), 0.0)
                 zz = zz + alpha * p
@@ -410,6 +459,12 @@ def async_ras_rounds(
 
             z, _, _, _ = jax.lax.fori_loop(0, ninner, body, (z0, r, s0, rho0))
             return z
+
+        def local_correct(r):
+            if nonsym:
+                # non-symmetric local solves: Jacobi-BiCGStab correction
+                return _bicgstab_correction(apply_solve, dot, dv, r, ninner)
+            return cg_dom(r)
 
         xx = x_ref[:]
         state = (xx, known_k, rn0, done_at)
@@ -516,7 +571,7 @@ def async_ras_rounds(
             # a rank that has detected (now or earlier) stops iterating —
             # the detecting pass does not solve (schwarz_base.cpp:432)
             frozen = (done_at >= 0) | all_known
-            z = cg_dom(r)
+            z = local_correct(r)
             z_int = jnp.concatenate(
                 [z[s_ * Tr + HWr:s_ * Tr + HWr + Rr] for s_ in range(Sl)],
                 axis=0,
@@ -636,7 +691,8 @@ class AsyncRASolver:
                  tolerance: float = 1e-6, staleness: int = 1,
                  ninner: int = 12, chunk_rounds: int = 16,
                  mesh=None, interpret: bool | None = None,
-                 fresh_read: bool = False, oras_weight: float = 0.0):
+                 fresh_read: bool = False, oras_weight: float = 0.0,
+                 nonsym: bool = False):
         from jax.sharding import PartitionSpec as P
 
         from schwarz_tpu.parallel.mesh import SUBD_AXIS, make_mesh
@@ -644,6 +700,7 @@ class AsyncRASolver:
         self.plan = build_async_plan(mat, rhs, num_subdomains, overlap,
                                      oras_weight=oras_weight)
         self.oras_weight = float(oras_weight)
+        self.nonsym = bool(nonsym)
         self.mat = mat
         self.rhs = np.asarray(rhs)
         self.tolerance = tolerance
@@ -680,7 +737,7 @@ class AsyncRASolver:
             offsets=p.offsets, total=p.total, hw=p.hw,
             rounds=chunk_rounds, staleness=staleness, ninner=ninner,
             tol=tolerance, n_subd=D, axis_name=SUBD_AXIS,
-            interpret=interpret, fresh_read=fresh_read,
+            interpret=interpret, fresh_read=fresh_read, nonsym=nonsym,
         )
         spec = P(SUBD_AXIS)
         n_in = 11 if p.boost is not None else 10

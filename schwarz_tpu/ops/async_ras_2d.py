@@ -226,7 +226,7 @@ def _sh(x: jax.Array, dy: int, dx: int) -> jax.Array:
     jax.jit,
     static_argnames=(
         "px", "py", "ply", "plx", "bx", "by", "rounds", "staleness",
-        "ninner", "tol", "axis_name", "interpret", "fresh_read",
+        "ninner", "tol", "axis_name", "interpret", "fresh_read", "nonsym",
     ),
 )
 def async_ras_2d_rounds(
@@ -243,6 +243,7 @@ def async_ras_2d_rounds(
     px: int, py: int, ply: int, plx: int, bx: int, by: int,
     rounds: int, staleness: int, ninner: int, tol: float,
     axis_name: str, interpret: bool, fresh_read: bool = False,
+    nonsym: bool = False,
 ):
     """Run ``rounds`` free-running 2-D iterations on this device.
 
@@ -374,6 +375,14 @@ def async_ras_2d_rounds(
             s_ = jnp.sum(u * v, axis=1, keepdims=True)
             return jnp.sum(s_, axis=0, keepdims=True)
 
+        def apply_solve(v):
+            # O-RAS Robin diagonal on the solve operator only; the
+            # residual keeps the true A (fixed point unchanged)
+            av = md * apply_dom(v)
+            if use_oras:
+                av = av + bo * v
+            return av
+
         def cg_dom(r):
             eps = jnp.finfo(jnp.float32).tiny
             z0 = jnp.zeros_like(r)
@@ -382,11 +391,7 @@ def async_ras_2d_rounds(
 
             def body(_, c):
                 zz, rr_, p, rho = c
-                ap = md * apply_dom(p)
-                if use_oras:
-                    # O-RAS Robin diagonal on the solve operator only; the
-                    # residual keeps the true A (fixed point unchanged)
-                    ap = ap + bo * p
+                ap = apply_solve(p)
                 pap = dot(p, ap)
                 alpha = jnp.where(pap > 0, rho / jnp.maximum(pap, eps), 0.0)
                 zz = zz + alpha * p
@@ -398,6 +403,13 @@ def async_ras_2d_rounds(
 
             z, _, _, _ = jax.lax.fori_loop(0, ninner, body, (z0, r, s0, rho0))
             return z
+
+        def local_correct(r):
+            if nonsym:
+                from schwarz_tpu.ops.async_ras import _bicgstab_correction
+
+                return _bicgstab_correction(apply_solve, dot, dv, r, ninner)
+            return cg_dom(r)
 
         xx = x_ref[:]
         state = (xx, known_k, rn0, done_at)
@@ -525,7 +537,7 @@ def async_ras_2d_rounds(
             known_new = jnp.maximum(known_k, mybit)
             all_known = jnp.sum(known_new[0:1, :], axis=1)[0] >= 128.0
             frozen = (done_at >= 0) | all_known
-            z = cg_dom(r)
+            z = local_correct(r)
             xx = jnp.where(frozen | (mi == 0.0), xx, xx + mi * z)
             known_k = known_new
             done_at = jnp.where(
@@ -625,7 +637,8 @@ class AsyncRASolver2D:
                  tolerance: float = 1e-5, staleness: int = 1,
                  ninner: int = 16, chunk_rounds: int = 16,
                  mesh=None, interpret: Optional[bool] = None,
-                 fresh_read: bool = False, oras_weight: float = 0.0):
+                 fresh_read: bool = False, oras_weight: float = 0.0,
+                 nonsym: bool = False):
         from jax.sharding import PartitionSpec as P
 
         from schwarz_tpu.parallel.mesh import SUBD_AXIS, make_mesh
@@ -633,6 +646,7 @@ class AsyncRASolver2D:
         self.plan = build_async_plan_2d(mat, rhs, px, py,
                                         oras_weight=oras_weight)
         self.oras_weight = float(oras_weight)
+        self.nonsym = bool(nonsym)
         self.mat = mat
         self.rhs = np.asarray(rhs)
         self.tolerance = tolerance
@@ -684,7 +698,7 @@ class AsyncRASolver2D:
             px=pdx, py=pdy, ply=ply, plx=plx, bx=p.bx, by=p.by,
             rounds=chunk_rounds, staleness=staleness, ninner=ninner,
             tol=tolerance, axis_name=SUBD_AXIS, interpret=interpret,
-            fresh_read=fresh_read,
+            fresh_read=fresh_read, nonsym=nonsym,
         )
         spec = P(SUBD_AXIS)
         n_in = 9 if p.boost is not None else 8

@@ -299,7 +299,7 @@ def vmem_estimate_bytes(p: GeneralAsyncPlan, Sl: int, staleness: int) -> int:
     jax.jit,
     static_argnames=(
         "Rint", "Rext", "H", "SEG", "C", "Sl", "rounds", "staleness",
-        "ninner", "tol", "n_ranks", "axis_name", "interpret",
+        "ninner", "tol", "n_ranks", "axis_name", "interpret", "nonsym",
     ),
 )
 def async_general_rounds(
@@ -308,7 +308,7 @@ def async_general_rounds(
     *,
     Rint: int, Rext: int, H: int, SEG: int, C: int, Sl: int,
     rounds: int, staleness: int, ninner: int, tol: float,
-    n_ranks: int, axis_name: str, interpret: bool,
+    n_ranks: int, axis_name: str, interpret: bool, nonsym: bool = False,
 ):
     """Run ``rounds`` free-running iterations of every rank on this device.
 
@@ -408,6 +408,16 @@ def async_general_rounds(
             t1 = jnp.sum(u * v, axis=1, keepdims=True)
             return jnp.sum(t1, axis=0, keepdims=True)
 
+        def apply_solve(s, v):
+            # O-RAS Robin diagonal on the solve operator only; the
+            # residual keeps the true A (fixed point unchanged)
+            av = md_s[s] * jnp.dot(
+                A_s[s], v, preferred_element_type=jnp.float32
+            )
+            if use_oras:
+                av = av + bo_s[s] * v
+            return av
+
         def cg_dom(s, r):
             eps = jnp.finfo(jnp.float32).tiny
             z0 = jnp.zeros_like(r)
@@ -416,13 +426,7 @@ def async_general_rounds(
 
             def body(_, cstate):
                 zz, rr_, pp, rho = cstate
-                ap = md_s[s] * jnp.dot(
-                    A_s[s], pp, preferred_element_type=jnp.float32
-                )
-                if use_oras:
-                    # O-RAS Robin diagonal on the solve operator only; the
-                    # residual keeps the true A (fixed point unchanged)
-                    ap = ap + bo_s[s] * pp
+                ap = apply_solve(s, pp)
                 pap = dot(pp, ap)
                 alpha = jnp.where(pap > 0, rho / jnp.maximum(pap, eps), 0.0)
                 zz = zz + alpha * pp
@@ -436,6 +440,15 @@ def async_general_rounds(
                 0, ninner, body, (z0, r, s0, rho0)
             )
             return z
+
+        def local_correct(s, r):
+            if nonsym:
+                from schwarz_tpu.ops.async_ras import _bicgstab_correction
+
+                return _bicgstab_correction(
+                    lambda v: apply_solve(s, v), dot, dv_s[s], r, ninner
+                )
+            return cg_dom(s, r)
 
         xx = [x_ref[s * Rint:(s + 1) * Rint] for s in range(Sl)]
         kn = [
@@ -514,7 +527,7 @@ def async_general_rounds(
                     axis=0, keepdims=True,
                 )[0, 0] >= 128.0
                 frozen = (done_at[s] >= 0) | all_known
-                z = cg_dom(s, r)
+                z = local_correct(s, r)
                 x_new = xx[s] + z[:Rint]
                 xx[s] = jnp.where(frozen, xx[s], x_new)
                 kn[s] = kn_new
@@ -608,7 +621,8 @@ class AsyncGeneralRASolver:
                  tolerance: float = 1e-6, staleness: int = 1,
                  ninner: int = 12, chunk_rounds: int = 16,
                  part=None, mesh=None, interpret: Optional[bool] = None,
-                 vmem_budget: int = 14 << 20, oras_weight: float = 0.0):
+                 vmem_budget: int = 14 << 20, oras_weight: float = 0.0,
+                 nonsym: bool = False):
         from jax.sharding import PartitionSpec as P
 
         from schwarz_tpu.core.partition import partition_regular_1d
@@ -620,6 +634,7 @@ class AsyncGeneralRASolver:
         self.plan = build_general_plan(mat, rhs, part, overlap,
                                        oras_weight=oras_weight)
         self.oras_weight = float(oras_weight)
+        self.nonsym = bool(nonsym)
         if self.plan.S != S:
             raise ValueError(
                 f"partition has {self.plan.S} parts, expected {S}"
@@ -659,7 +674,7 @@ class AsyncGeneralRASolver:
             Rint=p.Rint, Rext=p.Rext, H=p.H, SEG=p.SEG, C=p.C, Sl=self.Sl,
             rounds=chunk_rounds, staleness=staleness, ninner=ninner,
             tol=tolerance, n_ranks=S, axis_name=SUBD_AXIS,
-            interpret=interpret,
+            interpret=interpret, nonsym=nonsym,
         )
         spec = P(SUBD_AXIS)
         n_in = 14 if p.boost is not None else 13

@@ -1714,11 +1714,10 @@ def make_free_running_solver(mat, rhs, num_subdomains, settings,
 
     # fail loudly on settings the free-running kernels cannot honor —
     # silently inert knobs are worse than an error (round-1 verdict #3)
-    if settings.non_symmetric_matrix:
-        raise NotImplementedFeature(
-            "free-running kernels use CG local solves; non-symmetric "
-            "operators need the synchronous path with GMRES locals"
-        )
+    # non-symmetric operators switch the in-kernel correction solver from
+    # Jacobi-PCG to Jacobi-BiCGStab (the free-running counterpart of the
+    # synchronous path's GMRES locals, solve.cpp:486-570)
+    nonsym = bool(settings.non_symmetric_matrix)
     if settings.accelerator != "none":
         raise NotImplementedFeature(
             "free-running mode is the stationary asynchronous iteration; "
@@ -1767,6 +1766,7 @@ def make_free_running_solver(mat, rhs, num_subdomains, settings,
                     staleness=staleness, ninner=ninner,
                     chunk_rounds=chunk_rounds, mesh=mesh,
                     fresh_read=fresh_read, oras_weight=oras_c,
+                    nonsym=nonsym,
                 ), refine
             except (NotImplementedFeature, ValueError):
                 pass
@@ -1775,7 +1775,7 @@ def make_free_running_solver(mat, rhs, num_subdomains, settings,
                 mat, rhs, num_subdomains=S, overlap=settings.overlap,
                 tolerance=inner_tol, staleness=staleness, ninner=ninner,
                 chunk_rounds=chunk_rounds, mesh=mesh,
-                fresh_read=fresh_read, oras_weight=oras_c,
+                fresh_read=fresh_read, oras_weight=oras_c, nonsym=nonsym,
             ), refine
         except NotImplementedFeature:
             pass
@@ -1791,7 +1791,7 @@ def make_free_running_solver(mat, rhs, num_subdomains, settings,
         mat, rhs, num_subdomains=S, overlap=settings.overlap,
         tolerance=inner_tol, staleness=staleness, ninner=ninner,
         chunk_rounds=chunk_rounds, part=part, mesh=mesh,
-        oras_weight=oras_c,
+        oras_weight=oras_c, nonsym=nonsym,
     ), refine
 
 

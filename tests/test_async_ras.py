@@ -160,6 +160,41 @@ def test_async_oras_fewer_rounds_same_fixed_point():
     assert run(-0.8) < run(0.0)
 
 
+def test_async_nonsym_bicgstab_converges():
+    # non-symmetric advection-diffusion through the free-running kernel:
+    # the in-kernel correction solver switches to Jacobi-BiCGStab (the
+    # asynchronous counterpart of the reference's GMRES local branch,
+    # solve.cpp:486-570); fixed point = the direct solution
+    from schwarz_tpu.models.fem import advection_diffusion_2d
+
+    A = advection_diffusion_2d(32)
+    b = generate_rhs(A.n, random=False)
+    s = AsyncRASolver(A, b, num_subdomains=8, overlap=2, tolerance=1e-4,
+                      staleness=1, ninner=10, chunk_rounds=8, nonsym=True)
+    x, info = s.run(max_rounds=400)
+    assert info["converged"], info
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+    err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-3, err
+
+
+def test_solve_api_free_running_nonsym():
+    # one-call API: free_running + non_symmetric dispatches to BiCGStab
+    from schwarz_tpu import CommSettings, Settings, solve
+    from schwarz_tpu.models.fem import advection_diffusion_2d
+
+    A = advection_diffusion_2d(16)
+    b = generate_rhs(A.n, random=False)
+    s = Settings(overlap=2, tolerance=1e-4, max_iters=400,
+                 free_running=True, non_symmetric_matrix=True,
+                 local_max_iters=10, comm=CommSettings(staleness=1))
+    r = solve(A, b, s, num_subdomains=4)
+    assert r.converged
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+    err = np.linalg.norm(r.solution - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-2, err
+
+
 def test_async_oras_rejects_super_neumann():
     A = laplacian_2d(16)
     b = generate_rhs(A.n, random=False)

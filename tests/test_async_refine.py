@@ -162,12 +162,10 @@ def test_free_running_rejects_unsupported_settings():
     A = laplacian_2d(16)
     b = generate_rhs(A.n, random=False)
     base = dict(free_running=True, tolerance=1e-4, overlap=2)
-    for bad in (
-        {"non_symmetric_matrix": True},
-        {"accelerator": "fgmres"},
-    ):
-        with pytest.raises(NotImplementedFeature):
-            make_free_running_solver(A, b, 4, Settings(**base, **bad))
+    with pytest.raises(NotImplementedFeature):
+        make_free_running_solver(
+            A, b, 4, Settings(**base, accelerator="fgmres")
+        )
     # O-RAS is supported in-kernel now: the dispatch must build a boosted
     # solver, not raise
     s, _ = make_free_running_solver(
@@ -175,6 +173,11 @@ def test_free_running_rejects_unsupported_settings():
     )
     assert s.oras_weight == -0.5
     assert s.plan.boost is not None
+    # non-symmetric operators dispatch to the BiCGStab in-kernel solver
+    s, _ = make_free_running_solver(
+        A, b, 4, Settings(**base, non_symmetric_matrix=True)
+    )
+    assert s.nonsym
 
 
 def test_two_level_async_coarse_restarts():
