@@ -84,7 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fgmres: Krylov-accelerate with RAS as preconditioner "
                         "(several-fold fewer outer iterations)")
     p.add_argument("--precond", default="block-jacobi",
-                   choices=["jacobi", "block-jacobi"])
+                   choices=["jacobi", "block-jacobi", "fsai"],
+                   help="fsai = FSAI(0) factorized sparse approximate "
+                        "inverse (the ParILU/ISAI role, applied as two "
+                        "SpMVs — no triangular substitution)")
     def float_or_auto(v):
         return v if v == "auto" else float(v)
 
@@ -263,9 +266,10 @@ def settings_from_args(args):
         reset_local_crit_iter=args.reset_local_crit_iter,
         direct_apply=args.direct_apply,
         precond=(
-            Precond.block_jacobi
-            if args.use_precond and args.precond == "block-jacobi"
-            else Precond.jacobi if args.use_precond else Precond.none
+            Precond.none if not args.use_precond else
+            {"jacobi": Precond.jacobi,
+             "block-jacobi": Precond.block_jacobi,
+             "fsai": Precond.fsai}[args.precond]
         ),
         block_jacobi_block_size=args.precond_max_block_size,
         max_iters=args.num_iters,

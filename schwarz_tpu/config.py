@@ -68,11 +68,17 @@ class LocalSolver(enum.Enum):
 class Precond(enum.Enum):
     """Local preconditioner (reference solve.cpp:490-556: none / block-Jacobi /
     ParILU / ISAI).  TPU menu: none, diagonal Jacobi, block-Jacobi (batched dense
-    diagonal-block inverses applied on the MXU)."""
+    diagonal-block inverses applied on the MXU), and FSAI(0) — the factorized
+    sparse approximate inverse (Kolotilina-Yeremin), the SPD-safe counterpart
+    of the reference's ISAI: M = G^T G with G on the lower pattern of A,
+    applied as two SpMVs (gather-free DIA shifts on banded operators) —
+    no triangular substitution anywhere, which is exactly why it fits TPUs
+    where ParILU's two trisolves per apply do not."""
 
     none = "none"
     jacobi = "jacobi"
     block_jacobi = "block_jacobi"
+    fsai = "fsai"
 
 
 class HaloStrategy(enum.Enum):

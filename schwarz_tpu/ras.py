@@ -611,6 +611,28 @@ class RASolver:
                 plan["precond_dinv"] = jnp.where(
                     jnp.abs(d) > 0, 1.0 / d, 1.0
                 ).astype(pdtype)
+            elif s.precond == Precond.fsai:
+                # FSAI(0): M = G^T G on A's lower/upper pattern (the ParILU/
+                # ISAI role, solve.cpp:490-556, built TPU-first: applies are
+                # SpMVs, never triangular substitutions).  On the DIA
+                # operator both factors convert exactly to banded form —
+                # the apply is gather-free shifts, same as the operator.
+                from schwarz_tpu.solvers.precond import build_fsai, ell_to_dia
+
+                glv, glc, guv, guc = build_fsai(
+                    np.asarray(pv), np.asarray(plan["lmat_cols"])
+                )
+                if self._dia_offsets is not None:
+                    go, gd = ell_to_dia(glv, glc)
+                    uo, ud = ell_to_dia(guv, guc)
+                    self._fsai_offsets = (go, uo)
+                    plan["fsai_gl_dia"] = put(gd.astype(pdtype))
+                    plan["fsai_gu_dia"] = put(ud.astype(pdtype))
+                else:
+                    plan["fsai_gl_vals"] = put(glv.astype(pdtype))
+                    plan["fsai_gl_cols"] = put(glc)
+                    plan["fsai_gu_vals"] = put(guv.astype(pdtype))
+                    plan["fsai_gu_cols"] = put(guc)
             else:
                 bs = s.block_jacobi_block_size
                 blocks = jax.jit(
@@ -679,6 +701,32 @@ class RASolver:
         if "precond_dinv" in plan_block:
             dinv = plan_block["precond_dinv"]
             return lambda r: dinv * r
+        if "fsai_gl_dia" in plan_block:
+            from schwarz_tpu.ops.dia import dia_ell_spmv
+
+            go, uo = self._fsai_offsets
+            gd = plan_block["fsai_gl_dia"]
+            ud = plan_block["fsai_gu_dia"]
+
+            def apply_fsai_dia(r):
+                Sl = r.shape[0]
+                er = jnp.zeros((Sl, 0), jnp.int32)
+                ev = jnp.zeros((Sl, 0, 0), r.dtype)
+                ec = jnp.zeros((Sl, 0, 0), jnp.int32)
+                y = dia_ell_spmv(go, gd, er, ev, ec, r)
+                return dia_ell_spmv(uo, ud, er, ev, ec, y)
+
+            return apply_fsai_dia
+        if "fsai_gl_vals" in plan_block:
+            def apply_fsai(r):
+                y = ell_spmv_batched(
+                    plan_block["fsai_gl_vals"], plan_block["fsai_gl_cols"], r
+                )
+                return ell_spmv_batched(
+                    plan_block["fsai_gu_vals"], plan_block["fsai_gu_cols"], y
+                )
+
+            return apply_fsai
         if "precond_blockinv" in plan_block:
             inv_blocks = plan_block["precond_blockinv"]
             bs = s.block_jacobi_block_size

@@ -1,12 +1,20 @@
-"""Local preconditioners: Jacobi and block-Jacobi.
+"""Local preconditioners: Jacobi, block-Jacobi, and FSAI(0).
 
 Reference: optional block-Jacobi / ParILU / ISAI preconditioners on the local
 iterative solver (solve.cpp:490-556, 575-648, flag ``use_precond``
-settings.hpp:181).  The TPU menu is diagonal Jacobi and batched dense
-block-Jacobi: diagonal blocks are extracted from the ELL operator at setup,
-inverted with batched dense inverses, and applied as a block-diagonal matmul —
-an MXU-shaped operation (Ginkgo's adaptive-precision block-Jacobi is likewise a
-batched small-dense-block apply on GPU).
+settings.hpp:181).  The TPU menu is diagonal Jacobi, batched dense
+block-Jacobi (diagonal blocks extracted from the ELL operator at setup,
+inverted with batched dense inverses, applied as a block-diagonal matmul —
+an MXU-shaped operation; Ginkgo's adaptive-precision block-Jacobi is likewise
+a batched small-dense-block apply on GPU), and FSAI(0) — the factorized
+sparse approximate inverse M = G^T G ~= A^-1 with G on the lower sparsity
+pattern of A (Kolotilina-Yeremin).  FSAI is the SPD-safe counterpart of the
+reference's ISAI and the TPU-native replacement for ParILU: ParILU's apply
+is two sparse triangular SOLVES (level-scheduled, SIMD-hostile), while
+FSAI's apply is two sparse MAT-VECS — on banded operators two sets of
+gather-free DIA shifts.  Setup is embarrassingly parallel: one tiny dense
+solve per row (A[J,J] g = e_i over the row's lower pattern J), batched on
+the host at plan-build time.
 """
 
 from __future__ import annotations
@@ -15,6 +23,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from schwarz_tpu.config import Precond, Settings
 
@@ -42,6 +51,110 @@ def extract_diag_blocks(vals: jax.Array, cols: jax.Array, bs: int) -> jax.Array:
     return out.at[
         s_idx.reshape(-1), blk.reshape(-1), ri.reshape(-1), safe_ci.reshape(-1)
     ].add(jnp.where(same_block, contrib, 0.0).reshape(-1))
+
+
+def build_fsai(vals, cols):
+    """FSAI(0) factors of a batched ELL operator (host numpy, setup time).
+
+    For every row i with lower pattern ``J = {j : A[i,j] != 0, j <= i}``,
+    solve ``A[J,J] g = e_i`` and scale ``g /= sqrt(g_i)``; then
+    ``G A G^T ~= I`` and ``M = G^T G`` is an SPD approximate inverse.
+    Returns ``(gl_vals, gl_cols, gu_vals, gu_cols)`` float64/int64 numpy:
+    G in batched ELL on the lower pattern and G^T on the upper pattern
+    (padded entries carry value 0 with column == row).  Rows with no true
+    entries (padding rows of the batched layout) get an identity G row.
+    """
+    vals = np.asarray(vals, np.float64)
+    cols = np.asarray(cols, np.int64)
+    S, R, W = vals.shape
+    rows = np.arange(R, dtype=np.int64)
+    real = vals != 0
+    lower = real & (cols <= rows[None, :, None])
+    wl = max(int(lower.sum(axis=2).max()), 1)
+
+    # sort the lower entries first within each row, pad with -1
+    key = np.where(lower, cols, np.iinfo(np.int64).max)
+    order = np.argsort(key, axis=2, kind="stable")
+    cols_sorted = np.take_along_axis(cols, order, 2)
+    lower_sorted = np.take_along_axis(lower, order, 2)
+    gl_cols = np.where(lower_sorted, cols_sorted, -1)[:, :, :wl]
+
+    gl_vals = np.zeros((S, R, wl), np.float64)
+    eye = np.eye(wl)[None]
+    for s in range(S):
+        J = gl_cols[s]                          # (R, wl), -1 = pad
+        padm = J < 0
+        Jc = np.where(padm, 0, J)
+        vw = vals[s][Jc]                        # (R, wl, W)
+        cw = cols[s][Jc]                        # (R, wl, W)
+        mw = real[s][Jc]
+        # AJJ[i, p, q] = A[J_p, J_q]
+        match = mw[:, :, None, :] & (cw[:, :, None, :] == Jc[:, None, :, None])
+        AJJ = (vw[:, :, None, :] * match).sum(-1)
+        pp = padm[:, :, None] | padm[:, None, :]
+        AJJ = np.where(pp, eye, AJJ)
+        e = (J == rows[:, None]).astype(np.float64)
+        g = np.linalg.solve(AJJ, e[..., None])[..., 0]
+        gi = (g * e).sum(1)
+        ok = gi > 0
+        g = np.where(ok[:, None],
+                     g / np.sqrt(np.where(ok, gi, 1.0))[:, None], 0.0)
+        g = np.where(padm, 0.0, g)
+        gl_vals[s] = g
+        # rows with no true entries: identity G row keeps M nonsingular
+        empty = ~ok
+        if empty.any():
+            gl_cols[s][empty, 0] = rows[empty]
+            gl_vals[s][empty, 0] = 1.0
+            gl_vals[s][empty, 1:] = 0.0
+
+    # G^T in ELL: entry (i, J[i,p]) of G becomes (J[i,p], i) of G^T
+    srows = np.broadcast_to(rows[None, :, None], (S, R, wl))
+    keep = gl_cols >= 0
+    wu = 1
+    buckets = []
+    for s in range(S):
+        tr = gl_cols[s][keep[s]]
+        tc = srows[s][keep[s]]
+        tv = gl_vals[s][keep[s]]
+        o = np.lexsort((tc, tr))
+        tr, tc, tv = tr[o], tc[o], tv[o]
+        cnt = np.bincount(tr, minlength=R)
+        wu = max(wu, int(cnt.max()) if cnt.size else 1)
+        buckets.append((tr, tc, tv, cnt))
+    gu_cols = np.broadcast_to(rows[None, :, None], (S, R, wu)).copy()
+    gu_vals = np.zeros((S, R, wu), np.float64)
+    for s, (tr, tc, tv, cnt) in enumerate(buckets):
+        slot = np.arange(tr.size) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt
+        )
+        gu_cols[s][tr, slot] = tc
+        gu_vals[s][tr, slot] = tv
+    # device-ELL padding convention: value 0 at column == row
+    gl_cols = np.where(gl_cols < 0, np.broadcast_to(rows[None, :, None],
+                                                    gl_cols.shape), gl_cols)
+    return gl_vals, gl_cols, gu_vals, gu_cols
+
+
+def ell_to_dia(vals, cols):
+    """Exact batched ELL -> DIA conversion (host; for FSAI factor applies).
+
+    Any true entry lands on its (col - row) diagonal; padded zeros vanish.
+    Returns ``(offsets, dia_vals)`` with dia_vals (S, K, R).
+    """
+    vals = np.asarray(vals)
+    cols = np.asarray(cols, np.int64)
+    S, R, W = vals.shape
+    rows = np.arange(R, dtype=np.int64)[None, :, None]
+    real = vals != 0
+    d = cols - rows
+    diffs = np.unique(d[real]) if real.any() else np.zeros(1, np.int64)
+    offsets = tuple(int(o) for o in diffs)
+    dia = np.zeros((S, len(offsets), R), vals.dtype)
+    for k, o in enumerate(offsets):
+        m = real & (d == o)
+        dia[:, k, :] = (vals * m).sum(axis=2)
+    return offsets, dia
 
 
 def make_preconditioner(
@@ -74,4 +187,18 @@ def make_preconditioner(
             return zb.reshape(S, R)
 
         return apply_block_jacobi
+    if settings.precond == Precond.fsai:
+        from schwarz_tpu.ops.spmv import ell_spmv_batched
+
+        glv, glc, guv, guc = build_fsai(np.asarray(vals), np.asarray(cols))
+        glv = jnp.asarray(glv, vals.dtype)
+        glc = jnp.asarray(glc)
+        guv = jnp.asarray(guv, vals.dtype)
+        guc = jnp.asarray(guc)
+
+        def apply_fsai(r):
+            # M r = G^T (G r): two sparse matvecs, no substitution
+            return ell_spmv_batched(guv, guc, ell_spmv_batched(glv, glc, r))
+
+        return apply_fsai
     raise ValueError(f"unknown preconditioner {settings.precond}")
