@@ -48,6 +48,9 @@ def main(argv=None):
         "mode": ["twosided", "onesided", "free_running"],
         "strategy": [HaloStrategy.all_gather, HaloStrategy.neighbor],
         "accel": ["none", "fgmres"],
+        # O-RAS Robin transmission: classical vs the coarse-space-aware
+        # "auto" weight (sync paths AND the free-running kernels)
+        "oras": [0.0, "auto"],
     }
     conv_for_mode = {
         "twosided": GlobalConvergence.allgather,
@@ -55,7 +58,7 @@ def main(argv=None):
     }
 
     rows = []
-    for partition, mode, strategy, accel in itertools.product(
+    for partition, mode, strategy, accel, oras in itertools.product(
         *axes.values()
     ):
         if partition == Partition.regular2d and args.subdomains not in (4, 16):
@@ -71,6 +74,7 @@ def main(argv=None):
             s = Settings(
                 partition=partition, overlap=4, tolerance=args.tol,
                 max_iters=500, local_max_iters=20, free_running=True,
+                oras_weight=oras,
                 comm=CommSettings(staleness=1),
             )
         else:
@@ -88,6 +92,7 @@ def main(argv=None):
                 coarse_aggregates=4 if accel == "none" else 1,
                 coarse_space="spectral" if accel == "none" else "aggregates",
                 accelerator=accel,
+                oras_weight=oras,
                 comm=CommSettings(
                     onesided=(mode == "onesided"),
                     staleness=1 if mode == "onesided" else 0,
@@ -100,6 +105,7 @@ def main(argv=None):
             rows.append({
                 "partition": partition.value, "mode": mode,
                 "strategy": strategy.value, "accelerator": accel,
+                "oras": oras,
                 "converged": r.converged, "iters": r.iters,
                 "rel_residual": f"{r.relative_residual_norm:.3e}",
                 "time_s": f"{r.solve_time_s:.3f}",
@@ -108,6 +114,7 @@ def main(argv=None):
             rows.append({
                 "partition": partition.value, "mode": mode,
                 "strategy": strategy.value, "accelerator": accel,
+                "oras": oras,
                 "converged": False, "iters": -1,
                 "rel_residual": f"error: {e}", "time_s": "",
             })
