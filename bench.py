@@ -358,6 +358,24 @@ def main():
         # two-level asynchronous Schwarz: spectral coarse corrections at
         # the restarts (host side; same compiled kernel)
         _, cinfo = s_a.run_refined(tol=1e-9, max_rounds=120, coarse_q=4)
+        # O-RAS Robin transmission inside the kernel (preconditioner form):
+        # same problem, boosted correction solves — fewer detection rounds
+        s_o = AsyncRASolver(A_a, b_a, num_subdomains=8, overlap=2,
+                            tolerance=1e-4, staleness=1, ninner=10,
+                            chunk_rounds=6, interpret=not on_tpu,
+                            oras_weight=-0.8)
+        _, oinfo = s_o.run(max_rounds=240)
+        # non-symmetric advection through the free-running kernel
+        # (in-kernel Jacobi-BiCGStab correction solves)
+        from schwarz_tpu.models.fem import advection_diffusion_2d
+
+        A_n = advection_diffusion_2d(32)
+        b_n = generate_rhs(A_n.n, random=False)
+        s_n = AsyncRASolver(A_n, b_n, num_subdomains=8, overlap=2,
+                            tolerance=1e-4, staleness=1, ninner=10,
+                            chunk_rounds=6, interpret=not on_tpu,
+                            nonsym=True)
+        _, ninfo = s_n.run(max_rounds=400)
         return {"async_native_ok": bool(info["converged"]),
                 "async_rel": info["relative_residual_norm"],
                 "async_refined_ok": bool(rinfo["converged"]),
@@ -366,6 +384,10 @@ def main():
                 "async_coarse_ok": bool(cinfo["converged"]),
                 "async_coarse_rounds": int(cinfo["rounds"]),
                 "async_onelevel_rounds": int(rinfo["rounds"]),
+                "async_oras_ok": bool(oinfo["converged"]),
+                "async_oras_rounds": int(oinfo["rounds"]),
+                "async_nonsym_ok": bool(ninfo["converged"]),
+                "async_nonsym_rel": ninfo["relative_residual_norm"],
                 "async_native_sl": s_a.Sl,
                 "async_native_mode": "tpu" if on_tpu else "interpret"}
 
