@@ -619,9 +619,20 @@ class RASolver:
                 # the apply is gather-free shifts, same as the operator.
                 from schwarz_tpu.solvers.precond import build_fsai, ell_to_dia
 
-                glv, glc, guv, guc = build_fsai(
-                    np.asarray(pv), np.asarray(plan["lmat_cols"])
-                )
+                lv_np = np.asarray(pv)
+                lc_np = np.asarray(plan["lmat_cols"])
+                if self._dia_offsets is not None:
+                    # restrict the FSAI pattern to the DIA offsets so both
+                    # factors stay banded (bounded offset count) even when
+                    # the operator carries an ELL remainder; the dropped
+                    # remainder couplings only weaken the approximation,
+                    # never the exactness of the solve (M is still SPD)
+                    rows_i = np.arange(lv_np.shape[1])[None, :, None]
+                    on_dia = np.isin(
+                        lc_np - rows_i, np.asarray(self._dia_offsets)
+                    )
+                    lv_np = np.where(on_dia, lv_np, 0.0)
+                glv, glc, guv, guc = build_fsai(lv_np, lc_np)
                 if self._dia_offsets is not None:
                     go, gd = ell_to_dia(glv, glc)
                     uo, ud = ell_to_dia(guv, guc)

@@ -153,3 +153,30 @@ def test_fsai_cli_choice():
     )
     s = settings_from_args(args)
     assert s.precond == Precond.fsai
+
+
+def test_fsai_dia_path_with_remainder_stays_banded():
+    # regular-2D closure gives the DIA operator an ELL remainder; the FSAI
+    # pattern is restricted to the DIA offsets so both factors stay banded
+    # (bounded offsets) and the solve still converges
+    from schwarz_tpu.config import Partition
+    from schwarz_tpu.core.decompose import decompose as _dec
+    from schwarz_tpu.ras import RASolver
+
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n, random=False)
+    s = Settings(overlap=2, partition=Partition.regular2d,
+                 spmv_format="dia", row_pad_multiple=128,
+                 tolerance=1e-6, max_iters=400,
+                 local_solver=LocalSolver.iterative_cg,
+                 precond=Precond.fsai, local_max_iters=8,
+                 local_tolerance=1e-10)
+    dec = _dec(A, b, s, 4)
+    solver = RASolver(dec)
+    if "fsai_gl_dia" in solver._plan:
+        go, uo = solver._fsai_offsets
+        K = len(solver._dia_offsets)
+        assert len(go) <= K and len(uo) <= K
+    r = solve(A, b, s, num_subdomains=4)
+    assert r.converged
+    assert r.relative_residual_norm < 1e-5
