@@ -97,11 +97,17 @@ def test_random_systems_round2_features(seed):
         strategy=comm.strategy, enable_put=False, enable_get=True,
         enable_one_by_one=comm.enable_one_by_one, flush_type=comm.flush_type,
     )
+    from schwarz_tpu.config import Precond
+
     solver_kind = LocalSolver(rng.choice(["cg", "cholesky"]))
     s = Settings(
         overlap=int(rng.integers(2, 4)),
         tolerance=1e-8, max_iters=400,
         local_solver=solver_kind,
+        precond=(
+            Precond(rng.choice(["none", "jacobi", "fsai"]))
+            if solver_kind == LocalSolver.iterative_cg else Precond.none
+        ),
         direct_apply=(
             "inverse" if solver_kind == LocalSolver.direct_cholesky
             and rng.integers(2) else "trisolve"
