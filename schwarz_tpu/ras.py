@@ -1782,6 +1782,12 @@ def make_free_running_solver(mat, rhs, num_subdomains, settings,
             "free-running mode is the stationary asynchronous iteration; "
             "Krylov acceleration requires the synchronous run_accelerated"
         )
+    if settings.precond not in (Precond.none, Precond.jacobi):
+        raise NotImplementedFeature(
+            "free-running kernels run in-kernel Jacobi-preconditioned "
+            "correction solves; block_jacobi/fsai preconditioning requires "
+            "the synchronous path"
+        )
     # O-RAS Robin transmission in the free-running kernels (preconditioner
     # form: the in-kernel correction CG runs on A_dom + c*D_drop, the
     # residual keeps the true A).  Measured (interpret, 64^2/8 strips,

@@ -166,6 +166,12 @@ def test_free_running_rejects_unsupported_settings():
         make_free_running_solver(
             A, b, 4, Settings(**base, accelerator="fgmres")
         )
+    from schwarz_tpu.config import Precond
+
+    with pytest.raises(NotImplementedFeature):
+        make_free_running_solver(
+            A, b, 4, Settings(**base, precond=Precond.block_jacobi)
+        )
     # O-RAS is supported in-kernel now: the dispatch must build a boosted
     # solver, not raise
     s, _ = make_free_running_solver(
