@@ -188,10 +188,12 @@ def build_async_plan(mat, rhs, num_subdomains: int, overlap: int,
     boost = None
     if oras_weight:
         c = float(oras_weight)
-        if c < -1.0:
+        if not -1.0 <= c <= 0.0:
             raise ValueError(
-                f"oras_weight={c} is below -1 (the Neumann limit): the "
-                "Robin coefficient must sit in (-1, 0]"
+                f"oras_weight={c} outside [-1, 0]: the Robin ghost "
+                "elimination gives coefficients in (-1, 0] (0 = Dirichlet, "
+                "-1 = Neumann limit); positive weights stiffen the solve "
+                "operator in the wrong direction"
             )
         # c * sum of |couplings| whose target column falls outside the
         # solve domain (the entries the restricted solve drops).  Physical
@@ -199,10 +201,7 @@ def build_async_plan(mat, rhs, num_subdomains: int, overlap: int,
         boost = np.zeros((S, total), np.float32)
         slot = np.arange(total)
         for d in range(S):
-            lo = d * R - hw
-            in_dom = np.zeros(total, dtype=bool)
-            dom_lo, dom_hi = max(d * R - ovp, 0), min((d + 1) * R + ovp, Np)
-            in_dom[dom_lo - lo:dom_hi - lo] = True
+            in_dom = mask_dom[d] > 0
             for k, o in enumerate(offsets):
                 if o == 0:
                     continue

@@ -174,10 +174,10 @@ def build_async_plan_2d(
     boost = None
     if oras_weight:
         c = float(oras_weight)
-        if c < -1.0:
+        if not -1.0 <= c <= 0.0:
             raise ValueError(
-                f"oras_weight={c} is below -1 (the Neumann limit): the "
-                "Robin coefficient must sit in (-1, 0]"
+                f"oras_weight={c} outside [-1, 0]: the Robin coefficient "
+                "must sit in (-1, 0] (0 = Dirichlet, -1 = Neumann limit)"
             )
         # displacement of each stencil entry k (grid rows, grid cols)
         disp = {1: (0, 1), 2: (0, -1), 3: (1, 0), 4: (-1, 0),

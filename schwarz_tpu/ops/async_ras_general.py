@@ -255,10 +255,10 @@ def build_general_plan(mat, rhs, part, overlap: int,
     boost = None
     if oras_weight:
         c0 = float(oras_weight)
-        if c0 < -1.0:
+        if not -1.0 <= c0 <= 0.0:
             raise ValueError(
-                f"oras_weight={c0} is below -1 (the Neumann limit): the "
-                "Robin coefficient must sit in (-1, 0]"
+                f"oras_weight={c0} outside [-1, 0]: the Robin coefficient "
+                "must sit in (-1, 0] (0 = Dirichlet, -1 = Neumann limit)"
             )
         # couplings of solve-domain rows to non-domain slots (the frontier
         # ring the restricted CG treats as Dirichlet)

@@ -155,6 +155,25 @@ def dia_ell_spmv(
     return apply_remainder(rem_rows, rem_vals, rem_cols, x, y)
 
 
+def dia_spmv(
+    offsets: Tuple[int, ...],
+    dia_vals: jax.Array,            # (S, K, R)
+    x: jax.Array,                   # (S, R)
+) -> jax.Array:
+    """Pure-DIA batched SpMV: the shift-multiply half of :func:`dia_ell_spmv`
+    with no remainder machinery (used for banded preconditioner factors —
+    FSAI G / G^T applies — where the remainder is zero by construction)."""
+    S, K, R = dia_vals.shape
+    M = max((abs(o) for o in offsets), default=0)
+    xp = jnp.pad(x[:, :R], ((0, 0), (M, M)))
+    y = jnp.zeros((S, R), dtype=x.dtype)
+    for k, off in enumerate(offsets):
+        y = y + dia_vals[:, k, :] * jax.lax.dynamic_slice_in_dim(
+            xp, M + off, R, axis=1
+        )
+    return y
+
+
 def apply_remainder(
     rem_rows: jax.Array, rem_vals: jax.Array, rem_cols: jax.Array,
     x: jax.Array, y: jax.Array,

@@ -406,12 +406,13 @@ class RASolver:
                 ) from None
         self._oras_c = oras_c
         self._oras = oras_c != 0
-        if oras_c < -1.0:
+        if not -1.0 <= oras_c <= 0.0:
             raise ValueError(
-                f"oras_weight={oras_c} is below -1 (the Neumann "
-                "limit): the Robin ghost elimination gives coefficients in "
-                "(-1, 0]; values beyond -1 make the local solve operator "
-                "indefinite and the iteration diverges"
+                f"oras_weight={oras_c} outside [-1, 0]: the Robin ghost "
+                "elimination gives coefficients in (-1, 0]; values beyond "
+                "-1 make the local solve operator indefinite and the "
+                "iteration diverges, and positive weights stiffen it in "
+                "the wrong direction"
             )
         if self._oras:
             S_ = self.meta.num_subdomains
@@ -713,19 +714,14 @@ class RASolver:
             dinv = plan_block["precond_dinv"]
             return lambda r: dinv * r
         if "fsai_gl_dia" in plan_block:
-            from schwarz_tpu.ops.dia import dia_ell_spmv
+            from schwarz_tpu.ops.dia import dia_spmv
 
             go, uo = self._fsai_offsets
             gd = plan_block["fsai_gl_dia"]
             ud = plan_block["fsai_gu_dia"]
 
             def apply_fsai_dia(r):
-                Sl = r.shape[0]
-                er = jnp.zeros((Sl, 0), jnp.int32)
-                ev = jnp.zeros((Sl, 0, 0), r.dtype)
-                ec = jnp.zeros((Sl, 0, 0), jnp.int32)
-                y = dia_ell_spmv(go, gd, er, ev, ec, r)
-                return dia_ell_spmv(uo, ud, er, ev, ec, y)
+                return dia_spmv(uo, ud, dia_spmv(go, gd, r))
 
             return apply_fsai_dia
         if "fsai_gl_vals" in plan_block:
@@ -1795,7 +1791,13 @@ def make_free_running_solver(mat, rhs, num_subdomains, settings,
     if settings.oras_weight == "auto":
         oras_c = -0.6 if settings.two_level else -0.8
     else:
-        oras_c = float(settings.oras_weight)
+        try:
+            oras_c = float(settings.oras_weight)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"oras_weight must be a float or 'auto', got "
+                f"{settings.oras_weight!r}"
+            ) from None
 
     S = num_subdomains
     if ninner is None:

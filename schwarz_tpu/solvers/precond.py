@@ -94,7 +94,14 @@ def build_fsai(vals, cols):
         pp = padm[:, :, None] | padm[:, None, :]
         AJJ = np.where(pp, eye, AJJ)
         e = (J == rows[:, None]).astype(np.float64)
-        g = np.linalg.solve(AJJ, e[..., None])[..., 0]
+        try:
+            g = np.linalg.solve(AJJ, e[..., None])[..., 0]
+        except np.linalg.LinAlgError:
+            # a singular lower principal submatrix (possible on indefinite
+            # or structurally degenerate rows, e.g. a zero diagonal with a
+            # saddle-point pattern): pseudo-inverse rows; the gi > 0 guard
+            # below turns unusable rows into identity rows
+            g = (np.linalg.pinv(AJJ) @ e[..., None])[..., 0]
         gi = (g * e).sum(1)
         ok = gi > 0
         g = np.where(ok[:, None],

@@ -195,11 +195,15 @@ def test_solve_api_free_running_nonsym():
     assert err < 1e-2, err
 
 
-def test_async_oras_rejects_super_neumann():
+def test_async_oras_rejects_out_of_range_weights():
     A = laplacian_2d(16)
     b = generate_rhs(A.n, random=False)
-    with pytest.raises(ValueError, match="Neumann"):
+    with pytest.raises(ValueError, match="outside"):
         build_async_plan(A, b, 4, 2, oras_weight=-1.5)
+    # a sign-flipped weight stiffens the solve operator the wrong way —
+    # reject rather than silently degrade
+    with pytest.raises(ValueError, match="outside"):
+        build_async_plan(A, b, 4, 2, oras_weight=0.8)
 
 
 def test_async_oras_boost_values():
