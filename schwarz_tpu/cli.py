@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="two-level coarse DOF type: contiguous index "
                         "aggregates, or per-subdomain lowest eigenvectors "
                         "(GenEO-style; stronger per DOF, algebraic)")
+    p.add_argument("--coarse_solver", default="dense",
+                   choices=["dense", "cg"],
+                   help="coarse-system solve: row-sharded replicated "
+                        "inverse (dense), or distributed CG on the "
+                        "row-sharded Galerkin matrix (cg — nothing (qS)^2 "
+                        "inverted/replicated; scales with subdomain count)")
     p.add_argument("--accelerator", default="none", choices=["none", "fgmres"],
                    help="fgmres: Krylov-accelerate with RAS as preconditioner "
                         "(several-fold fewer outer iterations)")
@@ -276,6 +282,7 @@ def settings_from_args(args):
         two_level=args.two_level,
         coarse_aggregates=args.coarse_aggregates,
         coarse_space=args.coarse_space,
+        coarse_solver=args.coarse_solver,
         accelerator=args.accelerator,
         fused_local_cg=args.fused_local_cg,
         oras_weight=args.oras_weight,

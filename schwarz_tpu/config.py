@@ -339,6 +339,16 @@ class Settings:
     #     aggregates (one small einsum per side instead of a reshape-sum);
     #     the (q S)^2 Galerkin coarse matrix V^T A V stays replicated.
     coarse_space: str = "aggregates"
+    # How the (qS)-dimensional Galerkin coarse system is solved each
+    # application: "dense" = row-sharded replicated inverse, one matmul
+    # (computed once at setup — optimal up to a few thousand coarse DOFs);
+    # "cg" = distributed CG on the ROW-SHARDED coarse matrix (matvec = one
+    # all_gather of the coefficient vector + a local product, dots = psum)
+    # — nothing (qS)^2 is inverted or replicated, so the coarse space
+    # scales with the subdomain count (e.g. spectral q=64 at S=256 would
+    # need a 16384^2 inverse in dense mode).  A_c is SPD for SPD A; keep
+    # "dense" for non-symmetric operators.
+    coarse_solver: str = "dense"
     # Krylov acceleration: "none" iterates the RAS fixed point (reference
     # behavior); "fgmres" solves the global system with flexible GMRES
     # preconditioned by one RAS application — typically several-fold fewer

@@ -73,6 +73,59 @@ def _extract_interior(z: jax.Array, interior_off: jax.Array, r_int: int,
     return jnp.where(interior_mask, win, 0.0)
 
 
+def _has_coarse(plan) -> bool:
+    return "coarse_inv" in plan or "coarse_mat" in plan
+
+
+def _coarse_cg(plan, r_c: jax.Array) -> jax.Array:
+    """Distributed CG solve of the Galerkin coarse system (scalable mode).
+
+    ``coarse_mat`` is the ROW SHARD (Sl*q, S*q) of A_c on this device: the
+    matvec is one ``all_gather`` of the (tiny) coefficient vector plus a
+    local dense product, dots are ``psum`` — nothing replicated grows with
+    the subdomain count, unlike the dense-inverse mode whose (qS)^2
+    inverse is computed at setup and stored everywhere.  A_c is SPD for
+    SPD A (Galerkin), so plain CG; tolerance is dtype-scaled and the
+    iteration cap is the coarse dimension (exact in exact arithmetic).
+    """
+    from schwarz_tpu.parallel.mesh import SUBD_AXIS
+
+    Am = plan["coarse_mat"]            # (Sl*q, S*q)
+    dim = Am.shape[1]
+    r0 = r_c.reshape(-1)               # this device's coarse rows
+    eps = jnp.finfo(Am.dtype).eps
+    tol2 = (50.0 * eps) ** 2
+
+    def matvec(cl):
+        call = jax.lax.all_gather(cl, SUBD_AXIS, tiled=True).reshape(-1)
+        return Am @ call
+
+    def gdot(a, b):
+        return jax.lax.psum(jnp.sum(a * b), SUBD_AXIS)
+
+    rn0 = gdot(r0, r0)
+
+    def cond(st):
+        _, _, _, rn, it = st
+        return (rn > tol2 * rn0) & (it < dim)
+
+    def body(st):
+        x, r, p, rn, it = st
+        ap = matvec(p)
+        pap = gdot(p, ap)
+        alpha = jnp.where(pap > 0, rn / jnp.maximum(pap, eps), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rn_new = gdot(r, r)
+        beta = jnp.where(rn > 0, rn_new / jnp.maximum(rn, eps), 0.0)
+        return x, r, r + beta * p, rn_new, it + 1
+
+    x, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros_like(r0), r0, r0, rn0, jnp.int32(0))
+    )
+    return x.reshape(r_c.shape)
+
+
 def _coarse_correct(plan, r_int_win: jax.Array) -> jax.Array:
     """Coarse correction field (Sl, R_int) from the interior residual.
 
@@ -81,30 +134,34 @@ def _coarse_correct(plan, r_int_win: jax.Array) -> jax.Array:
     Nicolaides) and prolongation a broadcast.  Spectral mode
     (``coarse_basis`` present): restriction/prolongation are one small
     einsum each against the per-subdomain eigenvector basis — same shapes,
-    same communication.  Either way the replicated coarse inverse is
-    row-sharded over the mesh, so the matmul directly yields this device's
-    (Sl, q) coefficients.  ``r_int_win`` must already be interior-masked
+    same communication.  The coefficient solve is either the row-sharded
+    replicated inverse (one matmul; ``coarse_inv``) or the distributed CG
+    of :func:`_coarse_cg` (``coarse_solver='cg'`` — scalable in the
+    subdomain count).  ``r_int_win`` must already be interior-masked
     (padding slots zero) so partially-padded aggregates restrict correctly.
     """
     from schwarz_tpu.parallel.mesh import SUBD_AXIS
 
-    ci = plan["coarse_inv"]            # per-device shard (Sl*q, S*q)
+    shard = plan.get("coarse_inv", plan.get("coarse_mat"))
     Sl, R_int = r_int_win.shape
-    q = ci.shape[0] // Sl
-    if "coarse_basis" in plan:
-        basis = plan["coarse_basis"]   # (Sl, q, R_int), zero in padding
-        r_c = jnp.einsum("sqr,sr->sq", basis, r_int_win)        # (Sl, q)
+    q = shard.shape[0] // Sl
+
+    def solve_c(r_c):
+        if "coarse_mat" in plan:
+            return _coarse_cg(plan, r_c)
         r_c_all = jax.lax.all_gather(
             r_c, SUBD_AXIS, tiled=True
         ).reshape(-1)                                           # (S*q,)
-        c = (ci @ r_c_all).reshape(Sl, q)
+        return (plan["coarse_inv"] @ r_c_all).reshape(Sl, q)
+
+    if "coarse_basis" in plan:
+        basis = plan["coarse_basis"]   # (Sl, q, R_int), zero in padding
+        r_c = jnp.einsum("sqr,sr->sq", basis, r_int_win)        # (Sl, q)
+        c = solve_c(r_c)
         return jnp.einsum("sq,sqr->sr", c, basis)
     w = R_int // q
     r_c = jnp.sum(r_int_win.reshape(Sl, q, w), axis=2)          # (Sl, q)
-    r_c_all = jax.lax.all_gather(
-        r_c, SUBD_AXIS, tiled=True
-    ).reshape(-1)                                               # (S*q,)
-    c = (ci @ r_c_all).reshape(Sl, q)
+    c = solve_c(r_c)
     return jnp.broadcast_to(c[:, :, None], (Sl, q, w)).reshape(Sl, R_int)
 
 
@@ -491,11 +548,22 @@ class RASolver:
             # zero, so their corrections are exactly zero
             empty = ~A_c.any(axis=1)
             A_c[empty, empty] = 1.0
-            try:
-                coarse_inv = np.linalg.inv(A_c)
-            except np.linalg.LinAlgError:
-                coarse_inv = np.linalg.pinv(A_c)
-            plan["coarse_inv"] = put(coarse_inv.astype(dtype))
+            if s.coarse_solver == "cg":
+                # scalable mode: store the ROW SHARD of A_c and solve the
+                # coarse system with distributed CG each application —
+                # nothing (qS)^2 is ever inverted or replicated
+                plan["coarse_mat"] = put(A_c.astype(dtype))
+            elif s.coarse_solver == "dense":
+                try:
+                    coarse_inv = np.linalg.inv(A_c)
+                except np.linalg.LinAlgError:
+                    coarse_inv = np.linalg.pinv(A_c)
+                plan["coarse_inv"] = put(coarse_inv.astype(dtype))
+            else:
+                raise ValueError(
+                    f"coarse_solver must be 'dense' or 'cg', got "
+                    f"{s.coarse_solver!r}"
+                )
         # Pallas single-pass kernel for the diagonal SpMV
         from schwarz_tpu.ops.pallas_kernels import dia_spmv_supported
 
@@ -1012,7 +1080,7 @@ class RASolver:
             # residual, re-exchange, and let the local solves act on the
             # corrected boundary data.  (Additive combination of coarse + local
             # updates from ONE residual double-corrects and diverges.)
-            if "coarse_inv" in plan:
+            if _has_coarse(plan):
                 r_int_win = _extract_interior(
                     r, plan["interior_off"], R_int, plan["interior_mask"]
                 )
@@ -1287,7 +1355,7 @@ class RASolver:
 
         sm = functools.partial(jax.shard_map, mesh=self.mesh, check_vma=False)
         stages_extra = {}
-        if "coarse_inv" in self._plan:
+        if _has_coarse(self._plan):
             stages_extra["coarse_correction"] = jax.jit(sm(
                 coarse,
                 in_specs=(plan_specs, P(SUBD_AXIS), P(SUBD_AXIS),
@@ -1483,7 +1551,7 @@ class RASolver:
             mr = _extract_interior(
                 z, plan["interior_off"], R_int, plan["interior_mask"]
             )
-            if "coarse_inv" in plan:
+            if _has_coarse(plan):
                 cfield = _coarse_correct(
                     plan, jnp.where(plan["interior_mask"], r, 0.0)
                 )

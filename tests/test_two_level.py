@@ -166,3 +166,32 @@ def test_coarse_aggregates_instrumented_matches_fused():
     r_inst = RASolver(decompose(A, b, s, 4)).run_instrumented()
     assert r_fused.iters == r_inst.iters
     np.testing.assert_array_equal(r_fused.solution, r_inst.solution)
+
+
+def test_coarse_solver_cg_matches_dense():
+    # distributed-CG coarse solve (coarse_solver="cg": row-sharded Galerkin
+    # matrix, all_gather matvec, psum dots — nothing (qS)^2 replicated)
+    # must converge like the dense replicated inverse, for both coarse
+    # spaces.  Measured identical outer counts at 64^2/16 (58/58 and 13/13).
+    A = laplacian_2d(32)
+    b = generate_rhs(A.n)
+    for space in ("aggregates", "spectral"):
+        base = Settings(overlap=3, tolerance=1e-8, max_iters=400,
+                        two_level=True, coarse_aggregates=2,
+                        coarse_space=space)
+        rd = solve(A, b, base, num_subdomains=8)
+        rc = solve(A, b, base.replace(coarse_solver="cg"), num_subdomains=8)
+        assert rd.converged and rc.converged, space
+        assert abs(rc.iters - rd.iters) <= 2, (space, rd.iters, rc.iters)
+        np.testing.assert_allclose(rc.solution, rd.solution,
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_coarse_solver_invalid_raises():
+    import pytest
+
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    with pytest.raises(ValueError, match="coarse_solver"):
+        solve(A, b, Settings(two_level=True, coarse_solver="lu"),
+              num_subdomains=4)
