@@ -106,25 +106,38 @@ class HostCoarse:
     """
 
     def __init__(self, A, boundaries, q: int):
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
         boundaries = np.asarray(boundaries)
         vectors = neumann_spectral_vectors(A, boundaries, q)
         n = A.shape[0]
         self.V = build_prolongator(vectors, boundaries, n, q)
-        A_c = np.asarray((self.V.T @ (A @ self.V)).todense(),
-                         dtype=np.float64)
-        empty = ~A_c.any(axis=1)
-        A_c[empty, empty] = 1.0
-        self.A_c = A_c
-        try:
-            self._inv = np.linalg.inv(A_c)
-        except np.linalg.LinAlgError:
-            self._inv = np.linalg.pinv(A_c)
+        A_c_s = (self.V.T @ (A @ self.V)).tocsc()
+        dim = A_c_s.shape[0]
+        empty = np.asarray(np.abs(A_c_s).sum(axis=1)).ravel() == 0
+        if empty.any():
+            # padded coarse DOFs: identity rows keep A_c nonsingular
+            A_c_s = (A_c_s + sp.diags(empty.astype(np.float64))).tocsc()
+        self.A_c = np.asarray(A_c_s.todense()) if dim <= 2048 else A_c_s
+        if dim <= 2048:
+            try:
+                inv = np.linalg.inv(self.A_c)
+            except np.linalg.LinAlgError:
+                inv = np.linalg.pinv(self.A_c)
+            self._solve_c = lambda rc: inv @ rc
+        else:
+            # large coarse spaces: the Galerkin matrix is block-sparse
+            # (subdomain-neighbor coupling only) — a sparse LU scales where
+            # a dense (qS)^2 inverse does not
+            lu = spla.splu(A_c_s)
+            self._solve_c = lu.solve
 
     def solve(self, r: np.ndarray) -> np.ndarray:
         """The coarse correction for residual ``r`` (same length as rows
         of ``V``)."""
         rc = self.V.T @ np.asarray(r, np.float64)
-        return self.V @ (self._inv @ rc)
+        return self.V @ self._solve_c(rc)
 
 
 def equal_strip_boundaries(n: int, num_subdomains: int) -> np.ndarray:
