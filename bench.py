@@ -497,13 +497,37 @@ def main():
     )
 
 
+def _backend_healthy(timeout_s: int = 300) -> bool:
+    """Probe the (possibly tunneled) default backend in a child process.
+
+    The axon TPU tunnel can be unreachable; backend init then HANGS for
+    ~30 minutes before raising.  A quick probe lets the bench fall back to
+    an honest CPU measurement (labeled by its ``device`` field) instead of
+    burning the whole budget on a dead tunnel.
+    """
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def guarded():
     """Run the measurement in a child with a timeout; fall back to --small."""
+    env = None
+    if not _backend_healthy():
+        print("default backend unreachable; falling back to CPU",
+              file=sys.stderr)
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     for args in ([], ["--small"]):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--inner", *args],
                 capture_output=True, text=True, timeout=INNER_TIMEOUT_S,
+                env=env,
             )
             out, err, rc = proc.stdout, proc.stderr, proc.returncode
         except subprocess.TimeoutExpired as e:
