@@ -49,6 +49,21 @@ def main():
     print(f"  FGMRES + O-RAS: {r_accel.iters:4d} iters, "
           f"true residual {true_res(A, b, r_accel):.1e}")
 
+    # --- 2b. FSAI(0) under capped two-stage locals ------------------------
+    # the production configuration: inexact local solves with a hard
+    # iteration cap — a stronger approximate inverse buys outer iterations
+    from schwarz_tpu.config import Precond
+
+    capped = base.replace(tolerance=1e-6, local_max_iters=6,
+                          local_tolerance=1e-10)
+    r_jac = solve(A, b, capped.replace(precond=Precond.jacobi),
+                  num_subdomains=8)
+    r_fsai = solve(A, b, capped.replace(precond=Precond.fsai),
+                   num_subdomains=8)
+    print(f"  capped locals (6 CG its): jacobi {r_jac.iters:4d} vs "
+          f"FSAI {r_fsai.iters:4d} outers, "
+          f"true residual {true_res(A, b, r_fsai):.1e}")
+
     # --- 3. indefinite Helmholtz ------------------------------------------
     H = helmholtz_2d(32)
     bh = generate_rhs(H.n)
