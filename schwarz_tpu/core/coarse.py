@@ -130,8 +130,15 @@ class HostCoarse:
             # large coarse spaces: the Galerkin matrix is block-sparse
             # (subdomain-neighbor coupling only) — a sparse LU scales where
             # a dense (qS)^2 inverse does not
-            lu = spla.splu(A_c_s)
-            self._solve_c = lu.solve
+            try:
+                lu = spla.splu(A_c_s)
+                self._solve_c = lu.solve
+            except RuntimeError:
+                # exactly-singular Galerkin matrix (floating/pure-Neumann
+                # operator whose near-kernel sits in the coarse space):
+                # pseudo-solve, matching the dense path's pinv fallback
+                inv = np.linalg.pinv(np.asarray(A_c_s.todense()))
+                self._solve_c = lambda rc: inv @ rc
 
     def solve(self, r: np.ndarray) -> np.ndarray:
         """The coarse correction for residual ``r`` (same length as rows

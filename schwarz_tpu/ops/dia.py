@@ -135,23 +135,19 @@ def dia_ell_spmv(
     (ops/pallas_kernels.py) when the shape/dtype support it.
     """
     S, K, R = dia_vals.shape
-    M = max((abs(o) for o in offsets), default=0)
     use_pallas_now = False
     if use_pallas:
         from schwarz_tpu.ops.pallas_kernels import dia_spmv_supported
 
         use_pallas_now = dia_spmv_supported(R, x.dtype)
-    xp = jnp.pad(x[:, :R], ((0, 0), (M, M)))
     if use_pallas_now:
         from schwarz_tpu.ops.pallas_kernels import dia_spmv_pallas2d
 
+        M = max((abs(o) for o in offsets), default=0)
+        xp = jnp.pad(x[:, :R], ((0, 0), (M, M)))
         y = dia_spmv_pallas2d(offsets, dia_vals, xp, interpret=pallas_interpret)
     else:
-        y = jnp.zeros((S, R), dtype=x.dtype)
-        for k, off in enumerate(offsets):
-            y = y + dia_vals[:, k, :] * jax.lax.dynamic_slice_in_dim(
-                xp, M + off, R, axis=1
-            )
+        y = dia_spmv(offsets, dia_vals, x)
     return apply_remainder(rem_rows, rem_vals, rem_cols, x, y)
 
 

@@ -92,7 +92,7 @@ def _coarse_cg(plan, r_c: jax.Array) -> jax.Array:
 
     Am = plan["coarse_mat"]            # (Sl*q, S*q)
     dim = Am.shape[1]
-    r0 = r_c.reshape(-1)               # this device's coarse rows
+    r_in = r_c.reshape(-1)             # this device's coarse rows
     eps = jnp.finfo(Am.dtype).eps
     tol2 = (50.0 * eps) ** 2
 
@@ -103,6 +103,13 @@ def _coarse_cg(plan, r_c: jax.Array) -> jax.Array:
     def gdot(a, b):
         return jax.lax.psum(jnp.sum(a * b), SUBD_AXIS)
 
+    # normalize to unit residual norm: CG is scale-equivariant, and the
+    # eps-floored coefficient guards below would otherwise clamp
+    # scale-dependent quantities (measured: b*1e-9 cost 57 -> 93 outer
+    # iterations before this normalization)
+    rin_n = gdot(r_in, r_in)
+    scale = jnp.sqrt(jnp.maximum(rin_n, jnp.finfo(Am.dtype).tiny))
+    r0 = r_in / scale
     rn0 = gdot(r0, r0)
 
     def cond(st):
@@ -123,6 +130,7 @@ def _coarse_cg(plan, r_c: jax.Array) -> jax.Array:
     x, _, _, _, _ = jax.lax.while_loop(
         cond, body, (jnp.zeros_like(r0), r0, r0, rn0, jnp.int32(0))
     )
+    x = jnp.where(rin_n > 0, x * scale, 0.0)
     return x.reshape(r_c.shape)
 
 
@@ -552,6 +560,14 @@ class RASolver:
                 # scalable mode: store the ROW SHARD of A_c and solve the
                 # coarse system with distributed CG each application —
                 # nothing (qS)^2 is ever inverted or replicated
+                if s.non_symmetric_matrix:
+                    raise ValueError(
+                        "coarse_solver='cg' requires a symmetric operator "
+                        "(the Galerkin coarse matrix inherits A's "
+                        "non-symmetry and CG would silently stagnate "
+                        "through its full iteration cap); use "
+                        "coarse_solver='dense' for non-symmetric problems"
+                    )
                 plan["coarse_mat"] = put(A_c.astype(dtype))
             elif s.coarse_solver == "dense":
                 try:

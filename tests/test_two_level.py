@@ -195,3 +195,37 @@ def test_coarse_solver_invalid_raises():
     with pytest.raises(ValueError, match="coarse_solver"):
         solve(A, b, Settings(two_level=True, coarse_solver="lu"),
               num_subdomains=4)
+
+
+def test_coarse_solver_cg_scale_invariant():
+    # regression: the coarse CG's eps-floored coefficient guards clamped
+    # scale-dependent quantities (b*1e-9 cost 57 -> 93 outers before the
+    # unit-norm normalization); cg must match dense at any rhs scale
+    A = laplacian_2d(32)
+    b = generate_rhs(A.n)
+
+    def iters(cs, scale):
+        s = Settings(overlap=3, tolerance=1e-4, max_iters=400,
+                     dtype="float32", two_level=True, coarse_aggregates=2,
+                     coarse_space="spectral", coarse_solver=cs)
+        r = solve(A, b * scale, s, num_subdomains=8)
+        assert r.converged, (cs, scale)
+        return r.iters
+
+    for scale in (1.0, 1e-9):
+        assert abs(iters("cg", scale) - iters("dense", scale)) <= 2
+
+
+def test_coarse_solver_cg_rejects_nonsymmetric():
+    import pytest
+
+    from schwarz_tpu.config import LocalSolver
+    from schwarz_tpu.models.fem import advection_diffusion_2d
+
+    A = advection_diffusion_2d(12)
+    b = generate_rhs(A.n)
+    with pytest.raises(ValueError, match="symmetric"):
+        solve(A, b, Settings(two_level=True, coarse_solver="cg",
+                             non_symmetric_matrix=True,
+                             local_solver=LocalSolver.iterative_gmres),
+              num_subdomains=4)
