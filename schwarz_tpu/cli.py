@@ -116,8 +116,39 @@ def build_parser() -> argparse.ArgumentParser:
                         "pure-DIA operator, f32 local compute; "
                         "implies row padding to 128)")
     p.add_argument("--precond_max_block_size", type=int, default=16)
+    # reference-named aliases (bench_base.hpp:119-140) for the knobs above —
+    # scripted reference campaigns port without edits
+    p.add_argument("--local_precond", default="null",
+                   choices=["null", "jacobi", "block-jacobi", "isai", "fsai",
+                            "ilu", "parilu"],
+                   help="reference alias for --use_precond/--precond: null="
+                        "none; isai maps to fsai (the SPD-safe factorized "
+                        "variant of the same approximate-inverse role); "
+                        "ilu/parilu raise (triangular-substitution applies "
+                        "have no TPU-efficient form — use fsai)")
+    p.add_argument("--local_factorization", default=None,
+                   choices=["cholmod", "umfpack"],
+                   help="reference alias for the direct-solver flavor: "
+                        "cholmod -> batched dense Cholesky, umfpack -> "
+                        "batched dense LU (implies a direct local solver)")
+    p.add_argument("--local_reordering", default="none",
+                   choices=["none", "rcm_reordering", "metis_reordering"],
+                   help="reference knob; dense MXU factorization has no "
+                        "fill-in, so reorderings are moot — any non-default "
+                        "value prints a notice and is otherwise inert "
+                        "BY DESIGN (cf. COVERAGE.md C13)")
+    p.add_argument("--factor_ordering_natural", action="store_true",
+                   help="reference knob; moot for dense factors (see "
+                        "--local_reordering)")
+    p.add_argument("--enable_debug_write", action="store_true",
+                   help="reference alias: debug dumps (Settings."
+                        "write_debug_out)")
     # communication (bench_base.hpp:97-130)
     p.add_argument("--enable_onesided", action="store_true")
+    p.add_argument("--enable_twosided", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="reference flag: --no-enable_twosided selects the "
+                        "one-sided paradigm (same as --enable_onesided)")
     p.add_argument("--free_running", action="store_true",
                    help="TRUE asynchronous mode: multi-iteration Pallas RDMA "
                         "kernel, devices iterate at independent rates with "
@@ -241,6 +272,40 @@ def settings_from_args(args):
             f"(choose from {', '.join(sorted(solver_alias))})"
         )
     local_solver = solver_alias[args.local_solver]
+    if args.local_factorization is not None:
+        # reference alias: the factorization choice IS the direct flavor
+        # here (dense Cholesky / dense LU on the MXU)
+        local_solver = (LocalSolver.direct_cholesky
+                        if args.local_factorization == "cholmod"
+                        else LocalSolver.direct_lu)
+    if args.local_reordering != "none" or args.factor_ordering_natural:
+        print(
+            "note: local reordering flags are moot here — local factors are "
+            "batched DENSE Cholesky/LU on the MXU (no fill-in, no ordering "
+            "dimension); the flags are accepted for reference-script parity "
+            "only (COVERAGE.md C13)",
+            file=sys.stderr,
+        )
+    if args.local_precond != "null":
+        from schwarz_tpu.exceptions import NotImplementedFeature
+
+        if args.local_precond in ("ilu", "parilu"):
+            raise NotImplementedFeature(
+                "ParILU/ILU applies are two sparse triangular SOLVES per "
+                "iteration — level-scheduled pointer chasing with no "
+                "TPU-efficient form; use --local_precond isai (mapped to "
+                "FSAI, the SPD-safe factorized approximate inverse: same "
+                "role, applied as two SpMVs)"
+            )
+        if args.local_precond == "isai":
+            print("note: isai maps to FSAI — the factorized (SPD-safe) "
+                  "variant of the same approximate-inverse role",
+                  file=sys.stderr)
+        args.use_precond = True
+        args.precond = {"jacobi": "jacobi", "block-jacobi": "block-jacobi",
+                        "isai": "fsai", "fsai": "fsai"}[args.local_precond]
+    if not args.enable_twosided:
+        args.enable_onesided = True
     if args.problem == "fem_advection":
         # the SUPG advection operator is non-symmetric by construction
         args.non_symmetric_matrix = True
@@ -294,6 +359,7 @@ def settings_from_args(args):
         tolerance=args.set_tol,
         local_tolerance=args.local_tol,
         local_max_iters=args.local_max_iters,
+        write_debug_out=args.enable_debug_write,
         comm=CommSettings(
             onesided=args.enable_onesided,
             overlap_comm=args.enable_overlap,

@@ -95,3 +95,30 @@ def test_disable_global_check_selects_allreduce():
     assert s.convergence.method == GlobalConvergence.allreduce
     s2 = _settings([])
     assert s2.convergence.method == GlobalConvergence.allgather
+
+
+def test_reference_alias_flags():
+    # the reference's own flag names (bench_base.hpp:61-140) port verbatim
+    from schwarz_tpu.config import LocalSolver, Precond
+
+    s = _settings(["--local_precond", "isai"])
+    assert s.precond == Precond.fsai
+    s = _settings(["--local_precond", "block-jacobi"])
+    assert s.precond == Precond.block_jacobi
+    s = _settings(["--local_factorization", "umfpack"])
+    assert s.local_solver == LocalSolver.direct_lu
+    s = _settings(["--local_factorization", "cholmod"])
+    assert s.local_solver == LocalSolver.direct_cholesky
+    s = _settings(["--no-enable_twosided"])
+    assert s.comm.onesided
+    s = _settings(["--enable_debug_write"])
+    assert s.write_debug_out
+
+
+def test_reference_alias_parilu_raises():
+    import pytest
+
+    from schwarz_tpu.exceptions import NotImplementedFeature
+
+    with pytest.raises(NotImplementedFeature, match="FSAI"):
+        _settings(["--local_precond", "parilu"])
