@@ -143,6 +143,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--enable_debug_write", action="store_true",
                    help="reference alias: debug dumps (Settings."
                         "write_debug_out)")
+    p.add_argument("--num_threads", type=int, default=1,
+                   help="reference knob (threads bound per MPI process for "
+                        "MPI_THREAD_MULTIPLE); here XLA owns all host "
+                        "threading — values > 1 print a notice")
+    p.add_argument("--stage_through_host", action="store_true",
+                   help="reference knob (host-staged halo copies for "
+                        "non-CUDA-aware MPI); raises NotImplementedFeature "
+                        "with the TPU rationale (device buffers ARE the "
+                        "transport; no host staging exists to emulate)")
     # communication (bench_base.hpp:97-130)
     p.add_argument("--enable_onesided", action="store_true")
     p.add_argument("--enable_twosided", action=argparse.BooleanOptionalAction,
@@ -166,7 +175,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "staleness > 1")
     p.add_argument("--async_ninner", type=int, default=16,
                    help="inner CG iterations per free-running outer iteration")
-    p.add_argument("--enable_overlap", action="store_true",
+    p.add_argument("--enable_overlap", "--enable_comm_overlap",
+                   action="store_true",
                    help="overlap communication with computation")
     p.add_argument("--enable_put_all_local_residual_norms", action="store_true")
     p.add_argument("--enable_comm_overlap_staleness", type=int, default=1,
@@ -223,7 +233,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dump the subdomain permutation to perm.csv")
     p.add_argument("--timings_file", default="null")
     p.add_argument("--print_config", action="store_true", default=True)
-    p.add_argument("--debug_print", action="store_true")
+    p.add_argument("--debug_print", "--debug", action="store_true",
+                   help="debug prints + expensive validation checks (the reference's --debug role)")
     p.add_argument("--instrument", action="store_true",
                    help="per-stage timing (unfused loop; slower)")
     p.add_argument("--profile_dir", default=None,
@@ -306,6 +317,13 @@ def settings_from_args(args):
                         "isai": "fsai", "fsai": "fsai"}[args.local_precond]
     if not args.enable_twosided:
         args.enable_onesided = True
+    if args.num_threads > 1:
+        print(
+            "note: --num_threads is the reference's MPI thread-binding "
+            "knob; XLA owns all host threading here — the value is "
+            "accepted for script parity and has no effect",
+            file=sys.stderr,
+        )
     if args.problem == "fem_advection":
         # the SUPG advection operator is non-symmetric by construction
         args.non_symmetric_matrix = True
@@ -373,6 +391,7 @@ def settings_from_args(args):
             flush_type=args.flush_type,
             lock_type=args.lock_type,
             fresh_read=args.fresh_read,
+            stage_through_host=args.stage_through_host,
         ),
         convergence=ConvergenceSettings(
             method=method,

@@ -122,3 +122,20 @@ def test_reference_alias_parilu_raises():
 
     with pytest.raises(NotImplementedFeature, match="FSAI"):
         _settings(["--local_precond", "parilu"])
+
+
+def test_reference_flag_surface_complete():
+    # EVERY gflag the reference defines (bench_base.hpp DEFINE_*) must be
+    # accepted by our parser under its exact name (behavior or a loud
+    # raise — never an unknown-argument error)
+    import re
+
+    from schwarz_tpu.cli import build_parser
+
+    src = open("/root/reference/benchmarking/bench_base.hpp").read()
+    ref_flags = set(re.findall(r"DEFINE_\w+\((\w+)", src))
+    p = build_parser()
+    known = {a.lstrip("-").replace("-", "_")
+             for action in p._actions for a in action.option_strings}
+    missing = sorted(f for f in ref_flags if f not in known)
+    assert not missing, f"reference flags without a CLI mirror: {missing}"
