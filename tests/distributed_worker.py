@@ -78,4 +78,29 @@ for p in range(S):
 resid = dec.global_rhs - dec.global_matrix.to_scipy() @ x_perm
 rel = float(np.linalg.norm(resid) / np.linalg.norm(dec.global_rhs))
 assert rel < 1e-5, rel
-print(f"WORKER_OK rel={rel:.3e} iters={it}", flush=True)
+
+# two-level with the DISTRIBUTED CG coarse solve: the row-sharded Galerkin
+# matvec all_gathers the coefficient vector ACROSS PROCESSES and the psum
+# dots ride the distributed runtime — the scalable coarse mode proven on a
+# genuinely multi-controller mesh
+s2 = s.replace(two_level=True, coarse_aggregates=2,
+               coarse_space="spectral", coarse_solver="cg")
+dec2 = decompose(A, b, s2, S)
+solver2 = RASolver(dec2, mesh=mesh)
+st2 = solver2.init_state()
+final2 = solver2._run_fn(solver2._plan, st2)
+assert int(final2["nconv"]) >= S
+it2 = int(final2["it"])
+x2 = multihost_utils.process_allgather(final2["x_own"], tiled=True)
+x2 = np.asarray(x2).reshape(S, -1)
+x2_perm = np.zeros(dec2.meta.global_size)
+for p in range(S):
+    lo, hi = dec2.first_row[p], dec2.first_row[p + 1]
+    x2_perm[lo:hi] = x2[p, : hi - lo]
+resid2 = dec2.global_rhs - dec2.global_matrix.to_scipy() @ x2_perm
+rel2 = float(np.linalg.norm(resid2) / np.linalg.norm(dec2.global_rhs))
+assert rel2 < 1e-5, rel2
+assert it2 <= it, (it2, it)   # the coarse space must not slow it down
+
+print(f"WORKER_OK rel={rel:.3e} iters={it} rel2={rel2:.3e} iters2={it2}",
+      flush=True)
