@@ -310,7 +310,8 @@ class Settings:
     # classical; scripts/probe_oras_twolevel.py).  Pass an explicit float
     # to tune per problem.  Also honored by the free-running kernels
     # (preconditioner form on the in-kernel correction CG; measured
-    # 384 -> 128 detection rounds at 64^2/8 strips, c=-0.8).
+    # 384 -> 128 detection rounds at 64^2/8 strips with one-grid-row
+    # overlap, c=-0.8 — see the BENCHMARKING.md overlap-regime table).
     oras_weight: object = 0.0   # float, or the string "auto"
     # Two-level RAS: additive Nicolaides (piecewise-constant per subdomain)
     # coarse correction each iteration.  BEYOND the reference (which is

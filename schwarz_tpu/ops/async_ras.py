@@ -139,7 +139,14 @@ def build_async_plan(mat, rhs, num_subdomains: int, overlap: int,
 
     R = _round_up(_round_up(N, S) // S, 128)
     Np = S * R
-    ovp = _round_up(max(overlap, 1), 64)
+    # one BFS level of a banded operator reaches ``bw`` flattened rows
+    # (one grid row of a 5-point stencil), so the requested ``overlap``
+    # (BFS levels — the sync path's / reference's semantics) spans
+    # overlap*bw rows.  Counting it in flattened rows made "overlap 2" at
+    # n=128 HALF a grid row — degenerate overlap that the classical
+    # iteration survives slowly and O-RAS destabilizes (measured
+    # divergence at 128^2/8; converges after this fix).
+    ovp = _round_up(max(overlap, 1) * bw, 64)
     hw = _round_up(ovp + bw, 128)
     if hw > R:
         raise NotImplementedFeature(

@@ -1871,7 +1871,8 @@ def make_free_running_solver(mat, rhs, num_subdomains, settings,
     # O-RAS Robin transmission in the free-running kernels (preconditioner
     # form: the in-kernel correction CG runs on A_dom + c*D_drop, the
     # residual keeps the true A).  Measured (interpret, 64^2/8 strips,
-    # tol 1e-4): 384 -> 128 detection rounds at c=-0.8.
+    # one-grid-row overlap, tol 1e-4): 384 -> 128 detection rounds at
+    # c=-0.8; the optimal |c| shrinks as overlap deepens.
     if settings.oras_weight == "auto":
         oras_c = -0.6 if settings.two_level else -0.8
     else:
