@@ -85,11 +85,15 @@ def async_model(S: int, rows_per_dev: int = 2048, ninner: int = 10,
         rounds = int(info["rounds"]) if info["converged"] else -1
         # two-level asynchronous Schwarz (spectral coarse corrections at
         # the refinement restarts): the coarse space bounds the round
-        # growth the one-level method suffers as the diameter grows
-        s2 = AsyncRASolver(A, b, num_subdomains=S, overlap=2, tolerance=1e-2,
-                           staleness=1, ninner=ninner, chunk_rounds=8,
+        # growth the one-level method suffers as the diameter grows.
+        # Tuned recipe (measured at S=8: 512 -> 64 rounds vs q=8/tight):
+        # strong per-subdomain coarse space (q=32), LOOSE in-band
+        # tolerance (1e-1 — the kernel only contracts high-frequency
+        # error between coarse solves), restarts every 16 rounds.
+        s2 = AsyncRASolver(A, b, num_subdomains=S, overlap=2, tolerance=1e-1,
+                           staleness=1, ninner=ninner, chunk_rounds=16,
                            interpret=True, oras_weight=oras)
-        _, info2 = s2.run_refined(tol=3e-3, max_rounds=2400, coarse_q=8)
+        _, info2 = s2.run_refined(tol=3e-3, max_rounds=2400, coarse_q=32)
         rounds_2l = int(info2["rounds"]) if info2["converged"] else -1
         plan = s.plan
     else:
