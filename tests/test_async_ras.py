@@ -319,3 +319,43 @@ def test_async_checkpoint_resume(tmp_path):
     assert info_res["converged"]
     np.testing.assert_allclose(x_res, x_full, atol=1e-5)
     assert info_full["comm_bytes_per_device"] > 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_async_random_banded_refined(seed):
+    # random banded SPD matrices with ASYMMETRIC offset sets through the
+    # free-running kernel + refinement restarts: exercises the BFS-level
+    # overlap geometry (ovp = overlap * bandwidth) on irregular bands —
+    # the degenerate-overlap regression surface (fixed 2026-08-18)
+    import scipy.sparse as sp
+
+    from schwarz_tpu.models import CSRMatrix
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(200, 500))
+    offs = sorted(set([0] + list(
+        rng.integers(-12, 13, size=int(rng.integers(2, 6))).tolist()
+    )))
+    rows, cols, vals = [], [], []
+    for o in offs:
+        i = np.arange(max(0, -o), min(n, n - o))
+        rows.append(i)
+        cols.append(i + o)
+        vals.append(rng.uniform(0.1, 1.0, i.size) * (-1 if o else 1))
+    M = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n),
+    ).tocsr()
+    M = 0.5 * (M + M.T)
+    M = M + sp.diags(np.abs(M).sum(axis=1).A1 + 0.5)
+    A = CSRMatrix.from_scipy(M.tocsr())
+    b = rng.standard_normal(n)
+    s = AsyncRASolver(A, b, num_subdomains=int(rng.choice([2, 4])),
+                      overlap=int(rng.integers(1, 4)), tolerance=1e-3,
+                      staleness=1, ninner=10, chunk_rounds=8,
+                      oras_weight=float(rng.choice([0.0, -0.6])))
+    x, info = s.run_refined(tol=1e-8, max_rounds=400)
+    assert info["converged"], (seed, info)
+    x_ref = spla.spsolve(M.tocsc(), b)
+    err = np.abs(x - x_ref).max() / np.abs(x_ref).max()
+    assert err < 1e-6, (seed, err)
