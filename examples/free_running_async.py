@@ -51,3 +51,29 @@ err64 = np.linalg.norm(x64 - x_ref) / np.linalg.norm(x_ref)
 print(f"refined ({rinfo['restarts']} restarts): "
       f"true residual {rinfo['relative_residual_norm']:.3e}, "
       f"error vs direct {err64:.3e}")
+
+# --- O-RAS Robin transmission inside the kernel ------------------------------
+# The correction solves run on A_dom + c*D_drop (the standard O-RAS
+# preconditioner form) while the residual keeps the true A: same fixed
+# point, fewer detection rounds — the gain is largest when the overlap is
+# thin (BENCHMARKING.md regime table: 384 -> 128 rounds at one grid row).
+oras = AsyncRASolver(A, b, num_subdomains=4, overlap=1, tolerance=1e-5,
+                     staleness=2, ninner=20, chunk_rounds=10,
+                     oras_weight=-0.8)
+_, oinfo = oras.run(max_rounds=300)
+classical = AsyncRASolver(A, b, num_subdomains=4, overlap=1, tolerance=1e-5,
+                          staleness=2, ninner=20, chunk_rounds=10)
+_, cinfo = classical.run(max_rounds=300)
+print(f"thin-overlap rounds:    classical {cinfo['rounds']} vs "
+      f"O-RAS {oinfo['rounds']}")
+
+# --- non-symmetric operators: in-kernel Jacobi-BiCGStab ----------------------
+from schwarz_tpu.models.fem import advection_diffusion_2d
+
+An = advection_diffusion_2d(24)
+bn = generate_rhs(An.n, random=False)
+nonsym = AsyncRASolver(An, bn, num_subdomains=4, overlap=2, tolerance=1e-4,
+                       staleness=1, ninner=10, chunk_rounds=8, nonsym=True)
+xn, ninfo = nonsym.run(max_rounds=400)
+print(f"advection (BiCGStab):   converged={ninfo['converged']}, "
+      f"true residual {ninfo['relative_residual_norm']:.3e}")
