@@ -68,7 +68,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -157,7 +157,6 @@ def build_async_plan(mat, rhs, num_subdomains: int, overlap: int,
     # global DIA on the padded row space; padding rows get identity diagonals
     gdia = np.zeros((K, Np), dtype=np.float32)
     off_pos = {o: k for k, o in enumerate(offsets)}
-    cols_ok = diffs + rows_of  # == col_idxs
     for k, o in enumerate(offsets):
         sel = diffs == o
         gdia[k, rows_of[sel]] = mat.values[sel]
@@ -167,7 +166,6 @@ def build_async_plan(mat, rhs, num_subdomains: int, overlap: int,
         raise NotImplementedFeature(
             "async kernel requires a nonzero main diagonal"
         )
-    del cols_ok
     gb = np.zeros(Np, dtype=np.float32)
     gb[:N] = np.asarray(rhs, np.float32)
 
@@ -738,6 +736,21 @@ class AsyncRASolver:
         self.interpret = interpret
 
         p = self.plan
+        # VMEM budget gate (~16 MiB/core on v5e): inputs + CG temps + the
+        # four data slot rings must all be resident; fail with the recipe
+        # instead of an opaque Mosaic allocation error
+        K = len(p.offsets)
+        M = 2 * max(staleness, 1) + 2
+        msg_rows = p.hw + 8 * 128
+        est = (self.Sl * p.total * 4 * (K + 9)
+               + 4 * M * msg_rows * 4 + 4 * M * 8 * 128 * 4)
+        if not interpret and est > 14 << 20:
+            raise NotImplementedFeature(
+                f"free-running instance needs ~{est >> 20} MiB VMEM "
+                f"(> 14 MiB): {self.Sl} windows x {p.total} rows x "
+                f"{K} diagonals per device — use more devices, fewer/"
+                "smaller subdomains, or the bounded-staleness emulation"
+            )
         kern = functools.partial(
             async_ras_rounds,
             offsets=p.offsets, total=p.total, hw=p.hw,
@@ -802,6 +815,12 @@ class AsyncRASolver:
         np.savez_compressed(path, *[np.asarray(a) for a in state])
 
     def load_checkpoint(self, path: str):
+        import os
+
+        # np.savez_compressed appends .npz to a suffix-less path; accept
+        # the same path back (save/load symmetry)
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"
         data = np.load(path)
         return tuple(jnp.asarray(data[f"arr_{i}"]) for i in range(5))
 

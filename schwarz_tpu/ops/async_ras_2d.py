@@ -638,7 +638,20 @@ class AsyncRASolver2D:
                  ninner: int = 16, chunk_rounds: int = 16,
                  mesh=None, interpret: Optional[bool] = None,
                  fresh_read: bool = False, oras_weight: float = 0.0,
-                 nonsym: bool = False):
+                 nonsym: bool = False, overlap: Optional[int] = None):
+        # this kernel's overlap is FIXED by the halo tile geometry:
+        # (HX-1, HY-1) = (63, 7) grid cells.  A larger request cannot be
+        # honored — raise so the dispatch falls through to the 1-D banded
+        # kernel, which honors arbitrary overlap (no silently inert knobs).
+        # Smaller requests get MORE overlap than asked, which is a valid
+        # (at-least-as-convergent) RAS.
+        if overlap is not None and overlap > HY - 1:
+            raise NotImplementedFeature(
+                f"the 2-D free-running kernel provides a fixed "
+                f"({HX - 1}, {HY - 1})-cell overlap; requested overlap "
+                f"{overlap} exceeds it — the 1-D banded kernel honors "
+                "arbitrary overlap"
+            )
         from jax.sharding import PartitionSpec as P
 
         from schwarz_tpu.parallel.mesh import SUBD_AXIS, make_mesh
@@ -677,7 +690,7 @@ class AsyncRASolver2D:
         M = 2 * max(staleness, 1) + 2
         est = 4 * (16 * FY * FX + 4 * M * ((FY + 8) * 128
                                            + (HY + 8) * FX))
-        if est > 100 * 2 ** 20:
+        if est > 14 * 2 ** 20:
             raise NotImplementedFeature(
                 f"folded {ply}x{plx} window tile needs ~{est >> 20} MiB "
                 "VMEM; use more devices or the staleness emulation"
@@ -766,6 +779,12 @@ class AsyncRASolver2D:
         np.savez_compressed(path, *[np.asarray(a) for a in state])
 
     def load_checkpoint(self, path: str):
+        import os
+
+        # np.savez_compressed appends .npz to a suffix-less path; accept
+        # the same path back (save/load symmetry)
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"
         data = np.load(path)
         return tuple(jnp.asarray(data[f"arr_{i}"]) for i in range(3))
 

@@ -738,6 +738,12 @@ class AsyncGeneralRASolver:
         np.savez_compressed(path, *[np.asarray(a) for a in state])
 
     def load_checkpoint(self, path: str):
+        import os
+
+        # np.savez_compressed appends .npz to a suffix-less path; accept
+        # the same path back (save/load symmetry)
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"
         data = np.load(path)
         return tuple(jnp.asarray(data[f"arr_{i}"]) for i in range(4))
 

@@ -139,7 +139,7 @@ def dia_ell_spmv(
     if use_pallas:
         from schwarz_tpu.ops.pallas_kernels import dia_spmv_supported
 
-        use_pallas_now = dia_spmv_supported(R, x.dtype)
+        use_pallas_now = dia_spmv_supported(R, x.dtype) and len(offsets) > 0
     if use_pallas_now:
         from schwarz_tpu.ops.pallas_kernels import dia_spmv_pallas2d
 

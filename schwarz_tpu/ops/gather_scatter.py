@@ -62,23 +62,26 @@ def scatter_values(
     """into[idx[i]] op= from[i] for i < num (reference scatter.hpp:82-120)."""
     n = idx.shape[0]
     vals = from_arr[:n]
+    N_into = into_arr.shape[0]
     if num is not None:
         mask = jnp.arange(n) < num
-        # masked entries scatter to a harmless slot with no-op value
-        idx = jnp.where(mask, idx, idx[0])
+        # masked entries scatter to a SCRATCH slot past the array end
+        # (redirecting them to idx[0] would create duplicate .at[].set
+        # writes to a live slot — jnp documents duplicate-set ordering as
+        # undefined, so the real write could be nondeterministically lost)
+        idx = jnp.where(mask, idx, N_into)
+        into_pad = jnp.pad(into_arr, [(0, 1)] + [(0, 0)] * (into_arr.ndim - 1))
+    else:
+        into_pad = into_arr
     if op == GatherOp.copy:
-        if num is not None:
-            return into_arr.at[idx].set(jnp.where(mask, vals, into_arr[idx]))
-        return into_arr.at[idx].set(vals)
+        return into_pad.at[idx].set(vals)[:N_into]
     if op == GatherOp.add:
         vals = jnp.where(mask, vals, 0.0) if num is not None else vals
-        return into_arr.at[idx].add(vals)
+        return into_pad.at[idx].add(vals)[:N_into]
     if op == GatherOp.diff:
         vals = jnp.where(mask, vals, 0.0) if num is not None else vals
-        return into_arr.at[idx].add(-vals)
+        return into_pad.at[idx].add(-vals)[:N_into]
     # avg: into[idx] = (into[idx] + from) / 2
-    cur = into_arr[idx]
+    cur = into_pad[idx]
     new = (cur + vals) * 0.5
-    if num is not None:
-        new = jnp.where(mask, new, cur)
-    return into_arr.at[idx].set(new)
+    return into_pad.at[idx].set(new)[:N_into]

@@ -1922,7 +1922,7 @@ def make_free_running_solver(mat, rhs, num_subdomains, settings,
                     staleness=staleness, ninner=ninner,
                     chunk_rounds=chunk_rounds, mesh=mesh,
                     fresh_read=fresh_read, oras_weight=oras_c,
-                    nonsym=nonsym,
+                    nonsym=nonsym, overlap=settings.overlap,
                 ), refine
             except (NotImplementedFeature, ValueError):
                 pass

@@ -1,22 +1,21 @@
 #!/usr/bin/env python
-"""TPU probe: the 1M-row/1e-8 flagship through the FREE-RUNNING kernel.
+"""TPU probe: free-running vs synchronous RAS, single-chip head-to-head.
 
-The sync record (probe_spectral_flagship.py) is 6.6 s warm: stationary
-two-level spectral q=64, each outer iteration streaming the operator from
-HBM plus dispatch overhead.  The free-running kernel holds the ENTIRE
-decomposed state in VMEM (16 windows x ~70k rows x f32 ~ 60 MB on a
-128 MB v5e) and runs whole chunks of outer rounds per launch — per-round
-cost is VPU-bound (~0.4 ms analytic), so if the tuned two-level restart
-recipe needs O(100) rounds the async path could beat the sync record by
-multiples.
+VMEM (~16 MiB/core on v5e) bounds the free-running kernel's resident
+state, so the largest single-chip instance is ~150k rows (the 1M flagship
+is a MULTI-CHIP async story: 16 chips x 65k rows/chip needs only ~4.5 MiB
+each, validated on the virtual mesh / dryrun).  This probe runs the
+largest VMEM-fitting problem both ways at 1e-8:
 
-Config: 1024^2 Poisson, 16 regular strips (the 1-D banded kernel's
-layout), overlap 1 BFS level (= 1024 rows), O-RAS c=-0.8, loose 1e-1
-in-band tolerance, spectral coarse q=64 at the refinement restarts,
-f64 accuracy via iterative-refinement restarts to 1e-8.
+  - async: free-running kernel, O-RAS c=-0.8, two-level restarts
+    (spectral coarse q=64 between launches, loose 1e-1 in-band tolerance
+    — the tuned recipe; 256^2/16 interpret validation: 144 rounds,
+    8 restarts, 1.05e-9),
+  - sync: the stationary two-level spectral path (the flagship recipe of
+    probe_spectral_flagship.py at this size).
 
-Run on the TPU (default env), one process at a time; first compile of
-the big kernel may take many minutes.
+Run on the TPU (default env), one process at a time; the async kernel's
+first compile may take many minutes.
 """
 
 import json
@@ -24,14 +23,21 @@ import time
 
 import jax
 
-from schwarz_tpu import generate_rhs, laplacian_2d
+from schwarz_tpu import Settings, generate_rhs, laplacian_2d
+from schwarz_tpu.config import Partition, Precond
+from schwarz_tpu.core.decompose import decompose
 from schwarz_tpu.ops.async_ras import AsyncRASolver
 from schwarz_tpu.parallel.mesh import make_mesh
+from schwarz_tpu.ras import RASolver
+
+N1D = 384          # 147k rows: ~9 MiB resident with 16 strip windows
 
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
-    A = laplacian_2d(1024)
+    A = laplacian_2d(N1D)
     b = generate_rhs(A.n)
+
+    # ---- async: free-running + two-level restarts -----------------------
     t0 = time.time()
     s = AsyncRASolver(
         A, b, num_subdomains=16, overlap=1, tolerance=1e-1,
@@ -40,26 +46,42 @@ if __name__ == "__main__":
         oras_weight=-0.8,
     )
     setup_s = time.time() - t0
-    p = s.plan
-    vmem_mb = (p.S * p.total * 4 * (len(p.offsets) + 9)) >> 20
-    print(json.dumps({"setup_s": round(setup_s, 1), "R": p.R, "hw": p.hw,
-                      "total": p.total, "est_vmem_mb": vmem_mb}), flush=True)
-    # cold run (compile) — a short chunk bound
+    print(json.dumps({"async_setup_s": round(setup_s, 1), "R": s.plan.R,
+                      "total": s.plan.total}), flush=True)
     t0 = time.time()
     _, info0 = s.run_refined(tol=1e-8, max_restarts=2, max_rounds=64,
                              coarse_q=64)
-    print(json.dumps({"cold_s": round(time.time() - t0, 1),
-                      "cold_rounds": int(info0["rounds"]),
-                      "cold_rel": float(info0["relative_residual_norm"])}),
+    print(json.dumps({"async_cold_s": round(time.time() - t0, 1)}),
           flush=True)
-    # warm full solve to 1e-8
     t0 = time.time()
     x, info = s.run_refined(tol=1e-8, max_restarts=20, max_rounds=2000,
                             coarse_q=64)
     print(json.dumps({
-        "warm_wall_s": round(time.time() - t0, 1),
+        "async_warm_s": round(time.time() - t0, 1),
         "rounds": int(info["rounds"]),
         "restarts": int(info.get("restarts", -1)),
         "converged": bool(info["converged"]),
         "rel": float(info["relative_residual_norm"]),
+    }), flush=True)
+
+    # ---- sync: stationary two-level spectral (flagship recipe) ----------
+    t0 = time.time()
+    s2 = Settings(
+        partition=Partition.regular2d, overlap=6, tolerance=1e-8,
+        max_iters=3000, dtype="float64", local_compute_dtype="float32",
+        local_tolerance=1e-2, local_max_iters=30,
+        precond=Precond.block_jacobi, block_jacobi_block_size=32,
+        row_pad_multiple=128, two_level=True, coarse_space="spectral",
+        coarse_aggregates=64,
+    )
+    solver = RASolver(decompose(A, b, s2, 16))
+    sync_setup = time.time() - t0
+    solver.run(chunk_iters=40)
+    t0 = time.time()
+    r = solver.run(chunk_iters=40)
+    print(json.dumps({
+        "sync_setup_s": round(sync_setup, 1),
+        "sync_warm_s": round(time.time() - t0, 1),
+        "sync_iters": int(r.iters), "sync_converged": bool(r.converged),
+        "sync_rel": float(r.relative_residual_norm),
     }), flush=True)
