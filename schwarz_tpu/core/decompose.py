@@ -184,9 +184,20 @@ def decompose(
     # explicit indices or weighted blocks go through the general (stable
     # argsort) path, which handles any contiguous or scattered partition
     if settings.partition == Partition.regular and S > 1 and not custom_blocks:
-        # contiguous blocks: identity permutation, nb-sized blocks
+        # contiguous blocks: identity permutation, nb-sized blocks; when the
+        # reference's ceil formula would empty trailing parts, fall back to
+        # the balanced split of partition_regular_1d (same fix there)
         nb = -(-N // S)
-        first_row = np.minimum(np.arange(S + 1, dtype=np.int64) * nb, N)
+        if (S - 1) * nb >= N:
+            from schwarz_tpu.core.partition import partition_regular_1d
+
+            sizes = np.bincount(
+                partition_regular_1d(N, S), minlength=S
+            ).astype(np.int64)
+            first_row = np.zeros(S + 1, dtype=np.int64)
+            first_row[1:] = np.cumsum(sizes)
+        else:
+            first_row = np.minimum(np.arange(S + 1, dtype=np.int64) * nb, N)
         perm = np.arange(N, dtype=np.int64)
         iperm = perm
         mat_p = mat
@@ -198,7 +209,12 @@ def decompose(
         perm = np.argsort(partition_indices, kind="stable").astype(np.int64)
         iperm = np.empty(N, dtype=np.int64)
         iperm[perm] = np.arange(N, dtype=np.int64)
-        mat_p = _permute_matrix(mat, perm, iperm) if S > 1 else mat
+        # identity permutation (weighted regular-1D blocks, pre-sorted
+        # custom indices): skip the O(nnz) gather + per-row lexsort copy
+        if S > 1 and not np.array_equal(perm, np.arange(N, dtype=np.int64)):
+            mat_p = _permute_matrix(mat, perm, iperm)
+        else:
+            mat_p = mat
     rhs_p = np.asarray(rhs, dtype=dtype)[perm]
 
     row_ptrs, col_idxs, values = mat_p.row_ptrs, mat_p.col_idxs, mat_p.values

@@ -43,6 +43,23 @@ def partition_regular_1d(
     """
     if cell_weights is None:
         nb = -(-n // nparts)
+        if (nparts - 1) * nb >= n:
+            # the reference's ceil-block formula would leave trailing
+            # subdomains EMPTY (e.g. n=9, S=4 -> 3,3,3,0) — its own ranks
+            # would misbehave there too; balanced split instead
+            # (strictly-a-fix deviation; sizes differ by at most one)
+            if n < nparts:
+                from schwarz_tpu.exceptions import PartitionError
+
+                raise PartitionError(
+                    f"cannot split {n} rows into {nparts} non-empty parts"
+                )
+            base, extra = divmod(n, nparts)
+            sizes = np.full(nparts, base, dtype=np.int64)
+            sizes[:extra] += 1
+            return np.repeat(
+                np.arange(nparts, dtype=np.int32), sizes
+            )
         return np.minimum(
             np.arange(n, dtype=np.int64) // nb, nparts - 1
         ).astype(np.int32)
@@ -154,7 +171,9 @@ def _refine_boundary(row_ptrs, col_idxs, vertices, mask0, rounds: int = 8):
     side[vertices] = 1
     side[vertices[mask0]] = 0
     target0 = int(mask0.sum())
-    lo, hi = int(target0 * 0.98), int(np.ceil(target0 * 1.02))
+    # lo >= 1: a tiny part (target0 == 1) must never be emptied — an empty
+    # part crashes decompose downstream
+    lo, hi = max(1, int(target0 * 0.98)), int(np.ceil(target0 * 1.02))
     size0 = target0
     for _ in range(rounds):
         gidx = _csr_row_gather(row_ptrs, vertices)
@@ -278,12 +297,14 @@ def _bisect_multilevel(
     )
     weights = fine_w
     w_levels = [fine_w]
+    graphs = [(ptr, cols)]          # per-level graphs, reused at uncoarsening
     while cur_ptr.shape[0] - 1 > 200:
         cmap, nc = _heavy_edge_matching(cur_ptr, cur_cols, weights)
         if nc >= cur_ptr.shape[0] - 1:   # no contraction possible
             break
         levels.append(cmap)
         cur_ptr, cur_cols = _coarsen(cur_ptr, cur_cols, cmap, nc)
+        graphs.append((cur_ptr, cur_cols))
         w_new = np.zeros(nc, dtype=np.int64)
         np.add.at(w_new, cmap, weights)
         weights = w_new
@@ -317,11 +338,8 @@ def _bisect_multilevel(
             if best_cut is None or cut < best_cut:
                 best_cut, side = cut, m0
 
-    # uncoarsen + refine (level graphs rebuilt by contracting from the fine end)
-    graphs = [(ptr, cols)]
-    for m in levels:
-        nc = int(m.max()) + 1
-        graphs.append(_coarsen(*graphs[-1], m, nc))
+    # uncoarsen + refine (the per-level graphs were kept from coarsening —
+    # rebuilding them here would double the contraction cost)
     # balance refinement on counts (reference behavior) or weights
     wl = (lambda i: None) if vweights is None else (lambda i: w_levels[i])
     for idx in reversed(range(len(levels))):
@@ -432,8 +450,27 @@ def _refine_side(ptr, cols, side, target_frac, rounds: int = 24,
     deg = np.diff(ptr)
     rows = np.repeat(np.arange(n, dtype=np.int64), deg)
     # restore balance first if coarse-level granularity left us outside the
-    # window: move best-gain vertices from the heavy side regardless of sign
-    while size0 < lo or size0 > hi:
+    # window: move best-gain vertices from the heavy side regardless of
+    # sign.  Bounded and oscillation-guarded: a single vertex weight wider
+    # than the balance window can never land inside it — it would bounce
+    # between the sides forever, so break on a revisited size (keeping the
+    # closest achievable balance) rather than hang.
+    seen_sizes = set()
+    best_side, best_dist = None, None
+
+    def _track_best():
+        nonlocal best_side, best_dist
+        n0 = int(side.sum())
+        if 0 < n0 < n:                       # both sides non-empty
+            dist = abs(size0 - target0)
+            if best_dist is None or dist < best_dist:
+                best_side, best_dist = side.copy(), dist
+
+    _track_best()
+    for _ in range(64):
+        if lo <= size0 <= hi or size0 in seen_sizes:
+            break
+        seen_sizes.add(size0)
         gain = np.zeros(n, dtype=np.int64)
         np.add.at(gain, rows, np.where(side[rows] == side[cols], -1, 1))
         from_side = size0 > hi
@@ -450,6 +487,14 @@ def _refine_side(ptr, cols, side, target_frac, rounds: int = 24,
         side[movers] = not from_side
         mw = movers.size if w is None else int(w[movers].sum())
         size0 += (1 if not from_side else -1) * mw
+        _track_best()
+    # if the loop ended outside the window (oscillation / exhaustion),
+    # restore the closest configuration that keeps both sides non-empty —
+    # an empty side crashes the decomposition downstream
+    n0_cur = int(side.sum())
+    if (not lo <= size0 <= hi or n0_cur in (0, n)) and best_side is not None:
+        side = best_side
+        size0 = int(side.sum()) if w is None else int(w[side].sum())
     # Fiduccia–Mattheyses passes: sequential boundary moves with incremental
     # gain updates, hill-climbing (negative-gain moves allowed) with rollback
     # to the best prefix, each vertex moved at most once per pass.  This is
@@ -576,6 +621,17 @@ def partition_metis(
             )
         stack.append((vertices[mask0], base, k0))
         stack.append((vertices[~mask0], base + k0, k - k0))
+    # repair pass: a degenerate bisection (tiny subsets, star graphs, a
+    # dominant weight) can leave a part empty — every part must own at
+    # least one row or the decomposition crashes downstream.  Steal one
+    # vertex from the currently largest part per empty part.
+    counts = np.bincount(part, minlength=nparts)
+    for p_empty in np.nonzero(counts == 0)[0]:
+        donor = int(np.argmax(counts))
+        vs = np.nonzero(part == donor)[0]
+        part[vs[-1]] = p_empty
+        counts[donor] -= 1
+        counts[p_empty] += 1
     return part
 
 

@@ -58,3 +58,11 @@ def assert_valid_partition(partition_indices: np.ndarray, nparts: int) -> None:
             f"partition indices out of range [0, {nparts}): "
             f"min={p.min()}, max={p.max()}"
         )
+    counts = np.bincount(p, minlength=nparts)
+    if (counts == 0).any():
+        empty = np.nonzero(counts == 0)[0]
+        raise PartitionError(
+            f"empty subdomain(s) {empty.tolist()[:8]} in a {nparts}-part "
+            "partition: every part needs at least one row (an empty part "
+            "has no interior to solve and crashes the decomposition)"
+        )

@@ -137,7 +137,10 @@ def conv_step(
         g0 = jnp.where(
             state.global_resnorm0 < 0, global_resnorm, state.global_resnorm0
         )
-        conv = global_resnorm / g0 <= tol
+        # g0 == 0 means the very first residual already vanished (warm
+        # start at the solution, or b == 0): 0/0 would be NaN and the
+        # solve would burn max_iters undetected — define it as converged
+        conv = jnp.where(g0 > 0, global_resnorm / g0, 0.0) <= tol
         num_conv = jnp.where(conv, S, 0).astype(jnp.int32)
         new = state._replace(
             detected=jnp.broadcast_to(conv, state.detected.shape),

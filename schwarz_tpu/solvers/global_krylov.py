@@ -28,7 +28,7 @@ class FGMRESResult(NamedTuple):
     x: jax.Array            # (Sl, R_int)
     iters: jax.Array        # () total Krylov iterations
     rel_resnorm: jax.Array  # () final ||r|| / ||b||
-    hist: jax.Array         # (max_iters + 1,) residual-norm history
+    hist: jax.Array         # (max_iters + 2,) residual-norm history
     state: tuple            # resumable cycle carry (x, rnorm, it, cycles,
                             # active, hist) — chunked execution / checkpoint
 
@@ -164,7 +164,13 @@ def fgmres(
         x_s, rn_s, it_s, cy_s, _, h_s = state
         # re-derive activity under THIS call's tolerance/iteration budget:
         # a resumed solve may carry a larger max_iters than the run that
-        # checkpointed (resume-with-larger-budget workflow)
+        # checkpointed (resume-with-larger-budget workflow) — and then the
+        # checkpointed history array is too short: grow it, or writes past
+        # its end would silently clamp onto the last slot
+        if h_s.shape[0] < max_iters + 2:
+            h_s = jnp.zeros(max_iters + 2, h_s.dtype).at[
+                : h_s.shape[0]
+            ].set(h_s)
         carry = (x_s, rn_s, it_s, cy_s,
                  (rn_s > target) & (it_s < max_iters), h_s)
     cycle_stop = (

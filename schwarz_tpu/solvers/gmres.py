@@ -98,7 +98,11 @@ def gmres_solve(
             g = g.at[:, j].set(jnp.where(active, c_new * gj, g[:, j]))
             g = g.at[:, j + 1].set(jnp.where(active, -s_new * gj, g[:, j + 1]))
             inner = inner + active.astype(jnp.int32)
-            active = active & (jnp.abs(g[:, j + 1]) > target)
+            # total-iteration budget (Ginkgo Combined criterion semantics):
+            # without this a subdomain could run to the end of its last
+            # cycle, m-1 iterations past max_iters
+            active = (active & (jnp.abs(g[:, j + 1]) > target)
+                      & (inner < max_iters))
             return V, Rm, g, cs, sn, active, inner
 
         V, Rm, g, cs, sn, active, inner_count = jax.lax.fori_loop(

@@ -50,7 +50,7 @@ def extract_diag_blocks(vals: jax.Array, cols: jax.Array, bs: int) -> jax.Array:
     safe_ci = jnp.where(same_block, ci, ri)  # diagonal slot for masked entries
     return out.at[
         s_idx.reshape(-1), blk.reshape(-1), ri.reshape(-1), safe_ci.reshape(-1)
-    ].add(jnp.where(same_block, contrib, 0.0).reshape(-1))
+    ].add(contrib.reshape(-1))
 
 
 def build_fsai(vals, cols):

@@ -173,3 +173,18 @@ def test_single_subdomain_degenerate():
     assert dec.rows_count[0] == A.n
     assert dec.ghost_count[0] == 0
     assert (dec.imat_vals == 0).all()
+
+
+def test_decompose_uneven_small_blocks():
+    # regression: ceil blocks left subdomain 3 empty at N=9/S=4 and the
+    # closure crashed with an opaque IndexError; balanced split instead
+    import scipy.sparse as sp
+
+    from schwarz_tpu.models import CSRMatrix
+
+    n = 9
+    M = sp.diags([np.ones(n - 1), 4 * np.ones(n), np.ones(n - 1)],
+                 [-1, 0, 1]).tocsr()
+    mat = CSRMatrix.from_scipy(M)
+    dec = decompose(mat, np.ones(n), Settings(overlap=2), 4)
+    assert (np.diff(dec.first_row) > 0).all()

@@ -117,3 +117,57 @@ def test_metis_equiv_beats_strips_on_ani4():
         c1 = _edge_cut(A, partition_regular_1d(A.n, S))
         # measured 2026-08: 289 vs 464 (S=4), 752 vs 1867 (S=16)
         assert cm < 0.75 * c1, (S, cm, c1)
+
+
+def test_weighted_bisection_dominant_vertex_terminates():
+    # regression: a single vertex weight wider than the balance window made
+    # the balance-restore loop oscillate forever (hang); it must terminate
+    # with a valid (if imbalanced) partition
+    import scipy.sparse as sp
+
+    from schwarz_tpu.core.partition import partition_metis
+    from schwarz_tpu.models import CSRMatrix
+
+    n = 8
+    M = sp.diags([np.ones(n - 1), 4 * np.ones(n), np.ones(n - 1)],
+                 [-1, 0, 1]).tocsr()
+    mat = CSRMatrix.from_scipy(M)
+    w = np.ones(n)
+    w[0] = 10000.0
+    part = partition_metis(mat, 2, cell_weights=w)
+    assert part.shape == (n,)
+    assert set(np.unique(part)) == {0, 1}
+
+
+def test_regular_1d_never_empty_parts():
+    # regression: ceil blocks left trailing parts empty (n=9, S=4 -> 3,3,3,0)
+    from schwarz_tpu.core.partition import partition_regular_1d
+
+    for n, S in ((9, 4), (10, 4), (5, 5), (7, 3), (13, 7)):
+        part = partition_regular_1d(n, S)
+        counts = np.bincount(part, minlength=S)
+        assert (counts > 0).all(), (n, S, counts)
+
+    import pytest
+
+    from schwarz_tpu.exceptions import PartitionError
+
+    with pytest.raises(PartitionError, match="non-empty"):
+        partition_regular_1d(3, 4)
+
+
+def test_metis_small_star_no_empty_parts():
+    # regression: _refine_boundary could empty a size-1 part (lo hit 0)
+    import scipy.sparse as sp
+
+    from schwarz_tpu.core.partition import partition_metis
+    from schwarz_tpu.exceptions import assert_valid_partition
+    from schwarz_tpu.models import CSRMatrix
+
+    n = 6
+    rows = [0] * (n - 1) + list(range(1, n))
+    cols = list(range(1, n)) + [0] * (n - 1)
+    M = sp.coo_matrix((np.ones(len(rows)), (rows, cols)),
+                      shape=(n, n)).tocsr() + sp.eye(n) * 4
+    part = partition_metis(CSRMatrix.from_scipy(M.tocsr()), 5)
+    assert_valid_partition(part, 5)

@@ -180,3 +180,34 @@ def test_enable_logging_and_write_debug_out(tmp_path, capfd, monkeypatch):
     err = capfd.readouterr().err
     assert "[schwarz_tpu]" in err and "grn=" in err
     assert (tmp_path / "schwarz_debug_out.npz").exists()
+
+
+def test_zero_rhs_detects_immediately():
+    # regression: the allgather check computed 0/0 = NaN for a vanishing
+    # initial residual and never detected convergence
+    A = laplacian_2d(12)
+    r = solve(A, np.zeros(A.n), Settings(overlap=2, tolerance=1e-8,
+                                         max_iters=50), num_subdomains=4)
+    assert r.converged
+    assert r.iters <= 2, r.iters
+    assert np.allclose(r.solution, 0.0)
+
+
+def test_gmres_total_iteration_cap():
+    # regression: a non-converging GMRES subdomain could run to the end of
+    # its last restart cycle, m-1 iterations past max_iters
+    import jax.numpy as jnp
+
+    from schwarz_tpu.core.decompose import decompose as _dec
+    from schwarz_tpu.models.fem import advection_diffusion_2d
+    from schwarz_tpu.solvers.gmres import gmres_solve
+
+    A = advection_diffusion_2d(12)
+    dec = _dec(A, generate_rhs(A.n), Settings(overlap=2), 4)
+    vals = jnp.asarray(dec.lmat_vals)
+    cols = jnp.asarray(dec.lmat_cols)
+    rhs = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4, dec.meta.max_rows)))
+    res = gmres_solve(vals, cols, rhs, jnp.zeros_like(rhs), 1e-30,
+                      max_iters=10, restart=30)
+    assert int(np.asarray(res.iters).max()) <= 10
