@@ -209,7 +209,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "--no-enable_global_check selects the two-sided "
                         "allreduce convergence branch (solve.cpp:949-953)")
     p.add_argument("--global_convergence_type", default="centralized-tree",
-                   help="allgather | allreduce | tree | decentralized")
+                   choices=["allgather", "allreduce", "tree",
+                            "centralized-tree", "decentralized"],
+                   help="detection protocol (effective with "
+                        "--enable_onesided)")
     p.add_argument("--enable_decentralized_accumulate", action="store_true")
     p.add_argument("--enable_global_check_iter_offset", action="store_true")
     p.add_argument("--local_convergence_crit", default="solution-based",

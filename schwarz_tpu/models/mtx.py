@@ -14,7 +14,13 @@ def read_mtx(path: str, dtype=np.float64) -> CSRMatrix:
         header = f.readline().strip().lower()
         if not header.startswith("%%matrixmarket"):
             raise ValueError(f"{path}: not a MatrixMarket file")
-        symmetric = "symmetric" in header
+        # "skew-symmetric" contains "symmetric" as a substring: mirrored
+        # entries must be NEGATED there (A[j,i] = -A[i,j]); "hermitian"
+        # reduces to symmetric for the real data this reader supports
+        skew = "skew-symmetric" in header
+        symmetric = (
+            "symmetric" in header or "hermitian" in header
+        ) and not skew
         pattern = "pattern" in header
         line = f.readline()
         while line.startswith("%"):
@@ -27,13 +33,14 @@ def read_mtx(path: str, dtype=np.float64) -> CSRMatrix:
     vals = (
         np.ones(len(rows), dtype=dtype) if pattern else data[:, 2].astype(dtype)
     )
-    if symmetric:
+    if symmetric or skew:
         off = rows != cols
         rows, cols = (
             np.concatenate([rows, cols[off]]),
             np.concatenate([cols, rows[off]]),
         )
-        vals = np.concatenate([vals, vals[off]])
+        mirrored = -vals[off] if skew else vals[off]
+        vals = np.concatenate([vals, mirrored])
     from schwarz_tpu.exceptions import assert_square
 
     assert_square(nrows, ncols, f"matrix {path}")

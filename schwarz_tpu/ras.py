@@ -291,6 +291,13 @@ class RASolver:
                 "combined with enable_overlap / staleness > 1 (the coarse "
                 "correction computed from a stale residual diverges)"
             )
+        if s.comm.overlap_comm and s.comm.onesided and s.comm.staleness > 1:
+            raise ValueError(
+                "enable_overlap is the one-iteration-stale halo pipeline; "
+                "with onesided staleness > 1 the staleness emulation owns "
+                "the halo age and the overlap flag would be silently inert "
+                "— drop enable_overlap (staleness >= 1 already subsumes it)"
+            )
         # comm-paradigm knob validation: every field either selects behavior
         # or fails loudly (round-1 verdict: no silently-inert settings)
         from schwarz_tpu.exceptions import NotImplementedFeature
@@ -1032,9 +1039,6 @@ class RASolver:
         R_rows = meta.max_rows
         dtype = s.value_dtype
         max_iters = s.max_iters
-        halo_dtype = (
-            s.halo_value_dtype if s.halo_value_dtype != s.value_dtype else None
-        )
         residual_update = (
             s.convergence.criterion == LocalCriterion.residual_based
             # mixed-precision inner solves require the correction form: a
@@ -1303,10 +1307,13 @@ class RASolver:
         S = meta.num_subdomains
         R_int = meta.max_interior
         R_rows = meta.max_rows
-        halo_dtype = (
-            s.halo_value_dtype if s.halo_value_dtype != s.value_dtype else None
+        residual_update = (
+            s.convergence.criterion == LocalCriterion.residual_based
+            # same condition as _build_run_fn: mixed-precision inner solves
+            # require the correction form (a solution-based replace would
+            # quantize the iterate to the inner dtype)
+            or self._lc_dtype is not None
         )
-        residual_update = s.convergence.criterion == LocalCriterion.residual_based
         plan_specs = {k: P(SUBD_AXIS) for k in self._plan}
         conv_specs = ConvState(
             detected=P(SUBD_AXIS), global_resnorm0=P(), up_done=P(SUBD_AXIS),
@@ -1352,12 +1359,17 @@ class RASolver:
                 nconv = jnp.int32(0)
             return r, local_rn, rn0, conv_state, nconv, grn
 
-        def solve_stage(plan, rhs_eff, r, z_prev, detected, x_ext):
+        def solve_stage(plan, rhs_eff, r, z_prev, detected, x_ext, outer_it):
+            # outer_it threads reset_local_crit_iter exactly like the fused
+            # loop — the measurement mode must time the production schedule
             if residual_update:
-                z, inner, _ = self._local_solve(plan, r, jnp.zeros_like(z_prev))
+                z, inner, _ = self._local_solve(
+                    plan, r, jnp.zeros_like(z_prev), outer_it=outer_it
+                )
             else:
                 z, inner, _ = self._local_solve(
-                    plan, rhs_eff, z_prev, robin_trace=x_ext[:, :R_rows]
+                    plan, rhs_eff, z_prev, outer_it=outer_it,
+                    robin_trace=x_ext[:, :R_rows]
                 )
             z = jnp.where(detected[:, None], z_prev, z)
             return z, inner
@@ -1398,7 +1410,7 @@ class RASolver:
             "local_solve": jax.jit(sm(
                 solve_stage,
                 in_specs=(plan_specs, P(SUBD_AXIS), P(SUBD_AXIS), P(SUBD_AXIS),
-                          P(SUBD_AXIS), P(SUBD_AXIS)),
+                          P(SUBD_AXIS), P(SUBD_AXIS), P()),
                 out_specs=(P(SUBD_AXIS), P(SUBD_AXIS)))),
             "expand_local_vec": jax.jit(sm(
                 scatter_stage,
@@ -1459,6 +1471,10 @@ class RASolver:
                 ](self._plan, conv_state, x_ext, rhs_eff, rn0)
                 jax.block_until_ready(grn)
             nconv = int(nconv_d)
+            if (s.convergence.enable_global_check_iter_offset
+                    and s.max_iters >= 1000 and it <= s.max_iters * 0.05):
+                # same detection delay as the fused loop (solve.cpp:992-996)
+                nconv = 0
             grn_f = float(grn)
             hist_local.append(np.asarray(local_rn))
             hist_global.append(grn_f)
@@ -1483,7 +1499,8 @@ class RASolver:
                         self._plan, x_ext, rhs_eff))
             with timer.time("local_solve"):
                 z, inner = stages["local_solve"](
-                    self._plan, rhs_eff, r, z, conv_state.detected, x_ext)
+                    self._plan, rhs_eff, r, z, conv_state.detected, x_ext,
+                    jnp.int32(it))
                 jax.block_until_ready(z)
             with timer.time("expand_local_vec"):
                 x_own = jax.block_until_ready(stages["expand_local_vec"](
@@ -1495,7 +1512,7 @@ class RASolver:
         converged = (nconv >= S) and not diverged
         result = self._assemble_result(
             np.asarray(x_own), converged, diverged,
-            it if not converged else it,
+            it,
             np.stack(hist_local) if hist_local else np.zeros((0, S)),
             np.asarray(hist_global),
             np.stack(hist_inner) if hist_inner else np.zeros((0, S), np.int32),
@@ -1909,7 +1926,12 @@ def make_free_running_solver(mat, rhs, num_subdomains, settings,
         )
     staleness = max(settings.comm.staleness, 1)
 
-    if partition_indices is None:
+    # the grid/strip tiers impose their own (regular) partitions — an
+    # explicitly requested metis/custom partition must not be silently
+    # replaced by them (no inert partition knob); route straight to the
+    # general-graph kernel, which honors any partition
+    regular_partitions = (Partition.regular, Partition.regular2d)
+    if partition_indices is None and settings.partition in regular_partitions:
         # 2-D block grid: the most scalable tier when it applies
         py = max((d for d in range(2, int(S ** 0.5) + 1) if S % d == 0),
                  default=None)
@@ -1940,6 +1962,13 @@ def make_free_running_solver(mat, rhs, num_subdomains, settings,
     from schwarz_tpu.core.partition import make_partition
     from schwarz_tpu.ops.async_ras_general import AsyncGeneralRASolver
 
+    if fresh_read:
+        raise NotImplementedFeature(
+            "fresh_read (freshest-arrived semaphore peeks) is implemented "
+            "in the 1-D/2-D free-running kernels only; the general-graph "
+            "kernel consumes the staleness-bound slot — unset fresh_read "
+            "for unstructured/custom-partition free-running solves"
+        )
     part = partition_indices
     if part is None and settings.partition != Partition.regular:
         part = make_partition(mat, S, settings)

@@ -242,3 +242,37 @@ def test_checkpoint_resume_matches_straight_run():
     # the uniform schedule is deterministic: resumed == straight run
     np.testing.assert_array_equal(sol_ref, sol2)
     np.testing.assert_array_equal(info_ref["done_at"], info2["done_at"])
+
+
+def test_dispatch_metis_partition_honored_on_banded():
+    # regression: a requested metis partition was silently replaced by the
+    # grid/strip tiers for banded matrices; it must route to the
+    # general-graph kernel carrying the metis partition
+    from schwarz_tpu.ras import make_free_running_solver
+
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n, random=False)
+    s, _ = make_free_running_solver(
+        A, b, 4,
+        Settings(free_running=True, tolerance=1e-4, overlap=2,
+                 partition=Partition.metis),
+    )
+    assert isinstance(s, AsyncGeneralRASolver)
+
+
+def test_dispatch_fresh_read_general_raises():
+    from schwarz_tpu.config import CommSettings
+    from schwarz_tpu.exceptions import NotImplementedFeature
+    from schwarz_tpu.ras import make_free_running_solver
+
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n, random=False)
+    import pytest
+
+    with pytest.raises(NotImplementedFeature, match="fresh_read"):
+        make_free_running_solver(
+            A, b, 4,
+            Settings(free_running=True, tolerance=1e-4, overlap=2,
+                     partition=Partition.metis,
+                     comm=CommSettings(fresh_read=True)),
+        )

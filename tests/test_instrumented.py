@@ -69,3 +69,25 @@ def test_instrumented_raises_on_stale_modes():
 
     with _pytest.raises(ValueError, match="fresh halos"):
         solver.run_instrumented()
+
+
+def test_instrumented_matches_fused_mixed_precision():
+    # regression: instrumented mode missed the mixed-precision correction-
+    # form condition and the reset_local_crit_iter schedule, so it timed a
+    # DIFFERENT algorithm than run() for the same flags
+    from schwarz_tpu import generate_rhs, laplacian_2d
+    from schwarz_tpu.core.decompose import decompose
+    from schwarz_tpu.ras import RASolver
+
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n, random=False)
+    s = Settings(overlap=3, tolerance=1e-8, max_iters=300, dtype="float64",
+                 local_compute_dtype="float32", local_max_iters=10,
+                 reset_local_crit_iter=3)
+    solver = RASolver(decompose(A, b, s, 4))
+    r_fused = solver.run()
+    r_inst = solver.run_instrumented()
+    assert r_fused.converged and r_inst.converged
+    assert r_inst.iters == r_fused.iters, (r_inst.iters, r_fused.iters)
+    np.testing.assert_allclose(r_inst.solution, r_fused.solution,
+                               rtol=1e-10, atol=1e-12)

@@ -115,3 +115,20 @@ def test_read_mtx_ani3():
     S = A.to_scipy()
     # FEM matrix: symmetric
     assert abs(S - S.T).max() < 1e-10
+
+
+def test_read_mtx_skew_symmetric(tmp_path):
+    # regression: "skew-symmetric" matched the "symmetric" substring and
+    # mirrored entries WITHOUT negation
+    p = tmp_path / "skew.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real skew-symmetric\n"
+        "3 3 2\n"
+        "2 1 5.0\n"
+        "3 2 -2.0\n"
+    )
+    from schwarz_tpu.models.mtx import read_mtx
+
+    A = read_mtx(str(p)).to_scipy().toarray()
+    assert A[1, 0] == 5.0 and A[0, 1] == -5.0
+    assert A[2, 1] == -2.0 and A[1, 2] == 2.0
