@@ -53,6 +53,14 @@ def assert_eq(a, b, what: str = "dimensions") -> None:
 
 def assert_valid_partition(partition_indices: np.ndarray, nparts: int) -> None:
     p = np.asarray(partition_indices)
+    if p.size == 0 or nparts < 1:
+        raise PartitionError(
+            f"empty partition (got {p.size} indices for {nparts} parts)"
+        )
+    if not np.issubdtype(p.dtype, np.integer):
+        raise PartitionError(
+            f"partition indices must be integers, got dtype {p.dtype}"
+        )
     if p.min() < 0 or p.max() >= nparts:
         raise PartitionError(
             f"partition indices out of range [0, {nparts}): "

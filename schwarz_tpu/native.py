@@ -41,14 +41,16 @@ def load() -> Optional[ctypes.CDLL]:
     if os.environ.get("SCHWARZ_TPU_NATIVE", "1") == "0":
         return None
     so = _native_dir() / "libschwz_setup.so"
-    if not so.exists():
-        try:
-            subprocess.run(
-                ["make", "-C", str(_native_dir())],
-                check=True, capture_output=True, timeout=120,
-            )
-        except Exception:
-            return None
+    # ALWAYS invoke make: it is a no-op when the .so is newer than the
+    # source, and it rebuilds after setup_ops.cpp edits (a stale library
+    # would silently validate the bit-equality tests against old code)
+    try:
+        subprocess.run(
+            ["make", "-C", str(_native_dir())],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        pass
     if not so.exists():
         return None
     try:
