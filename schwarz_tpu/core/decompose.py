@@ -32,18 +32,15 @@ import numpy as np
 
 from schwarz_tpu.config import Metadata, Partition, Settings
 from schwarz_tpu.models.csr import CSRMatrix
-from schwarz_tpu.core.partition import _csr_row_gather, make_partition
+from schwarz_tpu.core.partition import (
+    _csr_row_gather,
+    first_occurrence_unique as _first_occurrence_unique,
+    make_partition,
+)
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
-
-
-def _first_occurrence_unique(a: np.ndarray) -> np.ndarray:
-    """Unique values of ``a`` in first-occurrence order (matches the reference's
-    scan-order marking of global_to_local, restricted_schwarz.cpp:167-180)."""
-    _, first = np.unique(a, return_index=True)
-    return a[np.sort(first)]
 
 
 @dataclasses.dataclass

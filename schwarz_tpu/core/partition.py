@@ -31,6 +31,15 @@ import numpy as np
 from schwarz_tpu.models.csr import CSRMatrix
 
 
+def first_occurrence_unique(a: np.ndarray) -> np.ndarray:
+    """Unique values of ``a`` in first-occurrence order (matches the
+    reference's scan-order marking of global_to_local,
+    restricted_schwarz.cpp:167-180).  Shared by the growth bisections here
+    and the overlap BFS in core/decompose.py."""
+    _, first = np.unique(a, return_index=True)
+    return a[np.sort(first)]
+
+
 def partition_regular_1d(
     n: int, nparts: int, cell_weights=None,
 ) -> np.ndarray:
@@ -149,8 +158,7 @@ def _grow_bisection(row_ptrs, col_idxs, vertices, target: int) -> np.ndarray:
         if nbr.size == 0:
             break
         # first-occurrence order keeps growth contiguous and deterministic
-        _, first = np.unique(nbr, return_index=True)
-        nbr = nbr[np.sort(first)]
+        nbr = first_occurrence_unique(nbr)
         take = min(target - size, nbr.size)
         chosen = nbr[:take]
         in0[chosen] = True
@@ -410,8 +418,7 @@ def _grow_bisection_weighted(row_ptrs, col_idxs, vertices, weights, frac,
         nbr = nbr[~in0[nbr]]
         if nbr.size == 0:
             break
-        _, first = np.unique(nbr, return_index=True)
-        nbr = nbr[np.sort(first)]
+        nbr = first_occurrence_unique(nbr)
         chosen = []
         for u in nbr:
             if wsum >= target_w:
