@@ -433,8 +433,6 @@ def main():
     # ---- secondary: RAS time-to-solution, paper-campaign two-stage config --
     # informational (stderr only): skipped when the compile budget is half-spent
     def run_ras_secondary():
-        # 128^2 converges to the 1e-4 f32 floor in ~115 iterations; larger
-        # grids stall just above it (the floor grows with row count)
         n1d_ras = 128 if on_tpu else 64
         A2 = laplacian_2d(n1d_ras)
         b2 = generate_rhs(A2.n)
@@ -442,9 +440,15 @@ def main():
 
         s2 = Settings(
             partition=Partition.regular2d,   # 4x4 blocks, not thin strips
-            # f32 compute floors near 1e-4 relative residual (the reference's
-            # 1e-6..1e-8 campaigns run in double; use dtype float64 for those)
-            overlap=6, tolerance=1e-4, max_iters=500, dtype=dtype,
+            # flagship-style mixed precision: f64 outer residuals with f32
+            # inner solves (iterative refinement) at the reference's own
+            # campaign tolerance (run_script:35-44 runs 1e-6).  Pure-f32
+            # outer loops floor near 1.9e-4 relative under the spectral
+            # coarse space (the strong correction amplifies f32 rounding;
+            # measured identically on CPU and v5e), so the production
+            # recipe — not a looser tolerance — is what the bench runs.
+            overlap=6, tolerance=1e-6, max_iters=500, dtype="float64",
+            local_compute_dtype="float32",
             local_tolerance=1e-6,
             # capped inexact local solves — the reference's own paper campaign
             # runs two-stage with liter=70 / ltol=0.1 (run_script:35-44);
