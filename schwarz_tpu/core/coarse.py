@@ -31,9 +31,16 @@ import numpy as np
 # Neumann block measure cos >= 1 - 3e-9 while ARPACK converges ~1.5x faster.
 _EIGSH_TOL = 1e-4
 
-# subdomain blocks below this row count solve fast enough serially that a
-# spawned worker's interpreter startup would dominate
-_PARALLEL_MIN_ROWS = 8192
+# Estimated Lanczos work (nnz * q) below which a block solves fast enough
+# serially that a spawned worker's ~1.3 s interpreter+scipy startup would
+# dominate.  Calibrated from measured ARPACK time ~1.2e-7 s per nnz*q unit:
+# 2e7 units ~ 2.5 s serial ~ 2x worker startup — the break-even point.  The
+# 1M-row flagship's 65k-row Neumann blocks at q=64 sit right at this line.
+_PARALLEL_MIN_WORK = 2e7
+
+# generous per-worker wall clock; a hung worker triggers the serial fallback
+# instead of stalling coarse-space setup forever
+_WORKER_TIMEOUT_S = 900.0
 
 
 def _solve_blocks_subprocess(payloads, n_workers):
@@ -70,26 +77,50 @@ def _solve_blocks_subprocess(payloads, n_workers):
     results = [None] * len(payloads)
     with tempfile.TemporaryDirectory() as td:
         procs = []
-        for g, idxs in enumerate(groups):
-            if not idxs:
-                continue
-            in_p = os.path.join(td, f"in{g}.pkl")
-            out_p = os.path.join(td, f"out{g}.pkl")
-            with open(in_p, "wb") as f:
-                pickle.dump([payloads[i] for i in idxs], f,
-                            protocol=pickle.HIGHEST_PROTOCOL)
-            procs.append((idxs, out_p, subprocess.Popen(
-                [sys.executable, script, in_p, out_p], env=env,
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            )))
         ok = True
-        for idxs, out_p, proc in procs:
-            if proc.wait() != 0 or not os.path.exists(out_p):
-                ok = False
-                continue
-            with open(out_p, "rb") as f:
-                for i, vecs in zip(idxs, pickle.load(f)):
-                    results[i] = vecs
+        try:
+            for g, idxs in enumerate(groups):
+                if not idxs:
+                    continue
+                in_p = os.path.join(td, f"in{g}.pkl")
+                out_p = os.path.join(td, f"out{g}.pkl")
+                err_p = os.path.join(td, f"err{g}.log")
+                with open(in_p, "wb") as f:
+                    pickle.dump([payloads[i] for i in idxs], f,
+                                protocol=pickle.HIGHEST_PROTOCOL)
+                with open(err_p, "wb") as errf:
+                    procs.append((idxs, out_p, err_p, subprocess.Popen(
+                        [sys.executable, script, in_p, out_p], env=env,
+                        stdout=subprocess.DEVNULL, stderr=errf,
+                    )))
+            for idxs, out_p, err_p, proc in procs:
+                try:
+                    rc = proc.wait(timeout=_WORKER_TIMEOUT_S)
+                except subprocess.TimeoutExpired:
+                    ok = False
+                    continue        # killed in the finally; serial fallback
+                if rc != 0 or not os.path.exists(out_p):
+                    ok = False
+                    try:
+                        with open(err_p, "rb") as f:
+                            tail = f.read()[-2000:].decode(errors="replace")
+                    except OSError:
+                        tail = "<no stderr captured>"
+                    print(
+                        f"spectral worker rc={rc}; falling back to serial."
+                        f" stderr tail:\n{tail}", file=sys.stderr,
+                    )
+                    continue
+                with open(out_p, "rb") as f:
+                    for i, vecs in zip(idxs, pickle.load(f)):
+                        results[i] = vecs
+        finally:
+            # an exception (or a timed-out sibling) must not leak workers
+            for entry in procs:
+                proc = entry[-1]
+                if proc.poll() is None:
+                    proc.kill()
+                    proc.wait()
     return results if ok and all(r is not None for r in results) else None
 
 
@@ -108,10 +139,13 @@ def neumann_spectral_vectors(A, boundaries, q: int, workers=None):
     contiguous subdomains; ``q``: vectors per subdomain (clipped to the
     subdomain size).  Returns a list of (n_s, k) float64 arrays.
 
-    The per-subdomain eigensolves are independent, so blocks large enough
-    for the Lanczos path run in a spawned process pool (``workers`` caps the
-    pool; default = cpu count).  Results are bit-identical to the serial
-    order — each block's solve is self-contained and deterministic.
+    The per-subdomain eigensolves are independent, so blocks whose estimated
+    Lanczos work (nnz * q) exceeds the worker-startup break-even run in a
+    spawned process pool (``workers`` caps the pool; default = cpu count).
+    Each block's solve is self-contained and deterministic given its BLAS
+    environment; workers pin BLAS to one thread, so pooled results can
+    differ from the in-process serial path at the last-bit level when the
+    parent runs a multithreaded BLAS (same eigenspace, different rounding).
     """
     import scipy.sparse as sp
 
@@ -137,7 +171,8 @@ def neumann_spectral_vectors(A, boundaries, q: int, workers=None):
         else:
             lanczos.append((sd, (Asym.data, Asym.indices, Asym.indptr,
                                  n_s, k, _EIGSH_TOL)))
-    big = [n for _, (_, _, _, n, _, _) in lanczos if n >= _PARALLEL_MIN_ROWS]
+    big = [d.size * k for _, (d, _, _, _, k, _) in lanczos
+           if d.size * k >= _PARALLEL_MIN_WORK]
     import os
     n_workers = min(len(big), workers or os.cpu_count() or 1)
     results = None
@@ -159,6 +194,10 @@ def build_prolongator(vectors, boundaries, n: int, q: int):
     Columns of subdomains smaller than ``q`` stay zero-padded (their
     Galerkin rows are fixed by the caller)."""
     import scipy.sparse as sp
+
+    # the direct CSR build assumes sorted, non-overlapping row ranges;
+    # violating callers must fail loudly, not get a malformed matrix
+    assert np.all(np.diff(boundaries) >= 0), "boundaries must be sorted"
 
     # V is block-dense: row r of subdomain sd holds exactly k_sd entries at
     # columns sd*q .. sd*q+k_sd, values vecs[r-lo, :].  Build the CSR arrays
