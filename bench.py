@@ -6,37 +6,45 @@ Headline metric (BASELINE.md targets): sustained batched local-operator SpMV
 throughput in nnz/s on one chip over the decomposed RAS operator of a 1M-row
 2D Laplacian — the dominant kernel of the solver loop (every CG step is one
 SpMV; cf. SURVEY.md §6 "nnz/s per chip" north star).  The operator runs in
-the DIA (sorted-closure banded) formulation (ops/dia.py).
+the DIA (sorted-closure banded) formulation (ops/dia.py), measured on both
+the XLA shift formulation and the single-pass Pallas kernel
+(ops/pallas_kernels.dia_spmv_pallas3); the faster one is the headline.
 
-Measurement methodology: a *serialized* chain inside one jitted while_loop
-with a traced rep count (each iteration consumes the previous result, so
-dispatch pipelining cannot overlap iterations, and one compile serves all
-measurements).  The chain carries a feedback copy that is NOT part of the
-operator; its cost is measured separately with a no-op chain of identical
-feedback structure and subtracted, so the headline measures the pure
-operator (round-1 verdict: report the operator honestly, not the harness).
+Measurement methodology (round-3 rework, addressing the round-2 verdict):
+**slope fitting**, not baseline subtraction.  For k in {1, 4}, a jitted
+while_loop chain applies the operator k times per feedback iteration
+(serialized: each application consumes the previous result).  The marginal
+cost of one application is the slope (t4 - t1) / 3 — per-iteration harness
+costs (the feedback copy, loop bookkeeping) sit in the intercept and are
+never subtracted as a separately-measured number.  The fit runs TWICE and
+both values are reported; they must agree to ~10% for the number to be
+trustworthy (`*_spread` fields).
 
-``vs_baseline`` is the fraction of the HBM-bandwidth speed-of-light model
-for the chip (the reference repo ships no numbers — BASELINE.md: "no
-benchmark numbers are stored"): bytes = diagonal values + shifted x reads +
-output write.  1.0 == roofline.
+``vs_baseline`` is the RAW (unclamped) fraction of the minimal-traffic
+HBM speed-of-light model: the diagonal values once + x once + y once —
+the least any correct implementation can move (the reference repo ships no
+numbers — BASELINE.md: "no benchmark numbers are stored").  A ratio above
+1.05 is a measurement bug, never a result: the bench FAILS in that case
+(exit 1) instead of reporting it.
 
-The same JSON line also carries the two other BASELINE.md per-chip metrics:
-  - ``trisolve_nnz_per_s`` / ``trisolve_vs_roofline``: batched dense
-    triangular solve (the direct local-solve hot path, solvers/direct.py),
-    measured on the blocked MXU panel substitution (direct_apply='blocked');
-    the plain XLA scalar substitution is reported separately as
-    ``trisolve_xla_elems_per_s``.  Roofline = streaming both triangular
-    factors from HBM once per solve.
-  - ``halo_gather_scatter_elems_per_s`` / ``halo_vs_roofline``: the halo
-    pack/unpack path (parallel/exchange.py) — the contiguous-run vector-copy
-    assembly when the RunPlan engages (the production path; the element-wise
-    gather fallback is reported separately); roofline = 8 B/element
-    (value read + value write) at HBM bandwidth.
+The same JSON line carries the other BASELINE.md per-chip metrics (same
+slope-fit methodology, same no-clamp rule):
+  - ``trisolve_*``: batched dense triangular solve (solvers/direct.py),
+    blocked MXU panel substitution; roofline = streaming both factors.
+  - ``direct_inverse_*``: the explicit-inverse apply (one batched MXU
+    matvec); roofline = streaming A^-1 once per solve.
+  - ``halo_*``: the halo pack/unpack (fused Pallas assembly,
+    ops/halo_pallas.py).  Two accountings: ``halo_vs_roofline`` isolates
+    the halo-element copies (full assembly minus a window-only assembly,
+    8 B/element model — the BASELINE.md gather/scatter metric) and
+    ``halo_assembly_vs_roofline`` is the whole x_ext materialization
+    against its own full byte model.
 
-Also measured and reported on stderr: full RAS time-to-solution + iteration
-count on a 2D Poisson problem, and a native (non-interpret) compile check of
-the Pallas RDMA remote-copy kernel at D=1.
+Also measured and reported on stderr: a driver-captured FLAGSHIP two-level
+spectral solve to 1e-8 (round-2 verdict item 5), full RAS time-to-solution
+on the reference's paper-campaign two-stage config, and native
+compile+execute checks of the Pallas RDMA transport and all free-running
+async kernels at D=1.
 """
 
 from __future__ import annotations
@@ -55,8 +63,29 @@ import numpy as np
 INNER_TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT_S", "1500"))
 T_START = time.time()
 
+# a measured/model ratio above this is a measurement bug -> bench FAILS
+ROOFLINE_SANITY = 1.05
 
-def _chain_time(jitted_chain, x0, reps=400, tries=3, warm_reps=2):
+
+def _make_chain(step, k: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(reps, x):
+        def body(c):
+            i, xx = c
+            for _ in range(k):
+                xx = step(xx)
+            return i + 1, xx
+
+        return jax.lax.while_loop(lambda c: c[0] < reps, body,
+                                  (jnp.int32(0), x))
+
+    return chain
+
+
+def _chain_time(jitted_chain, x0, reps, tries=3, warm_reps=2):
     """Best-of-N per-iteration time of a serialized jitted chain."""
     import jax.numpy as jnp
 
@@ -69,20 +98,32 @@ def _chain_time(jitted_chain, x0, reps=400, tries=3, warm_reps=2):
     return best / reps
 
 
-def _make_chain(step):
-    import jax
-    import jax.numpy as jnp
+class _Marginal:
+    """Slope-fit marginal cost of one step application (seconds).
 
-    @jax.jit
-    def chain(reps, x):
-        def body(c):
-            i, xx = c
-            return i + 1, step(xx)
+    Compiles the k=1 and k=4 chains once, then re-times on demand (so the
+    two reproducibility passes cost no extra compiles)."""
 
-        return jax.lax.while_loop(lambda c: c[0] < reps, body,
-                                  (jnp.int32(0), x))
+    def __init__(self, step, x0, reps=150):
+        self.chains = {k: _make_chain(step, k) for k in (1, 4)}
+        self.x0 = x0
+        self.reps = reps
 
-    return chain
+    def fit(self):
+        t1 = _chain_time(self.chains[1], self.x0, reps=self.reps)
+        t4 = _chain_time(self.chains[4], self.x0,
+                         reps=max(10, self.reps // 4))
+        return (t4 - t1) / 3.0, t1
+
+
+def _fit_twice(step, x0, reps=150):
+    """Two independent slope fits -> (mean, spread, t1, [m_a, m_b])."""
+    m = _Marginal(step, x0, reps=reps)
+    a, t1 = m.fit()
+    b, _ = m.fit()
+    mean = 0.5 * (a + b)
+    spread = abs(a - b) / max(mean, 1e-12)
+    return mean, spread, t1, [a, b]
 
 
 def main():
@@ -107,7 +148,15 @@ def main():
     small = "--small" in sys.argv
     hbm_gbps = 819e9 if on_tpu else 100e9  # v5e HBM BW; nominal for CPU runs
 
-    # ---- headline: overhead-corrected DIA SpMV nnz/s, 1M-row operator ------
+    suspects = []  # (name, ratio) entries above ROOFLINE_SANITY
+
+    def ratio(measured_per_s, speed_of_light, name):
+        r = measured_per_s / speed_of_light
+        if r > ROOFLINE_SANITY:
+            suspects.append((name, r))
+        return r
+
+    # ---- headline: slope-fit DIA SpMV nnz/s, 1M-row operator ---------------
     n1d = (512 if small else 1024) if on_tpu else 192
     S = 16
     settings = Settings(overlap=3, dtype=dtype, row_pad_multiple=128)
@@ -127,32 +176,42 @@ def main():
     offsets = hyb.offsets
     nnz = int((dec.lmat_vals != 0).sum())
     R_rows = dec.meta.max_rows
-    x0 = jnp.ones((S, dec.meta.max_ext), jnp.float32)
+    R_ext = dec.meta.max_ext
+    M = hyb.max_abs_offset
+    x0 = jnp.ones((S, R_ext), jnp.float32)
 
-    use_pallas = False  # XLA shift formulation; see ras.py note on "auto"
-
-    def step_spmv(xx):
+    def step_spmv_xla(xx):
         y = dia_ell_spmv(offsets, dia_vals, rem_rows, rem_vals, rem_cols, xx,
-                         use_pallas=use_pallas)
+                         use_pallas=False)
         return xx.at[:, :R_rows].set(y * 1e-6 + 1.0)
 
-    def step_noop(xx):
-        # identical feedback structure without the SpMV: measures the chain
-        # harness (the feedback copy), subtracted from the full chain below
-        y = xx[:, :R_rows] * 1.000001
+    def step_spmv_pallas(xx):
+        y = dia_ell_spmv(offsets, dia_vals, rem_rows, rem_vals, rem_cols, xx,
+                         use_pallas=True, pallas_interpret=not on_tpu)
         return xx.at[:, :R_rows].set(y * 1e-6 + 1.0)
 
-    t_full = _chain_time(_make_chain(step_spmv), x0)
-    t_base = _chain_time(_make_chain(step_noop), x0)
-    t_spmv = max(t_full - t_base, 1e-12)
+    t_xla, xla_spread, _, _ = _fit_twice(step_spmv_xla, x0)
+    from schwarz_tpu.ops.pallas_kernels import dia_spmv_supported
+
+    t_pal, pal_spread = float("inf"), 0.0
+    if dia_spmv_supported(R_rows, jnp.float32) and offsets:
+        try:
+            t_pal, pal_spread, _, _ = _fit_twice(step_spmv_pallas, x0)
+        except Exception as e:  # pragma: no cover
+            print(f"pallas spmv failed: {e}", file=sys.stderr)
+    if t_pal < t_xla:
+        t_spmv, spmv_spread, spmv_formulation = t_pal, pal_spread, "pallas3"
+    else:
+        t_spmv, spmv_spread, spmv_formulation = t_xla, xla_spread, "xla_shift"
     nnz_per_s = nnz / t_spmv
 
-    # speed-of-light model: stream the K diagonals (4 B) + K shifted reads of
-    # x (4 B) + output write, remainder negligible
-    K = len(offsets)
-    bytes_per_iter = hyb.dia_vals.size * 4 + K * S * R_rows * 4 + S * R_rows * 4
-    speed_of_light = nnz / (bytes_per_iter / hbm_gbps)
-    vs_baseline = min(nnz_per_s / speed_of_light, 1.0)
+    # minimal-traffic model: the diagonal values once + x once (incl. the
+    # shift margins) + y once; the remainder tables are <1% and excluded
+    minimal_bytes = (
+        hyb.dia_vals.size * 4 + S * (R_rows + 2 * M) * 4 + S * R_rows * 4
+    )
+    speed_of_light = nnz / (minimal_bytes / hbm_gbps)
+    vs_baseline = ratio(nnz_per_s, speed_of_light, "spmv")
     padded_nnz = hyb.dia_vals.size
 
     # ---- BASELINE.md metric 2: batched dense triangular solve --------------
@@ -173,24 +232,6 @@ def main():
     R_fac = int(L.shape[-1])
     rhs0 = jnp.ones((S_tri, R_fac), jnp.float32)
 
-    def step_tri(bb):
-        x = cholesky_solve(L, bb)
-        return x * 1e-6 + 1.0
-
-    def step_tri_noop(bb):
-        return bb * 1.000001 * 1e-6 + 1.0
-
-    t_tri_full = _chain_time(_make_chain(step_tri), rhs0, reps=100)
-    t_tri_base = _chain_time(_make_chain(step_tri_noop), rhs0, reps=100)
-    t_tri = max(t_tri_full - t_tri_base, 1e-12)
-    # both solves stream one triangular factor each: S * R*(R+1)/2 elements x2
-    tri_elems = S_tri * R_fac * (R_fac + 1)  # lower + upper
-    tri_sol = hbm_gbps / 4.0                 # elements/s streaming f32 factors
-    trisolve_xla_elems_per_s = tri_elems / t_tri
-
-    # production trisolve: blocked MXU panel substitution with pre-inverted
-    # diagonal blocks (direct_apply='blocked') — factor conditioning kept,
-    # scalar substitution replaced by matmuls
     from schwarz_tpu.solvers.direct import (
         block_diag_inverses,
         blocked_cholesky_solve,
@@ -205,13 +246,15 @@ def main():
         x = blocked_cholesky_solve(L, Dinv_t, bb)
         return x * 1e-6 + 1.0
 
-    t_trib_full = _chain_time(_make_chain(step_tri_blocked), rhs0, reps=100)
-    t_trib = max(t_trib_full - t_tri_base, 1e-12)
+    t_trib, trib_spread, _, _ = _fit_twice(step_tri_blocked, rhs0, reps=60)
+    # both solves stream one triangular factor each: S * R*(R+1)/2 x2
+    tri_elems = S_tri * R_fac * (R_fac + 1)  # lower + upper
+    tri_sol = hbm_gbps / 4.0                 # elements/s streaming f32
     trisolve_elems_per_s = tri_elems / t_trib
-    trisolve_vs_roofline = min(trisolve_elems_per_s / tri_sol, 1.0)
+    trisolve_vs_roofline = ratio(trisolve_elems_per_s, tri_sol, "trisolve")
 
     # recommended TPU direct path: explicit-inverse apply (one batched MXU
-    # matmul per solve, Settings.direct_apply='inverse')
+    # matvec per solve, Settings.direct_apply='inverse')
     from schwarz_tpu.solvers.direct import cholesky_inverse, inverse_apply
 
     Ainv = jax.jit(cholesky_inverse)(L)
@@ -220,75 +263,113 @@ def main():
     def step_inv(bb):
         return inverse_apply(Ainv, bb) * 1e-6 + 1.0
 
-    t_inv_full = _chain_time(_make_chain(step_inv), rhs0, reps=100)
-    t_inv = max(t_inv_full - t_tri_base, 1e-12)
+    t_inv, inv_spread, _, _ = _fit_twice(step_inv, rhs0, reps=60)
     inv_elems = S_tri * R_fac * R_fac        # Ainv streamed once per apply
     inverse_elems_per_s = inv_elems / t_inv
-    inverse_vs_roofline = min(inverse_elems_per_s / (hbm_gbps / 4.0), 1.0)
+    inverse_vs_roofline = ratio(inverse_elems_per_s, hbm_gbps / 4.0,
+                                "direct_inverse")
 
     # ---- BASELINE.md metric 3: halo gather/scatter --------------------------
-    # the pack/unpack path of the exchange, measured on the 1M-row plan
-    # (collective excluded at D=1).  The PRODUCTION path is the contiguous-
-    # run assembly when the plan engages (exchange.RunPlan — exact-length
-    # vector copies); the element-wise gather is also measured as the
-    # fallback-path number.
+    # the x_ext assembly on the 1M-row plan (collective excluded at D=1).
+    # Production path: the fused Pallas kernel (one launch, DMA-engine
+    # copies); the XLA runs path is measured as the fallback.  The
+    # halo-element throughput is isolated as (full assembly) minus
+    # (window-only assembly) — both are slope-fit marginals of the SAME
+    # kernel, differing only in the run list.
+    from schwarz_tpu.ops.halo_pallas import (
+        assemble_x_ext_fused,
+        fused_assemble_supported,
+    )
     from schwarz_tpu.parallel.exchange import (
-        assemble_x_ext,
         assemble_x_ext_runs,
         build_run_plan,
     )
 
-    halo_slots = jnp.asarray(dec.halo_slots)
-    halo_src = jnp.asarray(dec.halo_src_halo)
     interior_off = jnp.asarray(dec.interior_offset.astype(np.int32))
     R_int = dec.meta.max_interior
-    R_ext = dec.meta.max_ext
-    H = int(dec.halo_slots.shape[1])
     xo0 = jnp.ones((S, R_int), jnp.float32)
-
-    def step_halo_gather(xo):
-        halo_vals = xo.reshape(-1)[halo_src]
-        x_ext = assemble_x_ext(xo, interior_off, halo_slots, halo_vals, R_ext)
-        # full reduction keeps every scattered element live (no DCE of the
-        # gather/scatter under test)
-        return xo * 0.999999 + jnp.sum(x_ext, axis=1, keepdims=True) * 1e-12
-
-    def step_halo_noop(xo):
-        return xo * 0.999999 + jnp.sum(
-            jnp.pad(xo, ((0, 0), (0, R_ext - R_int))), axis=1, keepdims=True
-        ) * 1e-12
+    halo_elems = int((dec.halo_slots < R_ext).sum())
+    halo_sol = hbm_gbps / 8.0   # value read + value write per element
 
     rp = build_run_plan(
         dec.halo_src_halo, dec.halo_slots, R_ext, R_int,
         dec.interior_offset,
     )
+    halo_info = {"halo_runs_path": rp is not None}
+    t_halo = float("inf")
     if rp is not None:
         rs = tuple(jnp.asarray(t) for t in rp.run_src)
         rd = tuple(jnp.asarray(t) for t in rp.run_dst)
 
-        def step_halo(xo):
+        def consume(xo, x_ext):
+            # full reduction keeps every assembled element live (no DCE)
+            return xo * 0.999999 + jnp.sum(
+                x_ext, axis=1, keepdims=True) * 1e-12
+
+        fused_ok = fused_assemble_supported(S, R_ext, jnp.float32)
+
+        def step_fused(xo):
+            x_ext = assemble_x_ext_fused(
+                xo, xo.reshape(-1), interior_off, rp.lengths, rs, rd,
+                R_ext, interpret=not on_tpu)
+            return consume(xo, x_ext)
+
+        def step_window_only(xo):
+            x_ext = assemble_x_ext_fused(
+                xo, xo.reshape(-1), interior_off, (), (), (),
+                R_ext, interpret=not on_tpu)
+            return consume(xo, x_ext)
+
+        def step_runs(xo):
             x_ext = assemble_x_ext_runs(
                 xo, xo.reshape(-1), interior_off, rp.lengths, rs, rd,
-                R_ext, jnp.float32,
-            )
-            return (xo * 0.999999
-                    + jnp.sum(x_ext, axis=1, keepdims=True) * 1e-12)
-    else:
-        step_halo = step_halo_gather
+                R_ext, jnp.float32)
+            return consume(xo, x_ext)
 
-    t_halo_full = _chain_time(_make_chain(step_halo), xo0, reps=200)
-    t_halo_base = _chain_time(_make_chain(step_halo_noop), xo0, reps=200)
-    t_halo = max(t_halo_full - t_halo_base, 1e-12)
-    t_hg_full = _chain_time(_make_chain(step_halo_gather), xo0, reps=200)
-    t_hg = max(t_hg_full - t_halo_base, 1e-12)
-    # TRUE moved elements: H is padded to row_pad_multiple and padded slots
-    # point at the scratch column (slot == R_ext) — they move nothing, so
-    # counting S*H would overstate the throughput by the padding fraction
-    halo_elems = int((dec.halo_slots < R_ext).sum())
+        t_runs, runs_spread, _, _ = _fit_twice(step_runs, xo0)
+        halo_info["halo_xla_runs_elems_per_s"] = halo_elems / t_runs
+        if fused_ok:
+            t_full, full_spread, _, _ = _fit_twice(step_fused, xo0)
+            t_win, _, _, _ = _fit_twice(step_window_only, xo0)
+            t_halo = max(t_full - t_win, 1e-12)
+            halo_info.update({
+                "halo_fused_assembly_us": t_full * 1e6,
+                "halo_window_only_us": t_win * 1e6,
+                "halo_spread": full_spread,
+                # whole-assembly accounting: read interiors + halo, write ext
+                "halo_assembly_vs_roofline": ratio(
+                    (S * R_int + S * R_ext + halo_elems) * 4 / t_full,
+                    hbm_gbps, "halo_assembly"),
+            })
+        else:
+            t_halo = t_runs
+    else:
+        # irregular halo (no run plan): element-wise gather fallback only
+        halo_src = jnp.asarray(dec.halo_src_halo)
+        halo_slots = jnp.asarray(dec.halo_slots)
+        from schwarz_tpu.parallel.exchange import assemble_x_ext
+
+        def step_halo_gather(xo):
+            halo_vals = xo.reshape(-1)[halo_src]
+            x_ext = assemble_x_ext(xo, interior_off, halo_slots, halo_vals,
+                                   R_ext)
+            return xo * 0.999999 + jnp.sum(
+                x_ext, axis=1, keepdims=True) * 1e-12
+
+        t_halo, _, _, _ = _fit_twice(step_halo_gather, xo0)
+
     halo_elems_per_s = halo_elems / t_halo
-    halo_gather_elems_per_s = halo_elems / t_hg
-    halo_sol = hbm_gbps / 8.0   # value read + value write per element
-    halo_vs_roofline = min(halo_elems_per_s / halo_sol, 1.0)
+    halo_vs_roofline = ratio(halo_elems_per_s, halo_sol, "halo")
+
+    if suspects:
+        print(json.dumps({
+            "metric": "local_spmv_nnz_per_s_per_chip",
+            "value": 0.0, "unit": "nnz/s", "vs_baseline": 0.0,
+            "error": "measured/roofline ratio above sanity bound "
+                     f"{ROOFLINE_SANITY} — measurement bug, not a result",
+            "suspect_ratios": {n: r for n, r in suspects},
+        }), flush=True)
+        sys.exit(1)
 
     # headline first: a timeout during the informational RAS section must not
     # cost the driver its JSON line
@@ -299,16 +380,19 @@ def main():
                 "value": nnz_per_s,
                 "unit": "nnz/s",
                 "vs_baseline": vs_baseline,
+                "spmv_formulation": spmv_formulation,
+                "spmv_fit_spread": spmv_spread,
+                "methodology": "slope_fit_k1_k4",
                 "trisolve_nnz_per_s": trisolve_elems_per_s,
                 "trisolve_vs_roofline": trisolve_vs_roofline,
                 "trisolve_block": blk,
-                "trisolve_xla_elems_per_s": trisolve_xla_elems_per_s,
+                "trisolve_fit_spread": trib_spread,
                 "direct_inverse_elems_per_s": inverse_elems_per_s,
                 "direct_inverse_vs_roofline": inverse_vs_roofline,
+                "direct_inverse_fit_spread": inv_spread,
                 "halo_gather_scatter_elems_per_s": halo_elems_per_s,
                 "halo_vs_roofline": halo_vs_roofline,
-                "halo_runs_path": rp is not None,
-                "halo_elementwise_gather_elems_per_s": halo_gather_elems_per_s,
+                **halo_info,
             }
         ),
         flush=True,
@@ -345,6 +429,30 @@ def main():
         rdma_info = rdma_native_check()
     except Exception as e:  # pragma: no cover
         rdma_info = {"rdma_native_ok": False, "rdma_native_error": str(e)[:200]}
+
+    # fused halo assembly: native compile+execute proof on hardware
+    def halo_native_check():
+        if rp is None or not fused_assemble_supported(S, R_ext, jnp.float32):
+            return {"halo_fused_native_ok": None}
+        got = assemble_x_ext_fused(
+            xo0, xo0.reshape(-1), interior_off, rp.lengths,
+            tuple(jnp.asarray(t) for t in rp.run_src),
+            tuple(jnp.asarray(t) for t in rp.run_dst),
+            R_ext, interpret=not on_tpu)
+        ref = assemble_x_ext_runs(
+            xo0, xo0.reshape(-1), interior_off, rp.lengths,
+            tuple(jnp.asarray(t) for t in rp.run_src),
+            tuple(jnp.asarray(t) for t in rp.run_dst),
+            R_ext, jnp.float32)
+        ok = bool(np.array_equal(np.asarray(got), np.asarray(ref)))
+        return {"halo_fused_native_ok": ok,
+                "halo_fused_mode": "tpu" if on_tpu else "interpret"}
+
+    try:
+        rdma_info.update(halo_native_check())
+    except Exception as e:  # pragma: no cover
+        rdma_info.update({"halo_fused_native_ok": False,
+                          "halo_fused_native_error": str(e)[:200]})
 
     # free-running async kernel: native compile+execute proof of the FULL
     # 8-subdomain solve on one chip (Sl = 8 batching; the self-ring runs
@@ -383,6 +491,13 @@ def main():
                             chunk_rounds=6, interpret=not on_tpu,
                             nonsym=True)
         _, ninfo = s_n.run(max_rounds=400)
+        # GMRES(m) variant of the non-symmetric in-kernel correction solve
+        # (reference parity: solve.cpp:486-570 — round-2 verdict item 6)
+        s_g = AsyncRASolver(A_n, b_n, num_subdomains=8, overlap=2,
+                            tolerance=1e-4, staleness=1, ninner=10,
+                            chunk_rounds=6, interpret=not on_tpu,
+                            nonsym=True, nonsym_solver="gmres")
+        _, ginfo = s_g.run(max_rounds=400)
         return {"async_native_ok": bool(info["converged"]),
                 "async_rel": info["relative_residual_norm"],
                 "async_refined_ok": bool(rinfo["converged"]),
@@ -395,6 +510,8 @@ def main():
                 "async_oras_rounds": int(oinfo["rounds"]),
                 "async_nonsym_ok": bool(ninfo["converged"]),
                 "async_nonsym_rel": ninfo["relative_residual_norm"],
+                "async_gmres_ok": bool(ginfo["converged"]),
+                "async_gmres_rel": ginfo["relative_residual_norm"],
                 "async_native_sl": s_a.Sl,
                 "async_native_mode": "tpu" if on_tpu else "interpret"}
 
@@ -430,8 +547,55 @@ def main():
         rdma_info.update({"async2d_native_ok": False,
                           "async2d_native_error": str(e)[:200]})
 
+    # ---- FLAGSHIP: driver-captured two-level spectral 1e-8 solve -----------
+    # (round-2 verdict item 5: the headline solver-level claim must be
+    # substantiated by the driver, not by probe scripts.)  Largest problem
+    # that fits the remaining budget: 512^2 by default, 1M rows with
+    # BENCH_FLAGSHIP=1m and a generous BENCH_TIMEOUT_S.
+    def run_flagship():
+        n_f = {"1m": 1024, "512": 512}.get(
+            os.environ.get("BENCH_FLAGSHIP", "512"), 512)
+        if not on_tpu:
+            n_f = 64
+        A_f = laplacian_2d(n_f)
+        b_f = generate_rhs(A_f.n)
+        from schwarz_tpu.config import Partition
+
+        s_f = Settings(
+            partition=Partition.regular, overlap=6, tolerance=1e-8,
+            max_iters=200, dtype="float64", local_compute_dtype="float32",
+            local_tolerance=1e-6, local_max_iters=20,
+            precond=Precond.block_jacobi, block_jacobi_block_size=32,
+            row_pad_multiple=128, two_level=True,
+            coarse_aggregates=(64 if n_f >= 1024 else 32),
+            coarse_space="spectral",
+        )
+        t0 = time.time()
+        solver = RASolver(decompose(A_f, b_f, s_f, S))
+        setup = time.time() - t0
+        solver.run(chunk_iters=25)            # includes compile
+        r_f = solver.run(chunk_iters=25)      # warm
+        return {
+            "flagship_n": A_f.n,
+            "flagship_converged": bool(r_f.converged),
+            "flagship_iters": int(r_f.iters),
+            "flagship_rel_residual": float(r_f.relative_residual_norm),
+            "flagship_warm_solve_s": float(r_f.solve_time_s),
+            "flagship_setup_s": setup,
+            "flagship_tol": 1e-8,
+            "flagship_coarse_q": int(s_f.coarse_aggregates),
+        }
+
+    elapsed = time.time() - T_START
+    if elapsed > 0.45 * INNER_TIMEOUT_S:
+        flagship_info = {"flagship_skipped": f"budget ({elapsed:.0f}s)"}
+    else:
+        try:
+            flagship_info = run_flagship()
+        except Exception as e:  # pragma: no cover
+            flagship_info = {"flagship_error": str(e)[:300]}
+
     # ---- secondary: RAS time-to-solution, paper-campaign two-stage config --
-    # informational (stderr only): skipped when the compile budget is half-spent
     def run_ras_secondary():
         n1d_ras = 128 if on_tpu else 64
         A2 = laplacian_2d(n1d_ras)
@@ -442,30 +606,18 @@ def main():
             partition=Partition.regular2d,   # 4x4 blocks, not thin strips
             # flagship-style mixed precision: f64 outer residuals with f32
             # inner solves (iterative refinement) at the reference's own
-            # campaign tolerance (run_script:35-44 runs 1e-6).  Pure-f32
-            # outer loops floor near 1.9e-4 relative under the spectral
-            # coarse space (the strong correction amplifies f32 rounding;
-            # measured identically on CPU and v5e), so the production
-            # recipe — not a looser tolerance — is what the bench runs.
+            # campaign tolerance (run_script:35-44 runs 1e-6)
             overlap=6, tolerance=1e-6, max_iters=500, dtype="float64",
             local_compute_dtype="float32",
             local_tolerance=1e-6,
             # capped inexact local solves — the reference's own paper campaign
-            # runs two-stage with liter=70 / ltol=0.1 (run_script:35-44);
-            # measured sweep here: cap 20 gives 0.96 s vs 2.6 s uncapped at
-            # identical final residual (BENCHMARKING.md)
+            # runs two-stage with liter=70 / ltol=0.1 (run_script:35-44)
             local_max_iters=20,
             precond=Precond.block_jacobi, block_jacobi_block_size=32,
             row_pad_multiple=128, two_level=True,
-            # spectral (Neumann-block eigenvector) coarse space, 16 DOFs
-            # per subdomain: measured 117 -> 15 outer iterations vs the
-            # equal-size aggregate space at this config (BENCHMARKING.md);
-            # the 1M-row/1e-8 flagship record (6.6 s one-chip) runs the
-            # same construction at q=64
             coarse_aggregates=16, coarse_space="spectral",
         )
         solver = RASolver(decompose(A2, b2, s2, S))
-        # chunked: keeps each device execution well under the ~60s watchdog
         solver.run(chunk_iters=100)           # includes compile
         r2 = solver.run(chunk_iters=100)      # warm
         return {
@@ -477,7 +629,7 @@ def main():
         }
 
     elapsed = time.time() - T_START
-    if elapsed > 0.5 * INNER_TIMEOUT_S:
+    if elapsed > 0.7 * INNER_TIMEOUT_S:
         ras_info = {"ras_skipped": f"budget ({elapsed:.0f}s elapsed)"}
     else:
         try:
@@ -494,13 +646,16 @@ def main():
                 "padded_nnz": padded_nnz,
                 "setup_s": setup_s,
                 "spmv_us": t_spmv * 1e6,
-                "spmv_chain_overhead_us": t_base * 1e6,
-                "trisolve_us": t_tri * 1e6,
+                "spmv_xla_us": t_xla * 1e6,
+                "spmv_pallas_us": (None if t_pal == float("inf")
+                                   else t_pal * 1e6),
+                "trisolve_us": t_trib * 1e6,
                 "inverse_apply_us": t_inv * 1e6,
                 "tri_rows": R_fac,
                 "halo_us": t_halo * 1e6,
                 "halo_elems": halo_elems,
                 **rdma_info,
+                **flagship_info,
                 **ras_info,
             }
         ),
@@ -556,13 +711,23 @@ def guarded():
         lines = [ln for ln in out.splitlines() if ln.strip()]
         # salvage any run whose first stdout line is valid headline JSON —
         # the informational sections after it may die (watchdog, OOM)
-        # without invalidating the completed measurement
-        if lines:
+        # without invalidating the completed measurement.  A run that
+        # FAILED the roofline sanity check (rc 1 with an "error" field) is
+        # propagated as a failure, never salvaged as a result.
+        if lines and rc == 0:
             try:
                 parsed = json.loads(lines[0])
-                if parsed.get("metric"):
+                if parsed.get("metric") and "error" not in parsed:
                     print(lines[0])
                     return 0
+            except (json.JSONDecodeError, AttributeError):
+                pass
+        if lines and rc == 1:
+            try:
+                parsed = json.loads(lines[0])
+                if parsed.get("error"):
+                    print(lines[0])
+                    return 1
             except (json.JSONDecodeError, AttributeError):
                 pass
         print(f"bench child failed rc={rc} ({args})", file=sys.stderr)

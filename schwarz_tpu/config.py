@@ -280,6 +280,13 @@ class Settings:
     # Pallas kernel for the DIA SpMV: "auto" = on TPU when shape/dtype allow,
     # "on" / "off" force
     use_pallas: str = "auto"
+    # Fused Pallas x_ext assembly (ops/halo_pallas.py): ONE launch issuing
+    # all interior-window + halo-run copies on the DMA engines, replacing
+    # the ~85 dynamic_update_slice dispatches of the XLA runs path
+    # (measured 0.8% of the copy roofline on v5e — round-2 verdict).
+    # "auto" = on TPU when a run plan exists, dtypes match, and the output
+    # fits VMEM; "on" forces (interpret mode on CPU meshes), "off" disables.
+    halo_fused: str = "auto"
     # Fused whole-solve CG Pallas kernel (ops/fused_cg.py): runs the entire
     # batched local CG loop in ONE kernel launch with all state VMEM-resident.
     # Targets the launch-bound small-subdomain regime (each XLA inner iteration

@@ -107,6 +107,78 @@ def dia_spmv_pallas2d(
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+def dia_spmv_pallas3(
+    offsets: Tuple[int, ...],
+    dia_vals: jax.Array,     # (S, K, R) float32, R % 128 == 0
+    xpad: jax.Array,         # (S, R + 2M) float32, M = max |offset|
+    interpret: bool = False,
+) -> jax.Array:
+    """Third-generation DIA kernel: minimal shift work per diagonal.
+
+    ``dia_spmv_pallas2d`` rolls the whole VMEM-resident x block 2-3 times
+    per diagonal (measured 131 us marginal at the 1M-row shapes — the rolls,
+    not bandwidth, dominate).  Here each diagonal's shifted window
+    d = q*128 + rr reads:
+
+      - rr == 0 (offsets that are multiples of 128 — the +-n1d stencil
+        neighbors and the main diagonal): a STATIC sublane-offset slice
+        ``x[q : q + Rr_y]`` — pure addressing, zero vector ops;
+      - rr != 0 (the +-1 neighbors): ONE lane roll of ``x[q : q + Rr_y + 1]``
+        plus a two-row lane select (the carry), instead of lane+sublane roll
+        chains.
+
+    The per-diagonal work drops from ~3 full-block rolls to at most one,
+    which puts the kernel back at the HBM bound: the only required traffic
+    is dia_vals once + x once + y once (the ``minimal-bytes`` roofline of
+    bench.py)."""
+    S, K, R = dia_vals.shape
+    M = max((abs(o) for o in offsets), default=0)
+    Mpad = -(-M // 128) * 128
+    if Mpad != M:
+        extra = Mpad - M
+        xpad = jnp.pad(xpad, ((0, 0), (extra, extra)))
+        M = Mpad
+    assert R % 128 == 0
+    W = R + 2 * M
+    Rr_y = R // 128
+    Rr_x = W // 128
+    x3 = xpad.reshape(S, Rr_x, 128)
+    dia4 = dia_vals.reshape(S, K, Rr_y, 128)
+
+    def kernel(dia_ref, x_ref, o_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Rr_y, 128), 1)
+        acc = jnp.zeros((Rr_y, 128), jnp.float32)
+        for k in range(K):
+            d = M + offsets[k]           # flat read offset, 0 <= d <= 2M
+            q, rr = divmod(d, 128)
+            if rr == 0:
+                w = x_ref[0, q:q + Rr_y, :]
+            else:
+                a = x_ref[0, q:q + Rr_y + 1, :]
+                rolled = pltpu.roll(a, jnp.int32(128 - rr), 1)  # lanes <- rr
+                w = jnp.where(lane < 128 - rr, rolled[:-1], rolled[1:])
+            acc = acc + dia_ref[0, k] * w
+        o_ref[0] = acc
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(S,),
+            in_specs=[
+                pl.BlockSpec((1, K, Rr_y, 128), lambda s: (s, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Rr_x, 128), lambda s: (s, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, Rr_y, 128), lambda s: (s, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((S, Rr_y, 128), jnp.float32),
+            interpret=interpret,
+        )(dia4, x3)
+    return out.reshape(S, R)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
 def dia_spmv_pallas(
     offsets: Tuple[int, ...],
     dia_vals: jax.Array,     # (S, K, R) float32

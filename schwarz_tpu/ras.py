@@ -616,6 +616,19 @@ class RASolver:
                     plan[f"runs_src_{c}"] = put(ts)
                     plan[f"runs_dst_{c}"] = put(td)
                 self._run_L = rp.lengths
+        # fused Pallas x_ext assembly: all window/run copies in one launch
+        # (ops/halo_pallas.py; round-2 verdict item 2)
+        from schwarz_tpu.ops.halo_pallas import fused_assemble_supported
+
+        on_cpu_mesh = self.mesh.devices.reshape(-1)[0].platform == "cpu"
+        self._halo_fused = (
+            self._run_L is not None
+            and s.halo_fused in ("auto", "on")
+            and (s.halo_fused == "on" or not on_cpu_mesh)
+            and (s.halo_value_dtype == s.value_dtype)
+            and fused_assemble_supported(self.Sl, self.meta.max_ext, dtype)
+        )
+        self._halo_fused_interpret = on_cpu_mesh
         self._neighbor_plan = None
         if s.comm.strategy in (HaloStrategy.neighbor, HaloStrategy.rdma):
             from schwarz_tpu.parallel.neighbor_exchange import build_neighbor_plan
@@ -1014,6 +1027,8 @@ class RASolver:
             return exchange_halo_allgather(
                 x_own, plan["interior_off"], plan["halo_slots"],
                 plan["halo_src_halo"], meta.max_ext, halo_dtype=halo_dtype,
+                fused=self._halo_fused,
+                fused_interpret=self._halo_fused_interpret,
                 run_plan_arrays=(
                     (
                         self._run_L,
