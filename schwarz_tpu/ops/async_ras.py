@@ -271,6 +271,68 @@ def _bicgstab_correction(apply_solve, dot, dv, r, ninner: int):
     return jax.lax.fori_loop(0, ninner, body, init)[0]
 
 
+def _gmres_correction(apply_solve, dot, dv, r, m: int):
+    """Right-preconditioned GMRES(m) correction solve (z ~= A_solve^-1 r).
+
+    One unrolled Arnoldi cycle of size ``m`` on the Jacobi-preconditioned
+    operator ``A_solve diag(dv)``: modified Gram-Schmidt, Givens rotations
+    on the (m+1) x m Hessenberg, triangular back-substitution — all scalar
+    work on the callers' chained-keepdims ``dot`` shapes, so the whole
+    solve stays inside the Pallas kernel trace (Mosaic-safe: elementwise
+    vector ops + (1, 1) scalars, no data-dependent control flow).
+
+    This is the reference's non-symmetric local branch in free-running
+    form (Ginkgo GMRES + restart, solve.cpp:486-570); ``m`` plays the
+    restart length (one cycle per outer RAS iteration — the outer loop is
+    the restart loop).  Breakdowns (zero norms / diagonal entries) are
+    guarded to contribute zero instead of NaN, matching the BiCGStab
+    guard discipline above.
+    """
+    eps = jnp.finfo(jnp.float32).tiny
+
+    def sdiv(a, b):
+        return jnp.where(jnp.abs(b) > eps,
+                         a / jnp.where(b == 0, 1.0, b), 0.0)
+
+    zero = jnp.zeros((1, 1), jnp.float32)
+    beta = jnp.sqrt(dot(r, r))
+    V = [r * sdiv(jnp.ones_like(beta), beta)]
+    H = [[zero] * m for _ in range(m + 1)]
+    cs, sn = [], []
+    g = [beta] + [zero] * m
+    for j in range(m):
+        w = apply_solve(dv * V[j])
+        for i in range(j + 1):
+            hij = dot(w, V[i])
+            w = w - hij * V[i]
+            H[i][j] = hij
+        hn = jnp.sqrt(dot(w, w))
+        H[j + 1][j] = hn
+        V.append(w * sdiv(jnp.ones_like(hn), hn))
+        for i in range(j):
+            t = cs[i] * H[i][j] + sn[i] * H[i + 1][j]
+            H[i + 1][j] = -sn[i] * H[i][j] + cs[i] * H[i + 1][j]
+            H[i][j] = t
+        dn = jnp.sqrt(H[j][j] * H[j][j] + H[j + 1][j] * H[j + 1][j])
+        c = sdiv(H[j][j], dn)
+        s_ = sdiv(H[j + 1][j], dn)
+        cs.append(c)
+        sn.append(s_)
+        H[j][j] = c * H[j][j] + s_ * H[j + 1][j]
+        g[j + 1] = -s_ * g[j]
+        g[j] = c * g[j]
+    y = [zero] * m
+    for i in reversed(range(m)):
+        acc = g[i]
+        for k2 in range(i + 1, m):
+            acc = acc - H[i][k2] * y[k2]
+        y[i] = sdiv(acc, H[i][i])
+    u = y[0] * V[0]
+    for i in range(1, m):
+        u = u + y[i] * V[i]
+    return dv * u
+
+
 def _shift(x: jax.Array, d: int) -> jax.Array:
     """w[i] = x_flat[(i + d) % T] on a (Tr, 128) tile (cf. fused_cg._flat_shift)."""
     from jax.experimental.pallas import tpu as pltpu
@@ -289,6 +351,7 @@ def _shift(x: jax.Array, d: int) -> jax.Array:
     static_argnames=(
         "offsets", "total", "hw", "rounds", "staleness", "ninner", "tol",
         "n_subd", "axis_name", "interpret", "fresh_read", "nonsym",
+        "nonsym_solver",
     ),
 )
 def async_ras_rounds(
@@ -316,6 +379,7 @@ def async_ras_rounds(
     interpret: bool,
     fresh_read: bool = False,
     nonsym: bool = False,
+    nonsym_solver: str = "bicgstab",
 ):
     """Run ``rounds`` free-running outer iterations on this device.
 
@@ -466,7 +530,10 @@ def async_ras_rounds(
 
         def local_correct(r):
             if nonsym:
-                # non-symmetric local solves: Jacobi-BiCGStab correction
+                # non-symmetric local solves: Jacobi-BiCGStab (default) or
+                # GMRES(m) correction (reference solve.cpp:486-570)
+                if nonsym_solver == "gmres":
+                    return _gmres_correction(apply_solve, dot, dv, r, ninner)
                 return _bicgstab_correction(apply_solve, dot, dv, r, ninner)
             return cg_dom(r)
 
@@ -696,7 +763,7 @@ class AsyncRASolver:
                  ninner: int = 12, chunk_rounds: int = 16,
                  mesh=None, interpret: bool | None = None,
                  fresh_read: bool = False, oras_weight: float = 0.0,
-                 nonsym: bool = False):
+                 nonsym: bool = False, nonsym_solver: str = "bicgstab"):
         from jax.sharding import PartitionSpec as P
 
         from schwarz_tpu.parallel.mesh import SUBD_AXIS, make_mesh
@@ -705,6 +772,12 @@ class AsyncRASolver:
                                      oras_weight=oras_weight)
         self.oras_weight = float(oras_weight)
         self.nonsym = bool(nonsym)
+        if nonsym_solver not in ("bicgstab", "gmres"):
+            raise ValueError(
+                f"nonsym_solver must be 'bicgstab' or 'gmres', got "
+                f"{nonsym_solver!r}"
+            )
+        self.nonsym_solver = nonsym_solver
         self.mat = mat
         self.rhs = np.asarray(rhs)
         self.tolerance = tolerance
@@ -757,6 +830,7 @@ class AsyncRASolver:
             rounds=chunk_rounds, staleness=staleness, ninner=ninner,
             tol=tolerance, n_subd=D, axis_name=SUBD_AXIS,
             interpret=interpret, fresh_read=fresh_read, nonsym=nonsym,
+            nonsym_solver=nonsym_solver,
         )
         spec = P(SUBD_AXIS)
         n_in = 11 if p.boost is not None else 10

@@ -125,6 +125,7 @@ def dia_ell_spmv(
     x: jax.Array,                   # (S, Rx) with Rx >= R; padding slots zero
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    pallas_version: int = 3,
 ) -> jax.Array:
     """y (S, R) = (DIA + row-compact ELL-remainder) @ x.
 
@@ -132,7 +133,9 @@ def dia_ell_spmv(
     (valid: all true entries have in-range columns; only the shift window
     over-reads).  The remainder touches only its compact rows.  With
     ``use_pallas`` the diagonal part runs as a single-pass Pallas kernel
-    (ops/pallas_kernels.py) when the shape/dtype support it.
+    (ops/pallas_kernels.py) when the shape/dtype support it;
+    ``pallas_version`` picks the formulation (3 = static-sublane-slice
+    minimal-shift kernel, the measured winner; 2 = roll-chain kernel).
     """
     S, K, R = dia_vals.shape
     use_pallas_now = False
@@ -141,11 +144,15 @@ def dia_ell_spmv(
 
         use_pallas_now = dia_spmv_supported(R, x.dtype) and len(offsets) > 0
     if use_pallas_now:
-        from schwarz_tpu.ops.pallas_kernels import dia_spmv_pallas2d
+        from schwarz_tpu.ops.pallas_kernels import (
+            dia_spmv_pallas2d,
+            dia_spmv_pallas3,
+        )
 
+        kern = dia_spmv_pallas3 if pallas_version == 3 else dia_spmv_pallas2d
         M = max((abs(o) for o in offsets), default=0)
         xp = jnp.pad(x[:, :R], ((0, 0), (M, M)))
-        y = dia_spmv_pallas2d(offsets, dia_vals, xp, interpret=pallas_interpret)
+        y = kern(offsets, dia_vals, xp, interpret=pallas_interpret)
     else:
         y = dia_spmv(offsets, dia_vals, x)
     return apply_remainder(rem_rows, rem_vals, rem_cols, x, y)

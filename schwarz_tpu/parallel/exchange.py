@@ -222,7 +222,8 @@ def exchange_halo_allgather(
     halo_dtype=None,
     axis_name: str = SUBD_AXIS,
     run_plan_arrays=None,      # (run_src, run_dst, L) for the runs fast path
-    fused: bool = False,       # fused Pallas assembly (ops/halo_pallas.py)
+    tiled_plan=None,           # halo_pallas.TiledRunPlan (fused DMA path)
+    tiled_tables=None,         # jnp (src_0, dst_0, src_1, dst_1, ...) shards
     fused_interpret: bool = False,
 ) -> jax.Array:
     """Return x_ext (Sl, R_ext) in the compute dtype.
@@ -237,15 +238,15 @@ def exchange_halo_allgather(
     compute_dtype = x_own.dtype
     send = x_own.astype(halo_dtype) if halo_dtype is not None else x_own
     x_all = jax.lax.all_gather(send, axis_name, tiled=True)  # (S, R_int)
+    if tiled_plan is not None and halo_dtype is None:
+        from schwarz_tpu.ops.halo_pallas import assemble_x_ext_fused
+
+        return assemble_x_ext_fused(
+            x_own, x_all.reshape(-1), interior_off, tiled_plan,
+            tiled_tables, interpret=fused_interpret,
+        )
     if run_plan_arrays is not None:
         lengths, run_src, run_dst = run_plan_arrays
-        if fused and halo_dtype is None:
-            from schwarz_tpu.ops.halo_pallas import assemble_x_ext_fused
-
-            return assemble_x_ext_fused(
-                x_own, x_all.reshape(-1), interior_off, lengths,
-                run_src, run_dst, r_ext, interpret=fused_interpret,
-            )
         return assemble_x_ext_runs(
             x_own, x_all.reshape(-1), interior_off, lengths, run_src,
             run_dst, r_ext, compute_dtype,

@@ -604,6 +604,9 @@ class RASolver:
         # gather costs ~1.3 ms/iter at 1M rows).  Auto-detected, bit-exact,
         # falls back to the gather for irregular (metis/2-D) halo structure.
         self._run_L = None
+        self._tiled_plan = None
+        self._halo_fused_reason = "halo strategy is not all_gather"
+        on_cpu_mesh = self.mesh.devices.reshape(-1)[0].platform == "cpu"
         if s.comm.strategy == HaloStrategy.all_gather:
             from schwarz_tpu.parallel.exchange import build_run_plan
 
@@ -611,23 +614,58 @@ class RASolver:
                 dec.halo_src_halo, dec.halo_slots, self.meta.max_ext,
                 self.meta.max_interior, dec.interior_offset,
             )
+            self._halo_fused_reason = "no contiguous-run plan (irregular halo)"
             if rp is not None:
                 for c, (ts, td) in enumerate(zip(rp.run_src, rp.run_dst)):
                     plan[f"runs_src_{c}"] = put(ts)
                     plan[f"runs_dst_{c}"] = put(td)
                 self._run_L = rp.lengths
-        # fused Pallas x_ext assembly: all window/run copies in one launch
-        # (ops/halo_pallas.py; round-2 verdict item 2)
-        from schwarz_tpu.ops.halo_pallas import fused_assemble_supported
+                # fused Pallas x_ext assembly (ops/halo_pallas.py): the halo
+                # run copies as one DMA launch.  Requires the tile-aligned
+                # layout (1024-element f32 tiles on hardware; 128 under the
+                # CPU interpreter where Mosaic tiling does not bind) and, on
+                # hardware, a NATIVE compile+execute proof at build time —
+                # a Mosaic failure degrades to the XLA runs path instead of
+                # crashing the solve (round-3 verdict items 1-2).
+                from schwarz_tpu.ops.halo_pallas import (
+                    build_tiled_plan,
+                    fused_assemble_supported,
+                )
 
-        on_cpu_mesh = self.mesh.devices.reshape(-1)[0].platform == "cpu"
-        self._halo_fused = (
-            self._run_L is not None
-            and s.halo_fused in ("auto", "on")
-            and (s.halo_fused == "on" or not on_cpu_mesh)
-            and (s.halo_value_dtype == s.value_dtype)
-            and fused_assemble_supported(self.Sl, self.meta.max_ext, dtype)
-        )
+                tp = build_tiled_plan(
+                    rp, dec.interior_offset, self.meta.max_interior,
+                    self.meta.max_ext, self.meta.num_subdomains,
+                    tile=(128 if on_cpu_mesh else 1024),
+                )
+                want = (
+                    s.halo_fused in ("auto", "on")
+                    and (s.halo_fused == "on" or not on_cpu_mesh)
+                    and s.halo_value_dtype == s.value_dtype
+                    and fused_assemble_supported(tp, dtype)
+                )
+                if s.halo_fused == "off":
+                    self._halo_fused_reason = "halo_fused='off'"
+                elif not want:
+                    self._halo_fused_reason = (
+                        "fused assembly unsupported: needs f32 compute == "
+                        "halo dtype and a tile-aligned run plan "
+                        "(row_pad_multiple=1024 layouts on hardware)"
+                    )
+                else:
+                    ok, reason = True, None
+                    if not on_cpu_mesh:
+                        ok, reason = self._probe_halo_fused(tp, rp)
+                    if ok:
+                        self._tiled_plan = tp
+                        self._halo_fused_reason = None
+                        for c in range(len(tp.lengths_t)):
+                            plan[f"truns_src_{c}"] = put(tp.src_t[c])
+                            plan[f"truns_dst_{c}"] = put(tp.dst_t[c])
+                    else:
+                        self._halo_fused_reason = (
+                            f"native probe failed: {reason}"
+                        )
+        self._halo_fused = self._tiled_plan is not None
         self._halo_fused_interpret = on_cpu_mesh
         self._neighbor_plan = None
         if s.comm.strategy in (HaloStrategy.neighbor, HaloStrategy.rdma):
@@ -985,6 +1023,56 @@ class RASolver:
                     jnp.ones(rhs_eff.shape[0], jnp.int32), zero)
         raise ValueError(f"unsupported local solver {s.local_solver}")
 
+    def _probe_halo_fused(self, tp, rp):
+        """Native compile+execute proof of the fused halo kernel at this
+        solver's per-device shapes (ops/native_gate.py; round-3 verdict
+        item 2).  Bit-compares against the XLA runs path on a synthetic
+        iterate.  Returns (ok, reason); a failure means the solver uses the
+        XLA runs path and records why in ``halo_fused_reason``."""
+        import numpy as np
+
+        from schwarz_tpu.ops.halo_pallas import assemble_x_ext_fused
+        from schwarz_tpu.ops.native_gate import native_probe
+        from schwarz_tpu.parallel.exchange import assemble_x_ext_runs
+
+        Sl = self.Sl
+        R_int = self.meta.max_interior
+        r_ext = self.meta.max_ext
+        S = self.meta.num_subdomains
+        key = (
+            "halo_fused", Sl, S, R_int, r_ext, tp.tile, tp.lengths_t,
+            tp.uniq_offs,
+        )
+        rng = np.random.default_rng(0)
+        xo = jnp.asarray(rng.standard_normal((Sl, R_int)), jnp.float32)
+        x_all = jnp.asarray(
+            rng.standard_normal((S * R_int,)), jnp.float32)
+        off = jnp.asarray(self.dec.interior_offset[:Sl].astype(np.int32))
+        tables = tuple(
+            jnp.asarray(t[c][:Sl])
+            for c in range(len(tp.lengths_t))
+            for t in (tp.src_t, tp.dst_t)
+        )
+        run_tables = tuple(
+            jnp.asarray(t[c][:Sl])
+            for c in range(len(rp.lengths))
+            for t in (rp.run_src, rp.run_dst)
+        )
+
+        def fused():
+            return assemble_x_ext_fused(
+                xo, x_all, off, tp, tables, interpret=False)
+
+        def reference():
+            return assemble_x_ext_runs(
+                xo, x_all, off, rp.lengths,
+                tuple(run_tables[2 * c] for c in range(len(rp.lengths))),
+                tuple(run_tables[2 * c + 1] for c in range(len(rp.lengths))),
+                r_ext, jnp.float32,
+            )
+
+        return native_probe(key, fused, compare=lambda: reference())
+
     def _exchange_fn(self):
         """Halo exchange closure (strategy dispatch), usable inside shard_map."""
         s = self.settings
@@ -1024,10 +1112,19 @@ class RASolver:
                     rdma_one_by_one=s.comm.enable_one_by_one,
                     rdma_flush_local=s.comm.flush_type == "flush-local",
                 )
+            tp = self._tiled_plan if self._halo_fused else None
             return exchange_halo_allgather(
                 x_own, plan["interior_off"], plan["halo_slots"],
                 plan["halo_src_halo"], meta.max_ext, halo_dtype=halo_dtype,
-                fused=self._halo_fused,
+                tiled_plan=tp,
+                tiled_tables=(
+                    tuple(
+                        plan[f"truns_{kind}_{c}"]
+                        for c in range(len(tp.lengths_t))
+                        for kind in ("src", "dst")
+                    )
+                    if tp is not None else None
+                ),
                 fused_interpret=self._halo_fused_interpret,
                 run_plan_arrays=(
                     (
