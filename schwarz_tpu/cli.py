@@ -178,6 +178,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--enable_overlap", "--enable_comm_overlap",
                    action="store_true",
                    help="overlap communication with computation")
+    p.add_argument("--enable_overlap_split", action="store_true",
+                   help="exact comm/compute overlap via the interior/"
+                        "boundary split of the linear local solve (fixed "
+                        "point unchanged; needs --local_solver cholesky "
+                        "--direct_apply inverse)")
     p.add_argument("--enable_put_all_local_residual_norms", action="store_true")
     p.add_argument("--enable_comm_overlap_staleness", type=int, default=1,
                    help="halo staleness (iterations) in async emulation")
@@ -384,6 +389,7 @@ def settings_from_args(args):
         comm=CommSettings(
             onesided=args.enable_onesided,
             overlap_comm=args.enable_overlap,
+            overlap_split=args.enable_overlap_split,
             strategy=HaloStrategy(args.comm_strategy),
             staleness=(
                 args.enable_comm_overlap_staleness if args.enable_onesided else 0

@@ -144,6 +144,18 @@ class CommSettings:
 
     onesided: bool = False
     overlap_comm: bool = False         # <- comm_settings.enable_overlap
+    # Exact comm/compute overlap (the reference's enable_overlap WITHOUT
+    # changing the iterate, restricted_schwarz.cpp:886-892,924-943): with a
+    # LINEAR local solver (direct Cholesky, explicit-inverse apply) the
+    # solve splits as  z = A_loc^-1 b_loc  -  A_loc^-1[:, iface] (A_iface
+    # x_ext).  The first term is loop-invariant (hoisted at build); only
+    # the O(R x Oi) boundary correction waits on the exchange, so the
+    # halo collective overlaps everything else the scheduler has — and the
+    # fixed point is unchanged (a linear-algebra identity, unlike
+    # overlap_comm's one-iteration-stale halo).  Requires
+    # local_solver='cholesky', direct_apply='inverse', solution-based
+    # updates, no O-RAS; the solver raises otherwise.
+    overlap_split: bool = False
     strategy: HaloStrategy = HaloStrategy.all_gather
     staleness: int = 0                 # halo age in iterations for async emulation
     # Free-running mode only: consume the freshest fully-ARRIVED message

@@ -33,10 +33,13 @@ _EIGSH_TOL = 1e-4
 
 # Estimated Lanczos work (nnz * q) below which a block solves fast enough
 # serially that a spawned worker's ~1.3 s interpreter+scipy startup would
-# dominate.  Calibrated from measured ARPACK time ~1.2e-7 s per nnz*q unit:
-# 2e7 units ~ 2.5 s serial ~ 2x worker startup — the break-even point.  The
-# 1M-row flagship's 65k-row Neumann blocks at q=64 sit right at this line.
-_PARALLEL_MIN_WORK = 2e7
+# dominate.  Re-calibrated on the 512^2 flagship (round-3 verdict item 7):
+# a 16k-row Neumann block at q=32 is 2.6e6 units and measures ~1.75 s of
+# serial ARPACK (~6.7e-7 s/unit) — far above worker startup, so the old
+# 2e7 threshold left the whole 16-block solve serial (28 s where the pool
+# does it in ~4 s).  Break-even (~2x startup) is ~2.6 s of predicted work,
+# i.e. ~4e6 units; 1.5e6 keeps blocks >= ~1 s pooled.
+_PARALLEL_MIN_WORK = 1.5e6
 
 # generous per-worker wall clock; a hung worker triggers the serial fallback
 # instead of stalling coarse-space setup forever
@@ -132,6 +135,32 @@ def _spectral_block_worker(payload):
     return _spectral_worker.solve_block(payload)
 
 
+def _coarse_cache_path(A, boundaries, q: int):
+    """Content-addressed cache file for a (matrix, partition, q) basis, or
+    None when caching is off.  Enabled by the ``SCHWARZ_TPU_COARSE_CACHE``
+    env var (a directory); the key hashes the CSR arrays, the subdomain
+    boundaries, q and the Lanczos tolerance, so any change misses.  The
+    reference's analogue is factorize-once setup (solve.cpp:92-173);
+    re-solves with new right-hand sides — or re-runs on the same operator —
+    skip the eigensolves entirely (round-3 verdict item 7)."""
+    import hashlib
+    import os
+
+    cache_dir = os.environ.get("SCHWARZ_TPU_COARSE_CACHE")
+    if not cache_dir:
+        return None
+    h = hashlib.sha256()
+    h.update(np.int64(A.shape[0]).tobytes())
+    h.update(np.ascontiguousarray(A.indptr).tobytes())
+    h.update(np.ascontiguousarray(A.indices).tobytes())
+    h.update(np.ascontiguousarray(A.data).tobytes())
+    h.update(np.ascontiguousarray(boundaries).tobytes())
+    h.update(np.int64(q).tobytes())
+    h.update(np.float64(_EIGSH_TOL).tobytes())
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, f"coarse_{h.hexdigest()[:32]}.npz")
+
+
 def neumann_spectral_vectors(A, boundaries, q: int, workers=None):
     """Per-subdomain Neumann-block eigenvectors.
 
@@ -146,10 +175,20 @@ def neumann_spectral_vectors(A, boundaries, q: int, workers=None):
     environment; workers pin BLAS to one thread, so pooled results can
     differ from the in-process serial path at the last-bit level when the
     parent runs a multithreaded BLAS (same eigenspace, different rounding).
+
+    With ``SCHWARZ_TPU_COARSE_CACHE=<dir>`` the whole basis is cached
+    content-addressed on disk (see :func:`_coarse_cache_path`).
     """
     import scipy.sparse as sp
 
     A = A.tocsr()
+    cache_path = _coarse_cache_path(A, boundaries, q)
+    if cache_path is not None:
+        import os
+
+        if os.path.exists(cache_path):
+            with np.load(cache_path) as z:
+                return [z[f"v{sd}"] for sd in range(len(boundaries) - 1)]
     total_rowsum = np.asarray(A.sum(axis=1)).ravel()
     out = [None] * (len(boundaries) - 1)
     lanczos = []        # (sd, payload) for the pool-eligible blocks
@@ -185,6 +224,15 @@ def neumann_spectral_vectors(A, boundaries, q: int, workers=None):
     else:
         for sd, payload in lanczos:
             out[sd] = _spectral_block_worker(payload)
+    if cache_path is not None:
+        import os
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(cache_path),
+                                   suffix=".npz")
+        os.close(fd)
+        np.savez_compressed(tmp, **{f"v{sd}": v for sd, v in enumerate(out)})
+        os.replace(tmp, cache_path)   # atomic: concurrent writers race safely
     return out
 
 

@@ -111,13 +111,18 @@ def helmholtz_2d(n: int, k: float = 5.0, dtype=np.float64) -> CSRMatrix:
 
 
 def advection_diffusion_2d(
-    n: int, peclet: float = 10.0, bx: float = 1.0, by: float = 0.5, dtype=np.float64
+    n: int, peclet: float = 10.0, bx: float = 1.0, by: float = 0.5,
+    dtype=np.float64, upwind: bool = True,
 ) -> CSRMatrix:
-    """Upwinded advection-diffusion: ``-lap(u)/Pe + b . grad(u)`` — non-symmetric.
+    """Advection-diffusion: ``-lap(u)/Pe + b . grad(u)`` — non-symmetric.
 
-    First-order upwind for the advection term keeps the matrix an M-matrix, so the
-    GMRES local solver converges robustly (the reference solves the analogous
-    dealii_ex_9 advection system with GMRES+restart, solve.cpp:486-570).
+    ``upwind=True`` (default): first-order upwind advection keeps the matrix
+    an M-matrix, so the GMRES local solver converges robustly (the reference
+    solves the analogous dealii_ex_9 advection system with GMRES+restart,
+    solve.cpp:486-570).  ``upwind=False``: second-order central differences —
+    at high Peclet the operator becomes skew-dominant (strongly non-normal),
+    the regime where short-recurrence methods (BiCGStab) stagnate and the
+    optimal-in-the-Krylov-space GMRES is required.
     """
     N = n * n
     h = 1.0 / (n + 1)
@@ -126,19 +131,29 @@ def advection_diffusion_2d(
     y = i // n
     d = 1.0 / (peclet * h * h)
 
-    # diffusion part (5-point) + upwind advection
-    ax_p = max(bx, 0.0) / h   # flow in +x: upwind uses west neighbor
-    ax_m = max(-bx, 0.0) / h
-    ay_p = max(by, 0.0) / h
-    ay_m = max(-by, 0.0) / h
+    if upwind:
+        # diffusion part (5-point) + upwind advection
+        ax_p = max(bx, 0.0) / h   # flow in +x: upwind uses west neighbor
+        ax_m = max(-bx, 0.0) / h
+        ay_p = max(by, 0.0) / h
+        ay_m = max(-by, 0.0) / h
 
-    entries = [
-        (0, 0, 4.0 * d + ax_p + ax_m + ay_p + ay_m),
-        (1, 0, -d - ax_m),
-        (-1, 0, -d - ax_p),
-        (0, 1, -d - ay_m),
-        (0, -1, -d - ay_p),
-    ]
+        entries = [
+            (0, 0, 4.0 * d + ax_p + ax_m + ay_p + ay_m),
+            (1, 0, -d - ax_m),
+            (-1, 0, -d - ax_p),
+            (0, 1, -d - ay_m),
+            (0, -1, -d - ay_p),
+        ]
+    else:
+        # central differences: b.grad(u) ~ b_x (u_E - u_W)/2h + ...
+        entries = [
+            (0, 0, 4.0 * d),
+            (1, 0, -d + bx / (2 * h)),
+            (-1, 0, -d - bx / (2 * h)),
+            (0, 1, -d + by / (2 * h)),
+            (0, -1, -d - by / (2 * h)),
+        ]
     rows, cols, vals = [], [], []
     for dx, dy, v in entries:
         ok = (x + dx >= 0) & (x + dx < n) & (y + dy >= 0) & (y + dy < n)

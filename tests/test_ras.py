@@ -98,6 +98,43 @@ def test_direct_local_solvers_e2e(solver):
     _check(r)
 
 
+def test_overlap_split_preserves_fixed_point():
+    # exact comm/compute overlap (comm.overlap_split): the split solve
+    # z = z_base - A^-1[:, iface] g is a linearity identity, so iterate
+    # counts match and the converged solutions agree to fp noise —
+    # unlike overlap_comm, which changes the iteration (stale halo)
+    from schwarz_tpu import CommSettings
+
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    base = Settings(local_solver=LocalSolver.direct_cholesky,
+                    direct_apply="inverse", overlap=3, tolerance=1e-8,
+                    max_iters=200)
+    r_ref = solve(A, b, base, num_subdomains=4)
+    r_split = solve(
+        A, b, base.replace(comm=CommSettings(overlap_split=True)),
+        num_subdomains=4,
+    )
+    _check(r_split, 1e-6)
+    assert r_split.iters == r_ref.iters
+    np.testing.assert_allclose(r_split.solution, r_ref.solution,
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_overlap_split_rejects_nonlinear_local_solvers():
+    from schwarz_tpu import CommSettings
+
+    A = laplacian_2d(12)
+    b = generate_rhs(A.n)
+    with pytest.raises(ValueError, match="overlap_split requires"):
+        solve(
+            A, b,
+            Settings(local_solver=LocalSolver.iterative_cg, overlap=2,
+                     comm=CommSettings(overlap_split=True)),
+            num_subdomains=4,
+        )
+
+
 def test_gmres_nonsymmetric_e2e():
     A = advection_diffusion_2d(12)
     b = generate_rhs(A.n)
