@@ -90,10 +90,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fgmres: Krylov-accelerate with RAS as preconditioner "
                         "(several-fold fewer outer iterations)")
     p.add_argument("--precond", default="block-jacobi",
-                   choices=["jacobi", "block-jacobi", "fsai"],
+                   choices=["jacobi", "block-jacobi", "fsai", "ilu"],
                    help="fsai = FSAI(0) factorized sparse approximate "
-                        "inverse (the ParILU/ISAI role, applied as two "
-                        "SpMVs — no triangular substitution)")
+                        "inverse (the ISAI role, applied as two SpMVs); "
+                        "ilu = ILU(0) on A's pattern (the ParILU role), "
+                        "applied via --ilu_sweeps truncated-Neumann "
+                        "Jacobi sweeps per factor — SpMVs, no triangular "
+                        "substitution")
+    p.add_argument("--ilu_sweeps", type=int, default=3,
+                   help="Jacobi sweeps per triangular factor in the "
+                        "ILU(0) apply")
     def float_or_auto(v):
         return v if v == "auto" else float(v)
 
@@ -124,8 +130,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference alias for --use_precond/--precond: null="
                         "none; isai maps to fsai (the SPD-safe factorized "
                         "variant of the same approximate-inverse role); "
-                        "ilu/parilu raise (triangular-substitution applies "
-                        "have no TPU-efficient form — use fsai)")
+                        "ilu/parilu map to ILU(0) with Jacobi-sweep "
+                        "triangular applies (no substitution)")
     p.add_argument("--local_factorization", default=None,
                    choices=["cholmod", "umfpack"],
                    help="reference alias for the direct-solver flavor: "
@@ -306,23 +312,18 @@ def settings_from_args(args):
             file=sys.stderr,
         )
     if args.local_precond != "null":
-        from schwarz_tpu.exceptions import NotImplementedFeature
-
-        if args.local_precond in ("ilu", "parilu"):
-            raise NotImplementedFeature(
-                "ParILU/ILU applies are two sparse triangular SOLVES per "
-                "iteration — level-scheduled pointer chasing with no "
-                "TPU-efficient form; use --local_precond isai (mapped to "
-                "FSAI, the SPD-safe factorized approximate inverse: same "
-                "role, applied as two SpMVs)"
-            )
         if args.local_precond == "isai":
             print("note: isai maps to FSAI — the factorized (SPD-safe) "
                   "variant of the same approximate-inverse role",
                   file=sys.stderr)
+        if args.local_precond == "parilu":
+            print("note: parilu maps to ILU(0) with truncated-Neumann "
+                  "(Jacobi-sweep) triangular applies — the ParILU role "
+                  "without substitution", file=sys.stderr)
         args.use_precond = True
         args.precond = {"jacobi": "jacobi", "block-jacobi": "block-jacobi",
-                        "isai": "fsai", "fsai": "fsai"}[args.local_precond]
+                        "isai": "fsai", "fsai": "fsai",
+                        "ilu": "ilu", "parilu": "ilu"}[args.local_precond]
     if not args.enable_twosided:
         args.enable_onesided = True
     if args.num_threads > 1:
@@ -366,9 +367,11 @@ def settings_from_args(args):
             Precond.none if not args.use_precond else
             {"jacobi": Precond.jacobi,
              "block-jacobi": Precond.block_jacobi,
-             "fsai": Precond.fsai}[args.precond]
+             "fsai": Precond.fsai,
+             "ilu": Precond.ilu}[args.precond]
         ),
         block_jacobi_block_size=args.precond_max_block_size,
+        ilu_sweeps=args.ilu_sweeps,
         max_iters=args.num_iters,
         two_level=args.two_level,
         coarse_aggregates=args.coarse_aggregates,

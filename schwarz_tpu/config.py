@@ -79,6 +79,14 @@ class Precond(enum.Enum):
     jacobi = "jacobi"
     block_jacobi = "block_jacobi"
     fsai = "fsai"
+    # ILU(0) on A's own pattern — the reference's ParILU role
+    # (solve.cpp:490-556) built TPU-first: the factorization runs once on
+    # the host at setup (like CHOLMOD/UMFPACK, solve.cpp:92-173) and the
+    # apply replaces the two SIMD-hostile triangular SUBSTITUTIONS with
+    # ``ilu_sweeps`` truncated-Neumann (Jacobi) sweeps per factor — pure
+    # SpMVs (gather-free DIA shifts on banded operators), the standard
+    # iterative-trisolve formulation for wide-vector hardware.
+    ilu = "ilu"
 
 
 class HaloStrategy(enum.Enum):
@@ -225,6 +233,12 @@ class Settings:
     reset_local_crit_iter: int = -1          # (settings.hpp:166)
     precond: Precond = Precond.none
     block_jacobi_block_size: int = 16
+    # truncated-Neumann sweeps per triangular factor in the ILU(0) apply
+    # (Precond.ilu): z ~= U^-1 L^-1 r with each inverse expanded to
+    # ``ilu_sweeps`` Jacobi iterations — exact as sweeps -> R, and 2-4 are
+    # the standard operating range for iterative trisolves on wide-vector
+    # hardware
+    ilu_sweeps: int = 3
     max_iters: int = 100                     # outer iterations (bench_base.hpp:55)
     tolerance: float = 1e-6                  # outer rel. residual (bench_base.hpp:54)
     local_tolerance: float = 1e-12           # inner reduction factor (bench_base.hpp:56)

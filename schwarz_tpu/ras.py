@@ -810,6 +810,28 @@ class RASolver:
                 plan["precond_dinv"] = jnp.where(
                     jnp.abs(d) > 0, 1.0 / d, 1.0
                 ).astype(pdtype)
+            elif s.precond == Precond.ilu:
+                # ILU(0) — the reference's ParILU role (solve.cpp:490-556):
+                # host factorization at setup, truncated-Neumann (Jacobi)
+                # sweeps per factor at apply time — SpMVs only (DIA shifts
+                # when the operator is banded), never a substitution
+                from schwarz_tpu.solvers.precond import build_ilu0, ell_to_dia
+
+                lv, lc, uv, uc, ud = build_ilu0(
+                    np.asarray(pv), np.asarray(plan["lmat_cols"])
+                )
+                plan["ilu_udinv"] = put((1.0 / ud).astype(pdtype))
+                if self._dia_offsets is not None:
+                    lo_, ld_ = ell_to_dia(lv, lc)
+                    uo_, ud_ = ell_to_dia(uv, uc)
+                    self._ilu_offsets = (lo_, uo_)
+                    plan["ilu_l_dia"] = put(ld_.astype(pdtype))
+                    plan["ilu_u_dia"] = put(ud_.astype(pdtype))
+                else:
+                    plan["ilu_l_vals"] = put(lv.astype(pdtype))
+                    plan["ilu_l_cols"] = put(lc)
+                    plan["ilu_u_vals"] = put(uv.astype(pdtype))
+                    plan["ilu_u_cols"] = put(uc)
             elif s.precond == Precond.fsai:
                 # FSAI(0): M = G^T G on A's lower/upper pattern (the ParILU/
                 # ISAI role, solve.cpp:490-556, built TPU-first: applies are
@@ -911,6 +933,37 @@ class RASolver:
         if "precond_dinv" in plan_block:
             dinv = plan_block["precond_dinv"]
             return lambda r: dinv * r
+        if "ilu_udinv" in plan_block:
+            sweeps = s.ilu_sweeps
+            udinv = plan_block["ilu_udinv"]
+            if "ilu_l_dia" in plan_block:
+                from schwarz_tpu.ops.dia import dia_spmv
+
+                lo_, uo_ = self._ilu_offsets
+                ld_ = plan_block["ilu_l_dia"]
+                ud_ = plan_block["ilu_u_dia"]
+
+                def apply_ilu_dia(r):
+                    y = r
+                    for _ in range(sweeps):
+                        y = r - dia_spmv(lo_, ld_, y)
+                    x = udinv * y
+                    for _ in range(sweeps):
+                        x = udinv * (y - dia_spmv(uo_, ud_, x))
+                    return x
+
+                return apply_ilu_dia
+
+            def apply_ilu(r):
+                from schwarz_tpu.solvers.precond import ilu_apply_ell
+
+                return ilu_apply_ell(
+                    plan_block["ilu_l_vals"], plan_block["ilu_l_cols"],
+                    plan_block["ilu_u_vals"], plan_block["ilu_u_cols"],
+                    udinv, r, sweeps,
+                )
+
+            return apply_ilu
         if "fsai_gl_dia" in plan_block:
             from schwarz_tpu.ops.dia import dia_spmv
 
@@ -1307,7 +1360,9 @@ class RASolver:
                     zb = plan["z_base"]
                     z = (zb - jnp.einsum(
                         "sro,so->sr", plan["factor_inv_iface"],
-                        iface_g.astype(zb.dtype))).astype(rhs_eff.dtype)
+                        iface_g.astype(zb.dtype),
+                        precision=jax.lax.Precision.HIGHEST,
+                    )).astype(rhs_eff.dtype)
                     inner = jnp.ones(Sl, jnp.int32)
                     inner_rel = jnp.zeros(Sl, rhs_eff.dtype)
                 else:

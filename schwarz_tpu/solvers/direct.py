@@ -20,6 +20,15 @@ import jax.numpy as jnp
 
 from schwarz_tpu.ops.spmv import ell_to_dense
 
+# Direct-solve contractions run at HIGHEST precision: the TPU default
+# (bfloat16 MXU passes) silently truncates the factor to ~3 decimal digits —
+# measured on v5e as an above-f32-roofline streaming rate, i.e. XLA hoists a
+# bf16 COPY of the loop-invariant factor and streams that.  A direct solver
+# must deliver factor-accurate digits (reference parity: CHOLMOD/UMFPACK are
+# full precision, solve.cpp:92-173); callers that want a low-precision
+# preconditioner should lower local_compute_dtype instead.
+_PREC = jax.lax.Precision.HIGHEST
+
 
 def _densify(vals: jax.Array, cols: jax.Array) -> jax.Array:
     R = vals.shape[1]
@@ -61,12 +70,12 @@ def cholesky_inverse(L: jax.Array) -> jax.Array:
     Linv = jax.scipy.linalg.solve_triangular(
         L, jnp.broadcast_to(eye, L.shape), lower=True
     )
-    return jnp.einsum("ski,skj->sij", Linv, Linv)
+    return jnp.einsum("ski,skj->sij", Linv, Linv, precision=_PREC)
 
 
 def inverse_apply(Ainv: jax.Array, b: jax.Array) -> jax.Array:
     """x = A^-1 b as one batched MXU matmul."""
-    return jnp.einsum("sij,sj->si", Ainv, b)
+    return jnp.einsum("sij,sj->si", Ainv, b, precision=_PREC)
 
 
 def pick_trisolve_block(R: int) -> int:
@@ -129,10 +138,11 @@ def blocked_cholesky_solve(
         rhs = b[:, lo:lo + block]
         if i:
             rhs = rhs - jnp.einsum(
-                "srk,sk->sr", L[:, lo:lo + block, :lo], y[:, :lo]
+                "srk,sk->sr", L[:, lo:lo + block, :lo], y[:, :lo],
+                precision=_PREC,
             )
         y = y.at[:, lo:lo + block].set(
-            jnp.einsum("srk,sk->sr", Dinv[:, i], rhs)
+            jnp.einsum("srk,sk->sr", Dinv[:, i], rhs, precision=_PREC)
         )
     # backward sweep: L^T x = y  (panels read from L's strictly-lower part)
     x = jnp.zeros_like(b)
@@ -142,10 +152,11 @@ def blocked_cholesky_solve(
         rhs = y[:, lo:hi]
         if i < nb - 1:
             rhs = rhs - jnp.einsum(
-                "skr,sk->sr", L[:, hi:, lo:hi], x[:, hi:]
+                "skr,sk->sr", L[:, hi:, lo:hi], x[:, hi:],
+                precision=_PREC,
             )
         x = x.at[:, lo:hi].set(
-            jnp.einsum("skr,sk->sr", Dinv[:, i], rhs)
+            jnp.einsum("skr,sk->sr", Dinv[:, i], rhs, precision=_PREC)
         )
     return x
 

@@ -143,6 +143,85 @@ def build_fsai(vals, cols):
     return gl_vals, gl_cols, gu_vals, gu_cols
 
 
+def build_ilu0(vals, cols):
+    """ILU(0) factors on A's own sparsity pattern (host numpy, setup time).
+
+    The reference's ParILU role (solve.cpp:490-556); factorization happens
+    once at setup like its CHOLMOD/UMFPACK path (solve.cpp:92-173).  Standard
+    IKJ ILU(0): for each row i and each lower entry (i, k) in ascending k,
+    ``l_ik = a_ik / u_kk`` then ``a_ij -= l_ik * u_kj`` over the row's
+    retained pattern.  Zero/near-zero pivots are skipped (the row degrades
+    toward Jacobi rather than breaking down — the usual ILU practice).
+
+    Returns batched ELL numpy arrays
+    ``(l_vals, l_cols, u_vals, u_cols, udiag)``: L strictly lower with unit
+    diagonal implied, U strictly upper, and the U diagonal separately
+    (padding entries carry value 0 at column == row).
+    """
+    vals = np.asarray(vals, np.float64)
+    cols = np.asarray(cols, np.int64)
+    S, R, W = vals.shape
+    rows = np.arange(R, dtype=np.int64)
+    l_vals = np.zeros((S, R, W), np.float64)
+    l_cols = np.broadcast_to(rows[None, :, None], (S, R, W)).copy()
+    u_vals = np.zeros((S, R, W), np.float64)
+    u_cols = np.broadcast_to(rows[None, :, None], (S, R, W)).copy()
+    udiag = np.ones((S, R), np.float64)
+    tiny = 1e-300
+    for s in range(S):
+        row = []           # row -> dict col -> val
+        for i in range(R):
+            d = {}
+            for w in range(W):
+                v = vals[s, i, w]
+                if v != 0.0:
+                    c = int(cols[s, i, w])
+                    d[c] = d.get(c, 0.0) + float(v)
+            row.append(d)
+        for i in range(R):
+            di = row[i]
+            for k in sorted(c for c in di if c < i):
+                ukk = row[k].get(k, 0.0)
+                if abs(ukk) <= tiny:
+                    di[k] = 0.0     # skipped pivot: degrade, don't break
+                    continue
+                lik = di[k] / ukk
+                di[k] = lik
+                for j, ukj in row[k].items():
+                    if j > k and j in di:
+                        di[j] -= lik * ukj
+        for i in range(R):
+            wl = wu = 0
+            for c in sorted(row[i]):
+                v = row[i][c]
+                if c < i:
+                    l_cols[s, i, wl] = c
+                    l_vals[s, i, wl] = v
+                    wl += 1
+                elif c == i:
+                    udiag[s, i] = v if abs(v) > tiny else 1.0
+                else:
+                    u_cols[s, i, wu] = c
+                    u_vals[s, i, wu] = v
+                    wu += 1
+    return l_vals, l_cols, u_vals, u_cols, udiag
+
+
+def ilu_apply_ell(l_vals, l_cols, u_vals, u_cols, udiag_inv, r, sweeps: int):
+    """z ~= U^-1 L^-1 r with each triangular inverse expanded to ``sweeps``
+    Jacobi iterations (truncated Neumann series — exact as sweeps -> R since
+    the strict factors are nilpotent).  Pure SpMVs, no substitution."""
+    from schwarz_tpu.ops.spmv import ell_spmv_batched
+
+    y = r
+    for _ in range(sweeps):
+        y = r - ell_spmv_batched(l_vals, l_cols, y)
+    x = udiag_inv * y
+    for _ in range(sweeps):
+        x = udiag_inv * (y - ell_spmv_batched(u_vals, u_cols, x))
+    return x
+
+
 def ell_to_dia(vals, cols):
     """Exact batched ELL -> DIA conversion (host; for FSAI factor applies).
 
@@ -194,6 +273,19 @@ def make_preconditioner(
             return zb.reshape(S, R)
 
         return apply_block_jacobi
+    if settings.precond == Precond.ilu:
+        lv, lc, uv, uc, ud = build_ilu0(np.asarray(vals), np.asarray(cols))
+        lv = jnp.asarray(lv, vals.dtype)
+        lc = jnp.asarray(lc)
+        uv = jnp.asarray(uv, vals.dtype)
+        uc = jnp.asarray(uc)
+        udinv = jnp.asarray(1.0 / ud, vals.dtype)
+        sweeps = settings.ilu_sweeps
+
+        def apply_ilu(r):
+            return ilu_apply_ell(lv, lc, uv, uc, udinv, r, sweeps)
+
+        return apply_ilu
     if settings.precond == Precond.fsai:
         from schwarz_tpu.ops.spmv import ell_spmv_batched
 

@@ -20,6 +20,7 @@ from schwarz_tpu.core.decompose import decompose
 from schwarz_tpu.ras import RASolver
 
 
+@pytest.mark.slow
 def test_fgmres_accelerated_beats_stationary():
     A = laplacian_2d(48)
     b = generate_rhs(A.n)
@@ -35,6 +36,7 @@ def test_fgmres_accelerated_beats_stationary():
     np.testing.assert_allclose(r_acc.solution, x_ref, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fgmres_nonsymmetric():
     A = advection_diffusion_2d(24)
     b = generate_rhs(A.n)
@@ -90,6 +92,7 @@ def test_fgmres_neighbor_strategy():
     assert r.relative_residual_norm < 1e-7
 
 
+@pytest.mark.slow
 def test_fgmres_solves_helmholtz_where_stationary_diverges():
     """Indefinite Helmholtz: the stationary RAS iteration diverges (as it
     would in the stationary-only reference), but FGMRES with the RAS
@@ -132,6 +135,7 @@ def test_fgmres_overlap1_exact_operator():
     np.testing.assert_allclose(r.solution, x_ref, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fgmres_chunked_matches_unchunked_and_resumes(tmp_path):
     # chunk_iters bounds each execution at restart-cycle granularity with
     # identical results; checkpoint/resume continues a capped solve

@@ -20,6 +20,7 @@ from schwarz_tpu.exceptions import NotImplementedFeature
 from schwarz_tpu.ops.async_ras import AsyncRASolver, build_async_plan
 
 
+@pytest.mark.slow
 def test_async_converges_to_direct_solution():
     A = laplacian_2d(16)
     b = generate_rhs(A.n, random=False)
@@ -34,6 +35,7 @@ def test_async_converges_to_direct_solution():
     assert err < 1e-3, err
 
 
+@pytest.mark.slow
 def test_async_devices_detect_at_unequal_iterations():
     # the decentralized gossip needs graph-distance rounds to reach every
     # device: detection iterations MUST differ across devices
@@ -49,6 +51,7 @@ def test_async_devices_detect_at_unequal_iterations():
 
 
 @pytest.mark.parametrize("D", [1, 2, 4])
+@pytest.mark.slow
 def test_async_subdomain_batching_converges(D):
     # Sl = S/D subdomains folded per device: same fixed point with fewer
     # devices than subdomains (D == 1 is the single-chip native shape)
@@ -85,6 +88,7 @@ def test_async_batching_rejects_non_divisible():
 
 
 @pytest.mark.parametrize("staleness", [1, 2, 3])
+@pytest.mark.slow
 def test_async_bounded_staleness_converges(staleness):
     A = laplacian_2d(16)
     b = generate_rhs(A.n, random=False)
@@ -96,6 +100,7 @@ def test_async_bounded_staleness_converges(staleness):
     assert info["relative_residual_norm"] < 1e-3
 
 
+@pytest.mark.slow
 def test_async_fresh_read_converges_and_never_slower():
     """fresh_read peeks the newer slots' DMA semaphores and consumes the
     freshest fully-arrived message: the fixed point is unchanged, and at
@@ -123,6 +128,7 @@ def test_async_fresh_read_converges_and_never_slower():
     assert run(True) <= run(False)
 
 
+@pytest.mark.slow
 def test_async_more_staleness_never_faster():
     A = laplacian_2d(16)
     b = generate_rhs(A.n, random=False)
@@ -138,6 +144,7 @@ def test_async_more_staleness_never_faster():
     assert iters(3) >= iters(1)
 
 
+@pytest.mark.slow
 def test_async_oras_fewer_rounds_same_fixed_point():
     # O-RAS Robin transmission in the kernel (preconditioner form): the
     # correction CG runs on A_dom + c*D_drop while the residual keeps the
@@ -160,6 +167,7 @@ def test_async_oras_fewer_rounds_same_fixed_point():
     assert run(-0.8) < run(0.0)
 
 
+@pytest.mark.slow
 def test_async_nonsym_bicgstab_converges():
     # non-symmetric advection-diffusion through the free-running kernel:
     # the in-kernel correction solver switches to Jacobi-BiCGStab (the
@@ -178,6 +186,7 @@ def test_async_nonsym_bicgstab_converges():
     assert err < 1e-3, err
 
 
+@pytest.mark.slow
 def test_async_nonsym_gmres_converges():
     # in-kernel GMRES(m) correction (nonsym_solver='gmres'): the reference's
     # non-symmetric local branch (solve.cpp:486-570) in free-running form
@@ -231,6 +240,7 @@ def test_async_rejects_unknown_nonsym_solver():
                       nonsym_solver="idr")
 
 
+@pytest.mark.slow
 def test_solve_api_free_running_nonsym():
     # one-call API: free_running + non_symmetric dispatches to BiCGStab
     from schwarz_tpu import CommSettings, Settings, solve
@@ -338,6 +348,7 @@ def test_async_plan_masks_and_operator():
         assert np.linalg.norm(r) < 1e-3, (d, np.linalg.norm(r))
 
 
+@pytest.mark.slow
 def test_solve_api_free_running():
     # the one-call library API dispatches to the free-running kernel
     from schwarz_tpu import CommSettings, Settings, solve
@@ -354,6 +365,7 @@ def test_solve_api_free_running():
     assert err < 1e-3
 
 
+@pytest.mark.slow
 def test_async_checkpoint_resume(tmp_path):
     A = laplacian_2d(16)
     b = generate_rhs(A.n, random=False)

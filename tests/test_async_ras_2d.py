@@ -14,6 +14,10 @@ from schwarz_tpu.ops.async_ras_2d import (
 )
 
 
+# whole-module slow tier: multi-minute free-running solves
+pytestmark = pytest.mark.slow
+
+
 def test_async_2d_converges_with_unequal_detection():
     # 4x2 block grid over 8 devices: the full protocol (4-direction slot
     # rings, ack flow control, two-hop corners, in-band gossip) must drive

@@ -21,6 +21,10 @@ from schwarz_tpu.ops.async_ras_general import (
 )
 
 
+# whole-module slow tier: multi-minute free-running solves
+pytestmark = pytest.mark.slow
+
+
 def _problem(n=12, S=4):
     A = laplacian_2d(n)
     b = generate_rhs(A.n, random=False)

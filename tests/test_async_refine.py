@@ -25,6 +25,10 @@ from schwarz_tpu.ops.async_ras_general import (
 )
 
 
+# whole-module slow tier: multi-minute free-running solves
+pytestmark = pytest.mark.slow
+
+
 def test_set_rhs_matches_fresh_plan_1d():
     A = laplacian_2d(16)
     b1 = generate_rhs(A.n, random=False)

@@ -9,6 +9,10 @@ from schwarz_tpu import Settings, solve
 from schwarz_tpu.models import CSRMatrix
 
 
+# whole-module slow tier: multi-minute free-running solves
+pytestmark = pytest.mark.slow
+
+
 def random_spd(n, density, rng):
     """Diagonally-dominant random symmetric matrix (SPD by construction)."""
     m = sp.random(n, n, density=density, random_state=rng, format="coo")

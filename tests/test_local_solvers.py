@@ -145,6 +145,7 @@ def test_inverse_apply_requires_cholesky():
         RASolver(decompose(A, b, s, 2))
 
 
+@pytest.mark.slow
 def test_blocked_trisolve_matches_dense():
     # blocked MXU substitution == plain trisolve to roundoff, at several
     # block shapes including the nb == 1 degenerate case

@@ -17,6 +17,10 @@ import numpy as np
 import pytest
 
 
+# whole-module slow tier: multi-minute free-running solves
+pytestmark = pytest.mark.slow
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))

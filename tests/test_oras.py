@@ -24,6 +24,7 @@ def _true_res(A, b, r):
     (laplacian_2d, LocalSolver.iterative_cg),
     (advection_diffusion_2d, LocalSolver.iterative_gmres),
 ])
+@pytest.mark.slow
 def test_oras_cuts_iterations(gen, solver):
     A = gen(32)
     b = generate_rhs(A.n)

@@ -3,6 +3,7 @@ at a new right-hand side with zero re-setup (the reference re-runs its whole
 initialize() per system, schwarz_base.cpp:127-271)."""
 
 import numpy as np
+import pytest
 import scipy.sparse.linalg as spla
 
 from schwarz_tpu import Settings, generate_rhs, laplacian_2d
@@ -37,6 +38,7 @@ def test_set_rhs_stationary_two_level():
     np.testing.assert_allclose(r3.solution, r1.solution, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_set_rhs_fgmres_metis():
     # the accelerated path reads the decomposition's rhs per call; a
     # permuting (metis) partition must re-permute the new rhs correctly

@@ -2,6 +2,7 @@
 must cut outer iteration counts as the subdomain count grows."""
 
 import numpy as np
+import pytest
 
 from schwarz_tpu import Settings, generate_rhs, laplacian_2d, solve
 
@@ -94,6 +95,7 @@ def test_spectral_coarse_space_anisotropic_metis():
     assert rs.iters < ra.iters
 
 
+@pytest.mark.slow
 def test_spectral_coarse_space_nonsymmetric():
     # symmetrized-Neumann eigenbasis + true-A Galerkin coarse matrix: the
     # spectral space must accelerate the nonsymmetric (GMRES-local) path
@@ -168,6 +170,7 @@ def test_coarse_aggregates_instrumented_matches_fused():
     np.testing.assert_array_equal(r_fused.solution, r_inst.solution)
 
 
+@pytest.mark.slow
 def test_coarse_solver_cg_matches_dense():
     # distributed-CG coarse solve (coarse_solver="cg": row-sharded Galerkin
     # matrix, all_gather matvec, psum dots — nothing (qS)^2 replicated)
@@ -197,6 +200,7 @@ def test_coarse_solver_invalid_raises():
               num_subdomains=4)
 
 
+@pytest.mark.slow
 def test_coarse_solver_cg_scale_invariant():
     # regression: the coarse CG's eps-floored coefficient guards clamped
     # scale-dependent quantities (b*1e-9 cost 57 -> 93 outers before the
