@@ -366,9 +366,6 @@ def main():
                 for c in range(len(tp.lengths_t))
                 for t in (tp.src_t, tp.dst_t)
             )
-            src_tb = tuple(tables[2 * c] for c in range(len(tp.lengths_t)))
-            dst_tb = tuple(tables[2 * c + 1]
-                           for c in range(len(tp.lengths_t)))
 
             def step_fused(xo):
                 x_ext = assemble_x_ext_fused(
@@ -376,34 +373,76 @@ def main():
                     interpret=not on_tpu)
                 return consume(xo, x_ext)
 
-            # isolated run copies: runs-only kernel over a carried pair —
-            # the aliased buffer is the previous x_ext, so per iteration
-            # only the halo runs move (plus the launch)
-            def step_runs_only(carry):
-                xo, xe = carry
-                xe = assemble_runs_fused(
-                    xe, xo.reshape(-1), src_tb, dst_tb, tp.lengths_t,
-                    tp.r_ext_t, tile=tp.tile, interpret=not on_tpu)
-                return (xo * 0.999999 + xe[:, :R_int] * 1e-12, xe)
-
             try:
                 t_asm, asm_spread = _fit(step_fused, xo0, "halo_fused",
                                          suspects)
-                t_halo, halo_spread = _fit(
-                    step_runs_only, (xo0, jnp.zeros((S, R_ext), jnp.float32)),
-                    "halo_runs_only", suspects)
                 # whole-assembly accounting: read interiors + halo, write ext
                 halo_info.update({
                     "halo_fused_assembly_us": t_asm * 1e6,
                     "halo_fused_spread": asm_spread,
-                    "halo_runs_only_us": t_halo * 1e6,
-                    "halo_runs_only_spread": halo_spread,
                     "halo_assembly_vs_roofline": ratio(
                         (S * R_int + S * R_ext + halo_elems) * 4 / t_asm,
                         hbm_gbps, "halo_assembly"),
                 })
             except Exception as e:  # pragma: no cover
                 print(f"fused halo measurement failed: {e}", file=sys.stderr)
+
+            # gather/scatter THROUGHPUT (the BASELINE.md per-element
+            # metric): the production halo (92k elements ~ 0.9 us of
+            # copies) is smaller than any launch/materialization floor, so
+            # per-element cost is measured on a synthetic large-volume run
+            # plan — one class of 128 disjoint 32768-element runs (4.2M
+            # elements per launch), chained through the aliased buffer so
+            # launches serialize.  Steps with m=1 vs m=4 launches are
+            # slope-fit at the SAME rep counts; (slope4 - slope1)/3 is the
+            # cost of one launch's copies with every shared cost cancelled.
+            def halo_capacity():
+                tile = tp.tile
+                Lt, nr, Ssyn = (32, 8, 16) if on_tpu else (4, 4, 4)
+                ret_syn = nr * Lt
+                total_t = Ssyn * ret_syn
+                rng = np.random.default_rng(0)
+                src_max = total_t - Lt
+                src_tb = (jnp.asarray(
+                    rng.integers(0, src_max, (Ssyn, nr)), jnp.int32),)
+                dst_tb = (jnp.asarray(
+                    np.broadcast_to(np.arange(nr, dtype=np.int32)[None] * Lt,
+                                    (Ssyn, nr)).copy()),)
+                x_syn = jnp.asarray(
+                    rng.standard_normal(total_t * tile), jnp.float32)
+                buf0 = jnp.zeros((Ssyn, ret_syn * tile), jnp.float32)
+                elems = Ssyn * nr * Lt * tile
+
+                def step_m(m):
+                    def step(carry):
+                        xo, xe = carry
+                        for _ in range(m):
+                            xe = assemble_runs_fused(
+                                xe, x_syn, src_tb, dst_tb, (Lt,), ret_syn,
+                                tile=tile, interpret=not on_tpu)
+                        return (xo * 0.999999 + xe[:, :128] * 1e-12, xe)
+                    return step
+
+                carry0 = jnp.ones((Ssyn, 128), jnp.float32)
+                m1, sp1, _, _ = _slope_fit(step_m(1), (carry0, buf0))
+                m4, sp4, _, _ = _slope_fit(step_m(4), (carry0, buf0))
+                per_launch = (m4 - m1) / 3.0
+                if per_launch <= 0:
+                    suspects.append(("halo_capacity_nonpositive", per_launch))
+                    return
+                halo_info.update({
+                    "halo_copy_elems_per_launch": elems,
+                    "halo_copy_us_per_launch": per_launch * 1e6,
+                    "halo_copy_spread": max(sp1, sp4),
+                })
+                nonlocal t_halo
+                t_halo = per_launch * halo_elems / elems
+
+            try:
+                halo_capacity()
+            except Exception as e:  # pragma: no cover
+                print(f"halo capacity measurement failed: {e}",
+                      file=sys.stderr)
         if t_halo == float("inf"):
             t_halo = t_runs
     else:

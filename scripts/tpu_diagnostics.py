@@ -211,8 +211,62 @@ def run_fgmres():
         f"rel={r_fg.relative_residual_norm:.2e} speedup={t_st / t_fg:.2f}x")
 
 
+def run_semread():
+    """DMA-semaphore completion unit (ops/async_ras.dma_sem_unit_bytes).
+
+    Starts a local async copy of a known size, spins on semaphore_read
+    until nonzero, and reports value-before-wait / value-after-wait — the
+    calibration behind fresh_read's completion compare.  Verified units:
+    interpreter = elements; TPU v5e = bytes/32.  Run this on any NEW TPU
+    generation and extend dma_sem_unit_bytes with the result.
+    """
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, out, scr, sem):
+        cp = pltpu.make_async_copy(x_ref, scr, sem)
+        cp.start()
+
+        def cond(c):
+            return c == 0
+
+        def body(c):
+            return pltpu.semaphore_read(sem)
+
+        v_before = jax.lax.while_loop(cond, body, pltpu.semaphore_read(sem))
+        cp.wait()
+        v_after = pltpu.semaphore_read(sem)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        o = jnp.where((lane == 0) & (row == 0),
+                      v_before.astype(jnp.float32), 0.0)
+        o = jnp.where((lane == 1) & (row == 0),
+                      v_after.astype(jnp.float32), o)
+        out[:] = o + scr[:] * 0.0
+
+    x = jnp.arange(8 * 128, dtype=jnp.float32).reshape(8, 128)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32),
+                            pltpu.SemaphoreType.DMA],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(x)
+    o = np.asarray(out)
+    nbytes = 8 * 128 * 4
+    log(f"copy bytes: {nbytes}; sem before wait: {o[0, 0]:.0f}; "
+        f"after wait: {o[0, 1]:.0f}")
+    if o[0, 0] > 0:
+        log(f"unit: bytes/{nbytes / o[0, 0]:.0f} per count "
+            f"(elements would be {8 * 128})")
+
+
 ALL = {"smoke": run_smoke, "spmv": run_spmv, "direct": run_direct,
-       "ras": run_ras, "fgmres": run_fgmres}
+       "ras": run_ras, "fgmres": run_fgmres, "semread": run_semread}
 
 if __name__ == "__main__":
     which = sys.argv[1:] or list(ALL)
