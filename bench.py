@@ -373,6 +373,27 @@ def main():
                     interpret=not on_tpu)
                 return consume(xo, x_ext)
 
+            # the native compile+execute+bit-compare proof GATES the timed
+            # fit (round-3 advisor item: proving a kernel after using it is
+            # backwards) — and doubles as the compile warmup
+            try:
+                got = assemble_x_ext_fused(
+                    xo0, xo0.reshape(-1), interior_off, tp, tables,
+                    interpret=not on_tpu)
+                ref = assemble_x_ext_runs(
+                    xo0, xo0.reshape(-1), interior_off, rp.lengths, rs, rd,
+                    R_ext, jnp.float32)
+                fused_proof = bool(np.array_equal(np.asarray(got),
+                                                  np.asarray(ref)))
+            except Exception as e:
+                fused_proof = False
+                print(f"fused halo native proof failed: {e}",
+                      file=sys.stderr)
+            halo_info["halo_fused_native_ok"] = fused_proof
+            halo_info["halo_fused_mode"] = "tpu" if on_tpu else "interpret"
+            fused_ok = fused_ok and fused_proof
+
+        if fused_ok:
             try:
                 t_asm, asm_spread = _fit(step_fused, xo0, "halo_fused",
                                          suspects)
@@ -388,14 +409,15 @@ def main():
                 print(f"fused halo measurement failed: {e}", file=sys.stderr)
 
             # gather/scatter THROUGHPUT (the BASELINE.md per-element
-            # metric): the production halo (92k elements ~ 0.9 us of
-            # copies) is smaller than any launch/materialization floor, so
-            # per-element cost is measured on a synthetic large-volume run
-            # plan — one class of 128 disjoint 32768-element runs (4.2M
-            # elements per launch), chained through the aliased buffer so
-            # launches serialize.  Steps with m=1 vs m=4 launches are
-            # slope-fit at the SAME rep counts; (slope4 - slope1)/3 is the
-            # cost of one launch's copies with every shared cost cancelled.
+            # metric), SELF-NORMALIZED: nominal-BW models are wrong for
+            # DMA-engine copies (measured above the 819 GB/s spec on this
+            # part), so the roofline is MEASURED — the same kernel doing
+            # one contiguous whole-buffer DMA per launch (the chip's copy
+            # capability) vs the multi-run random-source plan at the same
+            # volume (4.2M elements/launch; the production halo itself,
+            # 92k elements ~ 1 us of copies, is below any launch floor).
+            # ``halo_vs_roofline`` = t_contiguous / t_runs: how close the
+            # run-granular halo copies come to one big copy.
             def halo_capacity():
                 tile = tp.tile
                 Lt, nr, Ssyn = (32, 8, 16) if on_tpu else (4, 4, 4)
@@ -408,35 +430,45 @@ def main():
                 dst_tb = (jnp.asarray(
                     np.broadcast_to(np.arange(nr, dtype=np.int32)[None] * Lt,
                                     (Ssyn, nr)).copy()),)
+                # contiguous calibration: one whole-row DMA per subdomain
+                src_cal = (jnp.asarray(
+                    (np.arange(Ssyn, dtype=np.int32) * ret_syn)[:, None]),)
+                dst_cal = (jnp.asarray(
+                    np.zeros((Ssyn, 1), np.int32)),)
                 x_syn = jnp.asarray(
                     rng.standard_normal(total_t * tile), jnp.float32)
                 buf0 = jnp.zeros((Ssyn, ret_syn * tile), jnp.float32)
                 elems = Ssyn * nr * Lt * tile
 
-                def step_m(m):
+                def step_of(stb, dtb, lt):
                     def step(carry):
                         xo, xe = carry
-                        for _ in range(m):
-                            xe = assemble_runs_fused(
-                                xe, x_syn, src_tb, dst_tb, (Lt,), ret_syn,
-                                tile=tile, interpret=not on_tpu)
+                        xe = assemble_runs_fused(
+                            xe, x_syn, stb, dtb, (lt,), ret_syn,
+                            tile=tile, interpret=not on_tpu)
                         return (xo * 0.999999 + xe[:, :128] * 1e-12, xe)
                     return step
 
-                carry0 = jnp.ones((Ssyn, 128), jnp.float32)
-                m1, sp1, _, _ = _slope_fit(step_m(1), (carry0, buf0))
-                m4, sp4, _, _ = _slope_fit(step_m(4), (carry0, buf0))
-                per_launch = (m4 - m1) / 3.0
-                if per_launch <= 0:
-                    suspects.append(("halo_capacity_nonpositive", per_launch))
+                carry0 = (jnp.ones((Ssyn, 128), jnp.float32), buf0)
+                t_runs2, spr, _, _ = _slope_fit(
+                    step_of(src_tb, dst_tb, Lt), carry0)
+                t_cal, spc, _, _ = _slope_fit(
+                    step_of(src_cal, dst_cal, ret_syn), carry0)
+                if t_runs2 <= 0 or t_cal <= 0:
+                    suspects.append(("halo_capacity_nonpositive",
+                                     min(t_runs2, t_cal)))
                     return
                 halo_info.update({
                     "halo_copy_elems_per_launch": elems,
-                    "halo_copy_us_per_launch": per_launch * 1e6,
-                    "halo_copy_spread": max(sp1, sp4),
+                    "halo_copy_us_per_launch": t_runs2 * 1e6,
+                    "halo_copy_contiguous_us": t_cal * 1e6,
+                    "halo_copy_gbps": elems * 8 / t_runs2 / 1e9,
+                    "halo_copy_spread": max(spr, spc),
                 })
-                nonlocal t_halo
-                t_halo = per_launch * halo_elems / elems
+                nonlocal t_halo, halo_sol
+                # self-normalized: capability = the contiguous copy rate
+                halo_sol = elems / t_cal
+                t_halo = t_runs2 * halo_elems / elems
 
             try:
                 halo_capacity()
@@ -538,28 +570,7 @@ def main():
 
     check("rdma_native", rdma_native_check)
 
-    # fused halo assembly: native compile+execute+bit-compare proof
-    def halo_native_check():
-        if not fused_ok:
-            return {"halo_fused_native_ok": None}
-        tables = tuple(
-            jnp.asarray(t[c])
-            for c in range(len(tp.lengths_t))
-            for t in (tp.src_t, tp.dst_t)
-        )
-        got = assemble_x_ext_fused(
-            xo0, xo0.reshape(-1), interior_off, tp, tables,
-            interpret=not on_tpu)
-        ref = assemble_x_ext_runs(
-            xo0, xo0.reshape(-1), interior_off, rp.lengths,
-            tuple(jnp.asarray(t) for t in rp.run_src),
-            tuple(jnp.asarray(t) for t in rp.run_dst),
-            R_ext, jnp.float32)
-        ok = bool(np.array_equal(np.asarray(got), np.asarray(ref)))
-        return {"halo_fused_native_ok": ok,
-                "halo_fused_mode": "tpu" if on_tpu else "interpret"}
-
-    check("halo_fused_native", halo_native_check)
+    # (the fused-halo native proof ran BEFORE its timed fit, above)
 
     # free-running async kernels: the FULL 8-subdomain solve folds onto one
     # chip (the self-ring runs the real DMA/semaphore/ack protocol).  One

@@ -115,13 +115,16 @@ def test_reference_alias_flags():
     assert s.write_debug_out
 
 
-def test_reference_alias_parilu_raises():
-    import pytest
+def test_reference_alias_parilu_maps_to_ilu():
+    # since round 4 parilu maps to the TPU-native ILU(0) (host
+    # factorization + Jacobi-sweep triangular applies) instead of raising
+    from schwarz_tpu.config import Precond
 
-    from schwarz_tpu.exceptions import NotImplementedFeature
-
-    with pytest.raises(NotImplementedFeature, match="FSAI"):
-        _settings(["--local_precond", "parilu"])
+    s = _settings(["--local_precond", "parilu"])
+    assert s.precond == Precond.ilu
+    s2 = _settings(["--local_precond", "ilu", "--ilu_sweeps", "5"])
+    assert s2.precond == Precond.ilu
+    assert s2.ilu_sweeps == 5
 
 
 def test_reference_flag_surface_complete():
