@@ -121,6 +121,28 @@ def test_overlap_split_preserves_fixed_point():
                                rtol=1e-10, atol=1e-12)
 
 
+def test_overlap_split_with_two_level_coarse():
+    # the split consumes the interface contribution recomputed after the
+    # multiplicative coarse correction (x_ext2) — same fixed point as the
+    # unsplit two-level solver
+    from schwarz_tpu import CommSettings
+
+    A = laplacian_2d(16)
+    b = generate_rhs(A.n)
+    base = Settings(local_solver=LocalSolver.direct_cholesky,
+                    direct_apply="inverse", overlap=3, tolerance=1e-8,
+                    max_iters=200, two_level=True, coarse_aggregates=4)
+    r_ref = solve(A, b, base, num_subdomains=4)
+    r_split = solve(
+        A, b, base.replace(comm=CommSettings(overlap_split=True)),
+        num_subdomains=4,
+    )
+    _check(r_split, 1e-6)
+    assert r_split.iters == r_ref.iters
+    np.testing.assert_allclose(r_split.solution, r_ref.solution,
+                               rtol=1e-9, atol=1e-11)
+
+
 def test_overlap_split_rejects_nonlinear_local_solvers():
     from schwarz_tpu import CommSettings
 
