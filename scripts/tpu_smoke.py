@@ -201,14 +201,17 @@ def main() -> int:
     check("async_ras_2d", async_2d)
 
     def async_general():
-        from schwarz_tpu.ops.async_ras_general import AsyncRASolverGeneral
+        from schwarz_tpu.config import Partition, Settings as _S
+        from schwarz_tpu.core.partition import make_partition
+        from schwarz_tpu.ops.async_ras_general import AsyncGeneralRASolver
         from schwarz_tpu.parallel.mesh import make_mesh
 
         A = laplacian_2d(48)
         b = generate_rhs(A.n, random=False)
-        s = AsyncRASolverGeneral(
+        part = make_partition(A, 4, _S(partition=Partition.metis))
+        s = AsyncGeneralRASolver(
             A, b, num_subdomains=4, overlap=2, tolerance=1e-3,
-            staleness=1, ninner=12, chunk_rounds=8,
+            staleness=1, ninner=12, chunk_rounds=8, part=part,
             mesh=make_mesh(jax.devices()[:1]), interpret=not on_tpu)
         _, info = s.run(max_rounds=80)
         assert info["converged"], info
