@@ -163,10 +163,14 @@ def _coarse_correct(plan, r_int_win: jax.Array) -> jax.Array:
         return (plan["coarse_inv"] @ r_c_all).reshape(Sl, q)
 
     if "coarse_basis" in plan:
+        # restriction/prolongation run in the basis dtype (f32 under mixed
+        # local compute — emulated f64 matmuls cost ~17 ms/iter at the
+        # 512^2 flagship); the result is cast back to the outer dtype
         basis = plan["coarse_basis"]   # (Sl, q, R_int), zero in padding
-        r_c = jnp.einsum("sqr,sr->sq", basis, r_int_win)        # (Sl, q)
-        c = solve_c(r_c)
-        return jnp.einsum("sq,sqr->sr", c, basis)
+        r_lo = r_int_win.astype(basis.dtype)
+        r_c = jnp.einsum("sqr,sr->sq", basis, r_lo)             # (Sl, q)
+        c = solve_c(r_c.astype(shard.dtype)).astype(basis.dtype)
+        return jnp.einsum("sq,sqr->sr", c, basis).astype(r_int_win.dtype)
     w = R_int // q
     r_c = jnp.sum(r_int_win.reshape(Sl, q, w), axis=2)          # (Sl, q)
     c = solve_c(r_c)
@@ -569,7 +573,14 @@ class RASolver:
                 np.add.at(A_c, (cr, cc), gm.values)
             elif s.coarse_space == "spectral":
                 basis, A_c = _spectral_coarse_basis(dec, q, R_int_c)
-                plan["coarse_basis"] = put(basis.astype(dtype))
+                # the coarse correction is a preconditioner component: under
+                # mixed local compute it follows the inner dtype — f64
+                # restriction/prolongation einsums are MXU-less emulated
+                # matmuls on TPU, measured 17 of the flagship's 33 ms/iter
+                # at 512^2/q=32; f32 coarse math leaves the f64 outer
+                # residual (and the attainable 1e-8 target) untouched
+                plan["coarse_basis"] = put(
+                    basis.astype(self._lc_dtype or dtype))
             else:
                 raise ValueError(
                     f"coarse_space must be 'aggregates' or 'spectral', got "
@@ -599,7 +610,10 @@ class RASolver:
                     coarse_inv = np.linalg.inv(A_c)
                 except np.linalg.LinAlgError:
                     coarse_inv = np.linalg.pinv(A_c)
-                plan["coarse_inv"] = put(coarse_inv.astype(dtype))
+                # inverse applied in the coarse compute dtype (see
+                # coarse_basis above); the host inversion stays f64-exact
+                plan["coarse_inv"] = put(
+                    coarse_inv.astype(self._lc_dtype or dtype))
             else:
                 raise ValueError(
                     f"coarse_solver must be 'dense' or 'cg', got "
