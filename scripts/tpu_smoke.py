@@ -206,11 +206,12 @@ def main() -> int:
         from schwarz_tpu.ops.async_ras_general import AsyncGeneralRASolver
         from schwarz_tpu.parallel.mesh import make_mesh
 
-        A = laplacian_2d(48)
+        # 2 folded ranks keep the D=1 instance inside the VMEM budget gate
+        A = laplacian_2d(32)
         b = generate_rhs(A.n, random=False)
-        part = make_partition(A, 4, _S(partition=Partition.metis))
+        part = make_partition(A, 2, _S(partition=Partition.metis))
         s = AsyncGeneralRASolver(
-            A, b, num_subdomains=4, overlap=2, tolerance=1e-3,
+            A, b, num_subdomains=2, overlap=2, tolerance=1e-3,
             staleness=1, ninner=12, chunk_rounds=8, part=part,
             mesh=make_mesh(jax.devices()[:1]), interpret=not on_tpu)
         _, info = s.run(max_rounds=80)
