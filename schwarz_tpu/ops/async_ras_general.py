@@ -300,6 +300,7 @@ def vmem_estimate_bytes(p: GeneralAsyncPlan, Sl: int, staleness: int) -> int:
     static_argnames=(
         "Rint", "Rext", "H", "SEG", "C", "Sl", "rounds", "staleness",
         "ninner", "tol", "n_ranks", "axis_name", "interpret", "nonsym",
+        "mxu_precision",
     ),
 )
 def async_general_rounds(
@@ -309,6 +310,7 @@ def async_general_rounds(
     Rint: int, Rext: int, H: int, SEG: int, C: int, Sl: int,
     rounds: int, staleness: int, ninner: int, tol: float,
     n_ranks: int, axis_name: str, interpret: bool, nonsym: bool = False,
+    mxu_precision: str = "default",
 ):
     """Run ``rounds`` free-running iterations of every rank on this device.
 
@@ -329,6 +331,16 @@ def async_general_rounds(
 
     use_oras = boost is not None
     NIN = 14 if use_oras else 13
+    # "highest" forces f32-accurate MXU passes on the A-dots.  The DEFAULT
+    # MXU precision truncates f32 operands to bf16 per pass; measured on
+    # v5e, that noise compounds through the free-running iteration and
+    # floors the in-band relative residual around 1e-1 (interpret mode,
+    # exact f32, converges).  HIGHEST costs extra VMEM stack (operand
+    # splitting) — the driver enables it when the footprint allows and
+    # otherwise documents the refinement recipe (run_refined restarts
+    # contract the floor per cycle).
+    A_PREC = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
+              else None)
 
     def kernel(*refs):
         (A_ref, b_ref, dinv_ref, mdom_ref, mint_ref, OH_ref, U_ref,
@@ -412,7 +424,8 @@ def async_general_rounds(
             # O-RAS Robin diagonal on the solve operator only; the
             # residual keeps the true A (fixed point unchanged)
             av = md_s[s] * jnp.dot(
-                A_s[s], v, preferred_element_type=jnp.float32
+                A_s[s], v, preferred_element_type=jnp.float32,
+                precision=A_PREC,
             )
             if use_oras:
                 av = av + bo_s[s] * v
@@ -512,7 +525,8 @@ def async_general_rounds(
                 x_ext = jnp.concatenate([xx[s], halo], axis=0)
                 r = md_s[s] * (
                     b_s[s] - jnp.dot(
-                        A_s[s], x_ext, preferred_element_type=jnp.float32
+                        A_s[s], x_ext, preferred_element_type=jnp.float32,
+                        precision=A_PREC,
                     )
                 )
                 rn = dot(mi_s[s] * r, mi_s[s] * r)[0, 0]
@@ -622,7 +636,7 @@ class AsyncGeneralRASolver:
                  ninner: int = 12, chunk_rounds: int = 16,
                  part=None, mesh=None, interpret: Optional[bool] = None,
                  vmem_budget: int = 14 << 20, oras_weight: float = 0.0,
-                 nonsym: bool = False):
+                 nonsym: bool = False, mxu_precision: str = "auto"):
         from jax.sharding import PartitionSpec as P
 
         from schwarz_tpu.core.partition import partition_regular_1d
@@ -667,6 +681,25 @@ class AsyncGeneralRASolver:
                     "ranks per device, smaller subdomains, or the "
                     "bounded-staleness emulation"
                 )
+        # f32-accurate MXU passes on the A-dots when the extra operand-
+        # splitting stack fits (see async_general_rounds); at the DEFAULT
+        # bf16 precision the in-band residual floors near 1e-1 and the
+        # refinement restarts (run_refined) are the accuracy recipe
+        if mxu_precision not in ("auto", "highest", "default"):
+            raise ValueError(
+                f"mxu_precision must be auto/highest/default, got "
+                f"{mxu_precision!r}"
+            )
+        if mxu_precision == "auto":
+            if interpret:
+                mxu_precision = "default"   # interpret computes exact f32
+            else:
+                est = vmem_estimate_bytes(self.plan, self.Sl, staleness)
+                emul = 2 * self.Sl * self.plan.Rext * self.plan.Rext * 4
+                mxu_precision = (
+                    "highest" if est + emul <= vmem_budget else "default"
+                )
+        self.mxu_precision = mxu_precision
 
         p = self.plan
         kern = functools.partial(
@@ -675,6 +708,7 @@ class AsyncGeneralRASolver:
             rounds=chunk_rounds, staleness=staleness, ninner=ninner,
             tol=tolerance, n_ranks=S, axis_name=SUBD_AXIS,
             interpret=interpret, nonsym=nonsym,
+            mxu_precision=self.mxu_precision,
         )
         spec = P(SUBD_AXIS)
         n_in = 14 if p.boost is not None else 13
