@@ -206,15 +206,17 @@ def main() -> int:
         from schwarz_tpu.ops.async_ras_general import AsyncGeneralRASolver
         from schwarz_tpu.parallel.mesh import make_mesh
 
-        # 2 folded ranks keep the D=1 instance inside the VMEM budget gate
-        A = laplacian_2d(32)
+        # small instance so mxu_precision='auto' engages the f32-accurate
+        # A-dots; accuracy via refinement restarts (the native bf16 story
+        # is documented on the kernel)
+        A = laplacian_2d(24)
         b = generate_rhs(A.n, random=False)
-        part = make_partition(A, 2, _S(partition=Partition.metis))
+        part = make_partition(A, 4, _S(partition=Partition.metis))
         s = AsyncGeneralRASolver(
-            A, b, num_subdomains=2, overlap=2, tolerance=1e-3,
-            staleness=1, ninner=12, chunk_rounds=8, part=part,
+            A, b, num_subdomains=4, overlap=2, tolerance=0.1,
+            staleness=1, ninner=24, chunk_rounds=8, part=part,
             mesh=make_mesh(jax.devices()[:1]), interpret=not on_tpu)
-        _, info = s.run(max_rounds=80)
+        _, info = s.run_refined(tol=1e-4, max_restarts=20, max_rounds=64)
         assert info["converged"], info
 
     check("async_ras_general", async_general)
