@@ -429,18 +429,20 @@ def settings_from_args(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.executor in ("cpu", "tpu"):
-        import os
 
-        os.environ["JAX_PLATFORMS"] = args.executor
+    # Bounded backend init (reference executor selection:
+    # schwarz_base.cpp:86-123): a dead TPU tunnel must yield an actionable
+    # error (--executor tpu) or an auto->CPU fallback notice within the
+    # probe timeout, never a 30-minute hang inside jax.devices().
+    from schwarz_tpu.utils.backend import ExecutorError, ensure_backend
+
+    ensure_backend(args.executor)
 
     import jax
 
-    if args.executor in ("cpu", "tpu"):
-        try:
-            jax.config.update("jax_platforms", args.executor)
-        except Exception:
-            pass
+    if args.executor == "tpu" and jax.devices()[0].platform == "cpu":
+        raise ExecutorError(
+            "--executor tpu requested but only CPU devices are available")
 
     from schwarz_tpu import generate_rhs, read_mtx
     from schwarz_tpu.models import (

@@ -2246,6 +2246,11 @@ def solve(
     """
     from schwarz_tpu.core.decompose import decompose
     from schwarz_tpu.models import CSRMatrix
+    from schwarz_tpu.utils.backend import ensure_backend
+
+    # bounded backend init: fall back to CPU (with a notice) instead of
+    # hanging on a dead TPU tunnel; no-op once a backend exists
+    ensure_backend("auto")
 
     if not isinstance(mat, CSRMatrix) and hasattr(mat, "tocsr"):
         mat = CSRMatrix.from_scipy(mat)
