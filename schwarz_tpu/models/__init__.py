@@ -20,7 +20,7 @@ from schwarz_tpu.models.fem_assembly import (
     fem_p1_elasticity,
     fem_p1_poisson,
 )
-from schwarz_tpu.models.mtx import read_mtx
+from schwarz_tpu.models.mtx import matrix_path, read_mtx, write_mtx
 from schwarz_tpu.models.rhs import generate_rhs
 
 __all__ = [
@@ -34,5 +34,7 @@ __all__ = [
     "fem_p1_advection",
     "fem_p1_elasticity",
     "read_mtx",
+    "write_mtx",
+    "matrix_path",
     "generate_rhs",
 ]

@@ -45,3 +45,40 @@ def read_mtx(path: str, dtype=np.float64) -> CSRMatrix:
 
     assert_square(nrows, ncols, f"matrix {path}")
     return CSRMatrix.from_coo(rows, cols, vals, nrows)
+
+
+def write_mtx(path: str, mat: CSRMatrix, comment: str = "") -> None:
+    """Write CSR as a MatrixMarket ``coordinate real general`` file.
+
+    Values print with ``%.17g`` so a read_mtx round-trip reproduces the
+    exact float64 bits.  Used to vendor the reference's test inputs
+    (matrices/ani{3,4}_crop.mtx) in-repo as regenerated copies.
+    """
+    indptr, cols, vals = mat.row_ptrs, mat.col_idxs, mat.values
+    rows = np.repeat(np.arange(mat.n, dtype=np.int64),
+                     np.diff(indptr).astype(np.int64))
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        for ln in comment.splitlines():
+            f.write(f"% {ln}\n")
+        f.write(f"{mat.n} {mat.n} {len(vals)}\n")
+        for r, c, v in zip(rows, cols, vals):
+            f.write(f"{r + 1} {c + 1} {v:.17g}\n")
+
+
+def matrix_path(name: str) -> str:
+    """Resolve a vendored test matrix: the in-repo ``matrices/`` copy first
+    (standalone CI), then the mounted reference checkout (provenance:
+    reference matrices/ani3_crop.mtx:3, ani4_crop.mtx:3)."""
+    import os
+
+    here = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "matrices", name)
+    if os.path.exists(here):
+        return here
+    ref = os.path.join("/root/reference/matrices", name)
+    if os.path.exists(ref):
+        return ref
+    raise FileNotFoundError(f"test matrix {name} not found in-repo or in "
+                            "the reference checkout")

@@ -196,9 +196,9 @@ def test_unstructured_ani3_metis():
     # the reference's own anisotropic FEM matrix + metis partition — the
     # case the banded/grid kernels cannot express.  f32 kernel: tolerance
     # above the conditioning floor (~1e-5 true residual on ani3).
-    from schwarz_tpu.models.mtx import read_mtx
+    from schwarz_tpu.models.mtx import matrix_path, read_mtx
 
-    A = read_mtx("/root/reference/matrices/ani3_crop.mtx")
+    A = read_mtx(matrix_path("ani3_crop.mtx"))
     b = generate_rhs(A.n, random=False)
     part = make_partition(A, 4, Settings(partition=Partition.metis))
     s = AsyncGeneralRASolver(A, b, 4, overlap=2, tolerance=1e-3,
@@ -214,9 +214,9 @@ def test_solve_dispatch_free_running_unstructured():
     # matrix is not banded
     from schwarz_tpu import solve
     from schwarz_tpu.config import CommSettings
-    from schwarz_tpu.models.mtx import read_mtx
+    from schwarz_tpu.models.mtx import matrix_path, read_mtx
 
-    A = read_mtx("/root/reference/matrices/ani3_crop.mtx")
+    A = read_mtx(matrix_path("ani3_crop.mtx"))
     b = generate_rhs(A.n, random=False)
     st = Settings(free_running=True, tolerance=1e-3, overlap=2,
                   max_iters=400, local_max_iters=24,

@@ -237,9 +237,9 @@ def test_refined_general_ani3_to_1e8():
     # free-running mode to BASELINE's 1e-8 target: f32 kernel + f64
     # iterative-refinement restarts clear the conditioning floor that a
     # single f32 solve cannot (round-2 known-gap, now closed)
-    from schwarz_tpu.models.mtx import read_mtx
+    from schwarz_tpu.models.mtx import matrix_path, read_mtx
 
-    A = read_mtx("/root/reference/matrices/ani3_crop.mtx")
+    A = read_mtx(matrix_path("ani3_crop.mtx"))
     b = generate_rhs(A.n, random=False)
     part = make_partition(A, 4, Settings(partition=Partition.metis))
     s = AsyncGeneralRASolver(A, b, 4, overlap=2, tolerance=1e-4,

@@ -28,8 +28,10 @@ from schwarz_tpu import (
 )
 from schwarz_tpu.config import ConvergenceSettings
 
-ANI3 = "/root/reference/matrices/ani3_crop.mtx"
-ANI4 = "/root/reference/matrices/ani4_crop.mtx"
+from schwarz_tpu.models import matrix_path
+
+ANI3 = matrix_path("ani3_crop.mtx")
+ANI4 = matrix_path("ani4_crop.mtx")
 have_mats = os.path.exists(ANI3)
 
 

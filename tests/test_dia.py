@@ -11,7 +11,9 @@ from schwarz_tpu.models import anisotropic_diffusion_2d, read_mtx
 from schwarz_tpu.ops.dia import dia_ell_spmv, split_dia_ell
 from schwarz_tpu.ops.spmv import ell_spmv_batched
 
-ANI3 = "/root/reference/matrices/ani3_crop.mtx"
+from schwarz_tpu.models import matrix_path
+
+ANI3 = matrix_path("ani3_crop.mtx")
 
 
 @pytest.mark.parametrize("gen", [laplacian_2d, anisotropic_diffusion_2d])

@@ -12,7 +12,9 @@ from schwarz_tpu.models import (
     read_mtx,
 )
 
-ANI3 = "/root/reference/matrices/ani3_crop.mtx"
+from schwarz_tpu.models import matrix_path
+
+ANI3 = matrix_path("ani3_crop.mtx")
 
 
 def test_laplacian_small_exact():
@@ -132,3 +134,22 @@ def test_read_mtx_skew_symmetric(tmp_path):
     A = read_mtx(str(p)).to_scipy().toarray()
     assert A[1, 0] == 5.0 and A[0, 1] == -5.0
     assert A[2, 1] == -2.0 and A[1, 2] == 2.0
+
+
+def test_vendored_matrices_match_reference():
+    # the in-repo regenerated copies (matrices/) must read to the exact
+    # float64 bits of the reference originals (matrices/ani3_crop.mtx:3)
+    import os
+
+    import numpy as np
+
+    for name in ("ani3_crop.mtx", "ani4_crop.mtx"):
+        ref = f"/root/reference/matrices/{name}"
+        if not os.path.exists(ref):
+            pytest.skip("reference checkout not mounted")
+        A = read_mtx(matrix_path(name))
+        B = read_mtx(ref)
+        assert A.n == B.n
+        assert np.array_equal(A.row_ptrs, B.row_ptrs)
+        assert np.array_equal(A.col_idxs, B.col_idxs)
+        assert np.array_equal(A.values, B.values)

@@ -103,11 +103,9 @@ def test_metis_equiv_cut_quality_vs_optimal_blocks():
 def test_metis_equiv_beats_strips_on_ani4():
     import os
 
-    path = "/root/reference/matrices/ani4_crop.mtx"
-    if not os.path.exists(path):
-        import pytest as _pytest
+    from schwarz_tpu.models import matrix_path
 
-        _pytest.skip("reference matrices not available")
+    path = matrix_path("ani4_crop.mtx")
     from schwarz_tpu.models import read_mtx
     from schwarz_tpu.core.partition import partition_regular_1d
 

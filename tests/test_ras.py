@@ -22,7 +22,9 @@ from schwarz_tpu import (
 )
 from schwarz_tpu.config import ConvergenceSettings
 
-ANI3 = "/root/reference/matrices/ani3_crop.mtx"
+from schwarz_tpu.models import matrix_path
+
+ANI3 = matrix_path("ani3_crop.mtx")
 
 
 def _check(result, tol=1e-5):
