@@ -776,13 +776,27 @@ class RASolver:
         # correction  - A_loc^-1[:, iface] (A_iface x_ext)  on the critical
         # path behind the halo collective
         self._overlap_split = bool(s.comm.overlap_split)
+        # iterative locals get the CORRECTION-FORM split (round-4 verdict
+        # item 7, matching the reference's solver-agnostic enable_overlap,
+        # restricted_schwarz.cpp:886-943):  A_loc z_base = b_loc is solved
+        # ONCE at build with an uncapped budget; per iteration only
+        # A_loc w = G(x_ext) runs (warm-started from w_prev), and
+        # z = z_base - w.  Same linearity identity, same fixed point; the
+        # loop-invariant half of every inner solve is hoisted out of the
+        # exchange's critical path.
+        self._split_iterative = self._overlap_split and s.local_solver in (
+            LocalSolver.iterative_cg, LocalSolver.iterative_gmres,
+        )
         if self._overlap_split:
             missing = []
-            if not (s.local_solver == LocalSolver.direct_cholesky
-                    and s.direct_apply == "inverse"):
+            if not (self._split_iterative
+                    or (s.local_solver == LocalSolver.direct_cholesky
+                        and s.direct_apply == "inverse")):
                 missing.append(
-                    "local_solver='cholesky' with direct_apply='inverse' "
-                    "(the split is a linearity identity of the solve)"
+                    "local_solver='cholesky' with direct_apply='inverse', "
+                    "or an iterative local solver (cg/gmres take the "
+                    "correction-form split; the split is a linearity "
+                    "identity of the solve)"
                 )
             if self._oras:
                 missing.append("no O-RAS (Robin rhs data is dense)")
@@ -790,23 +804,27 @@ class RASolver:
                     or self._lc_dtype is not None):
                 missing.append(
                     "solution-based updates (residual_based / "
-                    "local_compute_dtype solve the dense correction system)"
+                    "local_compute_dtype solve the dense correction "
+                    "system; a low-precision hoisted z_base would also "
+                    "cap the achievable outer residual at inner-dtype "
+                    "accuracy)"
                 )
             if missing:
                 raise ValueError(
                     "comm.overlap_split requires: " + "; ".join(missing)
                 )
-            from schwarz_tpu.solvers.direct import inverse_apply
+            if not self._split_iterative:
+                from schwarz_tpu.solvers.direct import inverse_apply
 
-            plan["z_base"] = jax.jit(inverse_apply)(
-                plan["factor_inv"], plan["local_rhs"].astype(fac_dtype)
-            )
-            idx = plan["iface_rows"].astype(jnp.int32)[:, None, :]
-            plan["factor_inv_iface"] = jax.jit(
-                lambda a, i: jnp.take_along_axis(
-                    jnp.pad(a, ((0, 0), (0, 0), (0, 1))), i, axis=2
+                plan["z_base"] = jax.jit(inverse_apply)(
+                    plan["factor_inv"], plan["local_rhs"].astype(fac_dtype)
                 )
-            )(plan["factor_inv"], idx)
+                idx = plan["iface_rows"].astype(jnp.int32)[:, None, :]
+                plan["factor_inv_iface"] = jax.jit(
+                    lambda a, i: jnp.take_along_axis(
+                        jnp.pad(a, ((0, 0), (0, 0), (0, 1))), i, axis=2
+                    )
+                )(plan["factor_inv"], idx)
         if s.precond != Precond.none and s.local_solver in (
             LocalSolver.iterative_cg,
             LocalSolver.iterative_gmres,
@@ -940,6 +958,18 @@ class RASolver:
             # factor setup; the iterative inner apply uses dia_vals_solve
             plan.pop("lmat_vals_solve", None)
             plan.pop("lmat_vals_solve_lc", None)
+        if self._split_iterative:
+            # hoisted half of the correction-form split:
+            # A_loc z_base = b_loc, solved once here with an UNCAPPED inner
+            # budget (the per-iteration w-solves inherit local_max_iters);
+            # runs after the preconditioner/fused-cg plan entries exist
+            # because it reuses the production _local_solve path
+            rhs0 = plan["local_rhs"]
+            zb, _, _ = self._local_solve(
+                plan, rhs0, jnp.zeros_like(rhs0),
+                budget=self.meta.max_rows,
+            )
+            plan["z_base"] = zb
         return plan
 
     def _precond_fn(self, plan_block):
@@ -1047,7 +1077,7 @@ class RASolver:
         return lambda x: ell_spmv_batched(lv, lc, x)
 
     def _local_solve(self, plan_block, rhs_eff, z_prev, outer_it=None,
-                     robin_trace=None):
+                     robin_trace=None, budget=None):
         """Dispatch the batched local solver (solve.cpp:666-792).
 
         ``reset_local_crit_iter`` (solve.cpp:729-742): outer iterations beyond
@@ -1058,7 +1088,9 @@ class RASolver:
         s = self.settings
         R = self.meta.max_rows
         max_it = s.local_max_iters if s.local_max_iters > 0 else R
-        if (
+        if budget is not None:
+            max_it = budget
+        elif (
             s.reset_local_crit_iter >= 0
             and s.local_max_iters > 0
             and outer_it is not None
@@ -1355,6 +1387,7 @@ class RASolver:
 
             def solve_branch(args):
                 z_prev, x_own, _ = args
+                sol_field = None   # differs from the carry only when split
                 if residual_update:
                     # residual-based: solve the correction equation
                     # A_local z = r and apply x += z.  (The reference's
@@ -1365,7 +1398,7 @@ class RASolver:
                     z, inner, inner_rel = self._local_solve(
                         plan, r, jnp.zeros_like(z_prev), outer_it=st["it"]
                     )
-                elif self._overlap_split:
+                elif self._overlap_split and not self._split_iterative:
                     # exact overlap: z = z_base - A_loc^-1[:, iface] g.
                     # z_base is loop-invariant (computed at build); the only
                     # exchange-dependent work is this (R x Oi) matvec, so
@@ -1379,6 +1412,20 @@ class RASolver:
                     )).astype(rhs_eff.dtype)
                     inner = jnp.ones(Sl, jnp.int32)
                     inner_rel = jnp.zeros(Sl, rhs_eff.dtype)
+                elif self._overlap_split:
+                    # correction-form split for iterative locals (round-4
+                    # verdict item 7): only  A_loc w = G(x_ext)  waits on
+                    # the exchange (warm-started from the carried w_prev);
+                    # z = z_base - w with the loop-invariant z_base hoisted
+                    # at build.  Same linearity identity as the direct
+                    # split, solver-agnostic like the reference's
+                    # enable_overlap (restricted_schwarz.cpp:886-943).
+                    g_field = _interface_scatter(
+                        plan, iface_g, jnp.zeros_like(rhs_eff))
+                    w, inner, inner_rel = self._local_solve(
+                        plan, g_field, z_prev, outer_it=st["it"])
+                    sol_field = (plan["z_base"] - w).astype(rhs_eff.dtype)
+                    z = w   # the carry warm-starts the next w-solve
                 else:
                     z, inner, inner_rel = self._local_solve(
                         plan, rhs_eff, z_prev, outer_it=st["it"],
@@ -1388,8 +1435,11 @@ class RASolver:
                 # (an async rank that detected would have stopped iterating)
                 frozen = conv_state.detected[:, None]
                 z = jnp.where(frozen, z_prev, z)
+                if sol_field is None:
+                    sol_field = z
                 z_int = _extract_interior(
-                    z, plan["interior_off"], R_int, plan["interior_mask"]
+                    sol_field, plan["interior_off"], R_int,
+                    plan["interior_mask"]
                 )
                 if residual_update:
                     x_new = x_own + z_int
