@@ -967,6 +967,56 @@ def _native_proofs(info_extra, on_tpu, remaining):
 
     check("async_gmres", async_gmres_check)
 
+    def async_general_check():
+        # arbitrary unstructured CSR through the HBM-streaming general
+        # kernel (round-4 verdict item 4): ani3 + metis natively
+        from schwarz_tpu import Settings
+        from schwarz_tpu.config import Partition
+        from schwarz_tpu.core.partition import make_partition
+        from schwarz_tpu.models.mtx import matrix_path, read_mtx
+        from schwarz_tpu.ops.async_ras_general import AsyncGeneralRASolver
+
+        A_g = read_mtx(matrix_path("ani3_crop.mtx"))
+        b_g = generate_rhs(A_g.n, random=False)
+        part = make_partition(A_g, 4, Settings(partition=Partition.metis))
+        s_g = AsyncGeneralRASolver(
+            A_g, b_g, 4, overlap=2, tolerance=1e-3, staleness=1,
+            ninner=24, chunk_rounds=8, part=part, interpret=not on_tpu)
+        _, ginfo = s_g.run(max_rounds=200)
+        info_extra["_s_gen"] = (s_g, A_g)
+        return {"async_general_ok": bool(ginfo["converged"]),
+                "async_general_rel": ginfo["relative_residual_norm"],
+                "async_general_precision": s_g.mxu_precision}
+
+    check("async_general", async_general_check)
+
+    def async_ani4_check():
+        # the round-4 capability gap closed: ani4 (8 folded metis ranks,
+        # Rext 896) truly barrier-free on one chip via HBM streaming +
+        # coarse-assisted f64 refinement
+        if not on_tpu:
+            return {"async_ani4_skipped": "needs TPU (dense 896^2 "
+                                          "interpret is impractical)"}
+        from schwarz_tpu import Settings
+        from schwarz_tpu.config import Partition
+        from schwarz_tpu.core.partition import make_partition
+        from schwarz_tpu.models.mtx import matrix_path, read_mtx
+        from schwarz_tpu.ops.async_ras_general import AsyncGeneralRASolver
+
+        A_4 = read_mtx(matrix_path("ani4_crop.mtx"))
+        b_4 = generate_rhs(A_4.n, random=False)
+        part = make_partition(A_4, 8, Settings(partition=Partition.metis))
+        s_4 = AsyncGeneralRASolver(
+            A_4, b_4, 8, overlap=2, tolerance=1e-3, staleness=1,
+            ninner=24, chunk_rounds=8, part=part, interpret=False)
+        _, rinfo = s_4.run_refined(tol=1e-8, max_rounds=64,
+                                   max_restarts=30, coarse_q=8)
+        return {"async_ani4_ok": bool(rinfo["converged"]),
+                "async_ani4_rel": rinfo["relative_residual_norm"],
+                "async_ani4_restarts": int(rinfo["restarts"])}
+
+    check("async_ani4", async_ani4_check)
+
     def async2d_native_check():
         from schwarz_tpu.ops.async_ras_2d import AsyncRASolver2D
         from schwarz_tpu.parallel.mesh import make_mesh

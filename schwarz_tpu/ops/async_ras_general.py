@@ -30,13 +30,26 @@ Design (TPU-first, zero gathers in-kernel):
   MXU work instead of scalar-unit gathers (XLA-style index gathers run
   at ~10 ns/element on TPU and Mosaic has no general gather).  Values
   ride lane-replicated ``(rows, 128)`` tiles.
-- **Dense local operators**: each rank's extended system (interior +
-  overlap closure + one Dirichlet frontier ring) is densified at setup;
-  the local solve is ``ninner`` Jacobi-PCG iterations whose matvec is one
-  (Rext, Rext) @ (Rext, 128) MXU matmul.  Dense-ifying is the TPU answer
-  for the small unstructured subdomains this mode targets (the banded /
-  grid kernels cover the large structured problems); a VMEM budget gate
-  raises NotImplementedFeature for oversized instances.
+- **Dense local operators, HBM-streamed** (round-5): each rank's extended
+  system (interior + overlap closure + one Dirichlet frontier ring) is
+  densified at setup and SYMMETRICALLY JACOBI-SCALED (global
+  |diag A|^{-1/2}, so the scaled diagonal is +-1 and bf16 MXU products
+  keep their relative accuracy on anisotropic operators); the local solve
+  is ``ninner`` Jacobi-PCG iterations whose matvec is one
+  (Rext, Rext) @ (Rext, 128) MXU matmul.  The operators and one-hot
+  tables live in HBM and are double-buffered into VMEM per rank per
+  round (``make_async_copy``, prefetching rank k+1 behind rank k's
+  matvecs), so VMEM holds ONE rank's working set, not ``Sl`` of them —
+  ani4-class metis instances (8 folded ranks, Rext 896) run natively on
+  one chip.  Tables are bf16 at DEFAULT MXU precision (lossless there)
+  or f32 at HIGHEST when the estimator says they fit; messages and the
+  state stay f32.  A calibrated VMEM estimate plus an sflag (semaphore
+  space) count gate oversized instances with an actionable error.
+- **Accuracy recipe**: at the bf16 floor the one-level in-band iteration
+  stalls on ill-conditioned instances; ``run_refined(coarse_q > 0)``
+  (host f64 iterative refinement + spectral coarse corrections at the
+  restart points) is the production path — measured on v5e: ani4/metis/8
+  ranks converges to 8.9e-9 true relative residual in 25 restarts.
 
 Convergence detection is the in-band decentralized gossip of the 1-D
 kernel (conv_tools.hpp:212-275): every message carries the sender's
@@ -93,6 +106,7 @@ class GeneralAsyncPlan:
     tgt_subd: np.ndarray    # (S, C) int32 partner rank (self for dummies)
     send_len: np.ndarray    # (S, C) int32 true values sent on each link
     gid: np.ndarray         # (S, Rext) int32 global row per slot (-1 pad)
+    scale: np.ndarray = None  # (N,) f64 symmetric Jacobi scale d^{-1/2}
     boost: "np.ndarray | None" = None   # (S, Rext) O-RAS Robin diag term
 
 
@@ -121,6 +135,17 @@ def build_general_plan(mat, rhs, part, overlap: int,
     ovp = max(int(overlap), 1)
     G = A_sp != 0
     G = ((G + G.T) > 0).tocsr()
+
+    # Symmetric Jacobi scaling (global, so every rank scales a shared row
+    # identically): the kernel solves  (Ds A Ds) y = Ds b  with
+    # Ds = diag(|diag A|^{-1/2}) and x = Ds y recovered at extraction.
+    # The scaled diagonal is +-1, compressing the dynamic range of every
+    # MXU product — without it the bf16 table mode (mandatory at ani4
+    # scale, where f32 tables exceed the 16 MiB VMEM) cannot make
+    # progress on anisotropic operators.
+    dg = A_sp.diagonal()
+    with np.errstate(divide="ignore"):
+        dscale = np.where(dg != 0, 1.0 / np.sqrt(np.abs(dg)), 1.0)
 
     int_ids = tuple(np.flatnonzero(part == s) for s in range(S))
     if any(ids.size == 0 for ids in int_ids):
@@ -179,15 +204,19 @@ def build_general_plan(mat, rhs, part, overlap: int,
 
     n_int = np.array([ids.size for ids in int_ids], np.int64)
     n_halo = np.array([h.size for h in halo_ids], np.int64)
-    Rint = _round_up(int(n_int.max()), 8)
-    H = _round_up(int(n_halo.max()), 8)
+    # 128-multiples: the streamed tables' minor dims (Rext for A, Rint for
+    # OH) must be whole (8, 128) tiles — Mosaic rejects DMA slices whose
+    # minor dim is not 128-aligned
+    Rint = _round_up(int(n_int.max()), 128)
+    H = _round_up(int(n_halo.max()), 128)
     Rext = Rint + H
     seg_max = 1
     for s in range(S):
         for o, ids in halo_by_owner[s].items():
             if o != s:
                 seg_max = max(seg_max, ids.size)
-    SEG = _round_up(seg_max, 8)
+    # 128-multiple so messages lane-pack into whole (8, 128) tiles
+    SEG = _round_up(seg_max, 128)
 
     A = np.zeros((S, Rext, Rext), np.float32)
     b = np.zeros((S, Rext), np.float32)
@@ -222,18 +251,15 @@ def build_general_plan(mat, rhs, part, overlap: int,
                     assert j is not None, (
                         "BFS closure must contain every domain coupling"
                     )
-                    A[s, i, j] = v
-                b[s, i] = rhs_np[g]
+                    A[s, i, j] = v * dscale[g] * dscale[gc]
+                b[s, i] = rhs_np[g] * dscale[g]
                 d = A[s, i, i]
                 dinv[s, i] = 1.0 / d if d != 0 else 1.0
                 mask_dom[s, i] = 1.0
-            else:
-                A[s, i, i] = 1.0
-        # padding rows act as identity
-        for i in list(range(int(n_int[s]), Rint)) + list(
-            range(Rint + int(n_halo[s]), Rext)
-        ):
-            A[s, i, i] = 1.0
+            # off-domain (frontier) and padding rows stay ZERO: with
+            # b = 0 and zero A-rows there, the residual and every CG
+            # direction vanish on those slots — mask_dom never needs to
+            # ship to the kernel (it remains a host-side plan field)
         mask_int[s, : n_int[s]] = 1.0
         # links (a link may be one-sided: only one end needs values)
         own_pos = {int(g): k for k, g in enumerate(int_ids[s])}
@@ -275,24 +301,57 @@ def build_general_plan(mat, rhs, part, overlap: int,
         S=S, N=N, Rint=Rint, H=H, Rext=Rext, SEG=SEG, C=C,
         n_int=n_int, int_ids=int_ids, A=A, b=b, dinv=dinv,
         mask_dom=mask_dom, mask_int=mask_int, OH=OH, U=U,
-        tgt_subd=tgt_subd, send_len=send_len, gid=gid, boost=boost,
+        tgt_subd=tgt_subd, send_len=send_len, gid=gid, scale=dscale,
+        boost=boost,
     )
 
 
-def vmem_estimate_bytes(p: GeneralAsyncPlan, Sl: int, staleness: int) -> int:
-    """Rough per-device VMEM footprint of the kernel (gate before compile)."""
+def sflag_count(p: GeneralAsyncPlan, Sl: int, staleness: int) -> int:
+    """DMA semaphores the kernel allocates (v5e sflag space: 2 KiB = 512).
+
+    Message arrivals are per ring slot (M*L); send completions and ack
+    credits are per-link counting semaphores (L each); +2 table-stream
+    slots."""
     M = 2 * max(staleness, 1) + 2
-    MSG = p.SEG + 8
-    f = 4
-    ops = Sl * p.Rext * p.Rext * f          # A
-    nvec = 4 + (1 if p.boost is not None else 0)
-    ops += nvec * Sl * p.Rext * 128 * f     # b, dinv, masks[, boost]
-    ops += Sl * p.C * p.SEG * p.Rint * f    # OH
-    ops += Sl * p.C * p.H * p.SEG * f       # U
-    rings = 2 * M * Sl * p.C * MSG * 128 * f    # send + recv
-    rings += 2 * M * Sl * p.C * 8 * 128 * f     # ack bufs
-    state = Sl * (p.Rint + 16 + p.C * p.SEG) * 128 * f * 2
-    return ops + rings + state
+    L = Sl * p.C
+    return M * L + 3 * L + 2
+
+
+def vmem_estimate_bytes(p: GeneralAsyncPlan, Sl: int, staleness: int,
+                        tbl_bytes: int = 2) -> int:
+    """Rough per-device VMEM footprint of the streaming kernel.
+
+    The round-5 kernel keeps the dense extended operators and one-hot
+    tables HBM-RESIDENT and double-buffers ONE rank's working set into
+    VMEM per round (Pallas ``make_async_copy``), so the footprint scales
+    with the largest single rank, not with ``Sl * Rext**2`` — the change
+    that lets ani4-class metis instances (8 folded ranks) run natively
+    on one chip.  ``tbl_bytes`` is 2 for bf16 table storage (the MXU's
+    DEFAULT precision already truncates operands to bf16 per pass, so
+    bf16 storage loses nothing in that mode) or 4 for f32 (HIGHEST)."""
+    M = 2 * max(staleness, 1) + 2
+    SEGT = p.SEG // 128
+    MSGC = 8 * SEGT + 8
+    L = Sl * p.C
+    NB = -(-p.Rext // 128)
+    NV = 4 if p.boost is not None else 3   # b, dinv, mask_int[, boost]
+    # double-buffered table scratch (2 slots)
+    buf = 2 * (p.Rext * p.Rext + p.C * p.SEG * p.Rint
+               + p.C * p.H * p.SEG) * tbl_bytes
+    buf += 2 * NV * NB * 8 * 128 * 4          # lane-packed vectors (f32)
+    rings = 2 * M * L * MSGC * 128 * 4        # lane-packed send + recv
+    rings += 2 * 8 * 128 * 4                  # shared ack payload + landing
+    state = 2 * (Sl * p.Rint + 2 * Sl * 8
+                 + Sl * p.C * 8 * SEGT) * 128 * 4   # x/known/aux/carry in+out
+    # stack calibrated against Mosaic's scoped-VMEM accounting (v5e cap
+    # 16 MiB): ani4/bf16 estimates 15.3 MiB and compiles; ani4/f32-HIGHEST
+    # estimates 27 MiB vs Mosaic's measured 29.67 MiB demand.  Mosaic
+    # folds table-ref reads into dot operands, so the A value itself is
+    # not double-counted; HIGHEST adds operand-splitting copies.
+    stack = 6 * p.Rext * 128 * 4              # x_ext, r, CG temps
+    if tbl_bytes == 4:
+        stack += 2 * p.Rext * p.Rext * 4      # HIGHEST operand splitting
+    return buf + rings + state + stack
 
 
 @functools.partial(
@@ -304,8 +363,7 @@ def vmem_estimate_bytes(p: GeneralAsyncPlan, Sl: int, staleness: int) -> int:
     ),
 )
 def async_general_rounds(
-    A, b, dinv, mdom, mint, OH, U, tgt_dev, tgt_sl,
-    x, known, aux, carry, boost=None,
+    A, vec, OH, U, tgt_dev, tgt_sl, x, known, aux, carry,
     *,
     Rint: int, Rext: int, H: int, SEG: int, C: int, Sl: int,
     rounds: int, staleness: int, ninner: int, tol: float,
@@ -314,10 +372,31 @@ def async_general_rounds(
 ):
     """Run ``rounds`` free-running iterations of every rank on this device.
 
-    Per-device shapes (already sharded): A (Sl, Rext, Rext);
-    b/dinv/mdom/mint (Sl*Rext, 128) lane-replicated; OH (Sl*C*SEG, Rint);
-    U (Sl*C*H, SEG); tgt_dev/tgt_sl (Sl, C) int32; x (Sl*Rint, 128);
-    known/aux (Sl*8, 128); carry (Sl*C*SEG, 128).
+    Streaming layout (round-5; the all-VMEM v1 capped folded instances at
+    ~14 MiB of dense operators):
+
+      - ``A`` (Sl, Rext, Rext), ``OH`` (Sl, C*SEG, Rint), ``U``
+        (Sl, C*H, SEG) live in HBM (``pl.ANY``) in the kernel's table
+        dtype (bf16 at DEFAULT MXU precision — lossless there — or f32
+        at HIGHEST) and are double-buffered into VMEM per rank per round
+        with leading-dim ``make_async_copy`` DMAs, prefetching rank k+1
+        while rank k computes.  HBM re-read traffic is hidden behind the
+        rank's ninner MXU matvecs.
+      - ``vec`` (Sl, NV*NB*8, 128) carries b/dinv/mask_dom/mask_int
+        [/boost] LANE-PACKED (value i at row 8*(v*NB + i//128), lane
+        i%128); the kernel re-expands them to lane-replicated (Rext, 128)
+        tiles with one outer-product + transpose per 128-block.
+      - messages are lane-packed: the (SEG, 128) lane-replicated pack
+        result compresses to ``8*SEGT`` rows (diagonal extraction), so a
+        ring slot is ``8*SEGT + 8`` rows instead of ``SEG + 8`` — 16x
+        less ring VMEM at SEG <= 128.  Receivers re-expand with the same
+        transpose trick.  ``carry`` holds compact messages.
+      - all acks land in ONE shared (8, 128) tile (the payload is never
+        read — only the per-link recv semaphores carry information).
+
+    The message protocol (slot rings, ack credits, bounded staleness B,
+    warm-up carry, uniform static drains, in-band gossip) is unchanged
+    from v1 / ops/async_ras.py.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -325,35 +404,47 @@ def async_general_rounds(
     B = max(staleness, 1)
     M = 2 * B + 2
     T = rounds
-    MSG = SEG + 8
-    L = Sl * C                     # links per device
+    SEGT = SEG // 128
+    MSGC = 8 * SEGT + 8
+    L = Sl * C
+    NB = -(-Rext // 128)
+    NV = int(vec.shape[-2]) // (NB * 8)
+    use_oras = NV >= 4
+    tbl_dtype = A.dtype
     tol2 = float(tol) * float(tol)
-
-    use_oras = boost is not None
-    NIN = 14 if use_oras else 13
-    # "highest" forces f32-accurate MXU passes on the A-dots.  The DEFAULT
-    # MXU precision truncates f32 operands to bf16 per pass; measured on
-    # v5e, that noise compounds through the free-running iteration and
-    # floors the in-band relative residual around 1e-1 (interpret mode,
-    # exact f32, converges).  HIGHEST costs extra VMEM stack (operand
-    # splitting) — the driver enables it when the footprint allows and
-    # otherwise documents the refinement recipe (run_refined restarts
-    # contract the floor per cycle).
-    A_PREC = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
+    # HIGHEST forces f32-accurate MXU passes on the A-dots; with bf16
+    # tables the operands are already bf16 and the flag is moot
+    A_PREC = (jax.lax.Precision.HIGHEST
+              if (mxu_precision == "highest" and tbl_dtype == jnp.float32)
               else None)
 
     def kernel(*refs):
-        (A_ref, b_ref, dinv_ref, mdom_ref, mint_ref, OH_ref, U_ref,
-         td_ref, ts_ref, x_ref, known_ref, aux_ref, carry_ref) = refs[:13]
-        boost_ref = refs[13] if use_oras else None
-        (x_out, known_out, aux_out, carry_out) = refs[NIN:NIN + 4]
-        (send, recv, ackpay, ackbuf,
-         ssem, rsem, asem, arsem) = refs[NIN + 4:]
+        (A_ref, vec_ref, OH_ref, U_ref, td_ref, ts_ref,
+         x_ref, known_ref, aux_ref, carry_ref) = refs[:10]
+        (x_out, known_out, aux_out, carry_out) = refs[10:14]
+        (A_buf, OH_buf, U_buf, vec_buf, send, recv, ackpay, ackbuf,
+         tsem, ssem, rsem, asem, arsem) = refs[14:]
         me = jax.lax.axis_index(axis_name)
         devty = pltpu.DeviceIdType.LOGICAL
+        f32 = jnp.float32
+
+        def cast(v):
+            return v.astype(tbl_dtype) if tbl_dtype != f32 else v
 
         def flat(j, s, c):
             return (j * Sl + s) * C + c
+
+        # Semaphore economy (v5e has 2 KiB of sflag space = 512
+        # semaphores; the v1 per-(slot, link) allocation of all four
+        # arrays blew it at ani4 scale): only message ARRIVALS need a
+        # per-ring-slot semaphore (the consumer must know the specific
+        # slot's data landed).  Send completions and ack credits are pure
+        # COUNTS — equal-sized transfers on one link consumed one per
+        # round — so ssem/asem/arsem are per-LINK counting semaphores.
+        # Slot-reuse safety for sends comes from the ack protocol: the
+        # partner's ack for message t-M proves that send left our slot.
+        def link(s, c):
+            return s * C + c
 
         def send_desc(s, c, j):
             fs = flat(j, s, c)
@@ -361,7 +452,7 @@ def async_general_rounds(
             fd = (j * Sl + ts_ref[s, c]) * C + c
             return pltpu.make_async_remote_copy(
                 src_ref=send.at[fs], dst_ref=recv.at[fd],
-                send_sem=ssem.at[fs], recv_sem=rsem.at[fd],
+                send_sem=ssem.at[link(s, c)], recv_sem=rsem.at[fd],
                 device_id=td, device_id_type=devty,
             )
 
@@ -371,184 +462,239 @@ def async_general_rounds(
             fs = flat(j, s, c)
             return pltpu.make_async_remote_copy(
                 src_ref=send.at[fs], dst_ref=recv.at[fs],
-                send_sem=ssem.at[fs], recv_sem=rsem.at[fs],
+                send_sem=ssem.at[link(s, c)], recv_sem=rsem.at[fs],
                 device_id=me, device_id_type=devty,
             )
 
         def ack_desc(s, c, j):
-            # credit the partner for the message in OUR slot (j, s, c):
-            # it lands in the partner's ack buffer at ITS slot for this link
-            fs = flat(j, s, c)
+            # credit the partner for the message in OUR slot (j, s, c);
+            # every ack lands in the shared tile — only the semaphore
+            # (the partner's per-link credit count) carries meaning
             td = td_ref[s, c]
-            fd = (j * Sl + ts_ref[s, c]) * C + c
+            fd = ts_ref[s, c] * C + c
             return pltpu.make_async_remote_copy(
-                src_ref=ackpay, dst_ref=ackbuf.at[fd],
-                send_sem=asem.at[fs], recv_sem=arsem.at[fd],
+                src_ref=ackpay, dst_ref=ackbuf,
+                send_sem=asem.at[link(s, c)], recv_sem=arsem.at[fd],
                 device_id=td, device_id_type=devty,
             )
 
         def ack_wait_desc(s, c, j):
-            fs = flat(j, s, c)
             return pltpu.make_async_remote_copy(
-                src_ref=ackpay, dst_ref=ackbuf.at[fs],
-                send_sem=asem.at[fs], recv_sem=arsem.at[fs],
+                src_ref=ackpay, dst_ref=ackbuf,
+                send_sem=asem.at[link(s, c)], recv_sem=arsem.at[link(s, c)],
                 device_id=me, device_id_type=devty,
             )
 
-        ackpay[:] = jnp.zeros((8, 128), jnp.float32)
+        def tbl_dmas(s, slot):
+            return (
+                pltpu.make_async_copy(A_ref.at[s], A_buf.at[slot],
+                                      tsem.at[slot]),
+                pltpu.make_async_copy(OH_ref.at[s], OH_buf.at[slot],
+                                      tsem.at[slot]),
+                pltpu.make_async_copy(U_ref.at[s], U_buf.at[slot],
+                                      tsem.at[slot]),
+                pltpu.make_async_copy(vec_ref.at[s], vec_buf.at[slot],
+                                      tsem.at[slot]),
+            )
+
+        def start_tbl(s, slot):
+            for d in tbl_dmas(s, slot):
+                d.start()
+
+        def wait_tbl(s, slot):
+            for d in tbl_dmas(s, slot):
+                d.wait()
+
+        ackpay[:] = jnp.zeros((8, 128), f32)
 
         lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         pad_ranks = jnp.where(lane8 >= n_ranks, 1.0, 0.0)
+        eye128 = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1),
+            1.0, 0.0,
+        ).astype(f32)
+        ones_col = jnp.ones((128, 1), f32)
 
-        A_s = [A_ref[s] for s in range(Sl)]
-        b_s = [b_ref[s * Rext:(s + 1) * Rext] for s in range(Sl)]
-        dv_s = [dinv_ref[s * Rext:(s + 1) * Rext] for s in range(Sl)]
-        md_s = [mdom_ref[s * Rext:(s + 1) * Rext] for s in range(Sl)]
-        mi_s = [mint_ref[s * Rext:(s + 1) * Rext] for s in range(Sl)]
-        bo_s = ([boost_ref[s * Rext:(s + 1) * Rext] for s in range(Sl)]
-                if use_oras else None)
-        OH_sc = [
-            [OH_ref[(s * C + c) * SEG:(s * C + c + 1) * SEG]
-             for c in range(C)] for s in range(Sl)
-        ]
-        U_sc = [
-            [U_ref[(s * C + c) * H:(s * C + c + 1) * H]
-             for c in range(C)] for s in range(Sl)
-        ]
+        def compact_msg(pk):
+            """(SEG, 128) lane-replicated -> (8*SEGT, 128) compact."""
+            outs = []
+            for t2 in range(SEGT):
+                blk = pk[t2 * 128:(t2 + 1) * 128]
+                v = jnp.sum(blk * eye128, axis=0, keepdims=True)
+                outs.append(jnp.concatenate(
+                    [v, jnp.zeros((7, 128), f32)], 0))
+            return outs[0] if SEGT == 1 else jnp.concatenate(outs, 0)
+
+        def lane_expand(row):
+            """(1, 128) lane vector -> (128, 128) sublane-replicated.
+
+            Pure data movement (broadcast + transpose unit) — an MXU
+            outer-product here would truncate the f32 values to bf16 at
+            DEFAULT precision."""
+            return jnp.transpose(jnp.broadcast_to(row, (128, 128)))
+
+        def expand_msg(comp):
+            """(8*SEGT, 128) compact -> (SEG, 128) lane-replicated."""
+            outs = [lane_expand(comp[t2 * 8:t2 * 8 + 1])
+                    for t2 in range(SEGT)]
+            return outs[0] if SEGT == 1 else jnp.concatenate(outs, 0)
+
+        def expand_vec(vb, vi):
+            """Lane-packed vector vi -> (Rext, 128) lane-replicated."""
+            blocks = [lane_expand(vb[(vi * NB + kb) * 8:
+                                     (vi * NB + kb) * 8 + 1])
+                      for kb in range(NB)]
+            full = blocks[0] if NB == 1 else jnp.concatenate(blocks, 0)
+            return full[:Rext]
 
         def dot(u, v):
             t1 = jnp.sum(u * v, axis=1, keepdims=True)
             return jnp.sum(t1, axis=0, keepdims=True)
 
-        def apply_solve(s, v):
-            # O-RAS Robin diagonal on the solve operator only; the
-            # residual keeps the true A (fixed point unchanged)
-            av = md_s[s] * jnp.dot(
-                A_s[s], v, preferred_element_type=jnp.float32,
+        # working state lives in the OUTPUT refs across the round loop
+        x_out[:] = x_ref[:]
+        known_out[:] = jnp.maximum(
+            known_ref[:],
+            jnp.tile(pad_ranks, (Sl, 1)) if Sl > 1 else pad_ranks,
+        )
+        aux_out[:] = aux_ref[:]
+        base_t = aux_ref[0, 2]
+
+        def rank_round(t, s, slot):
+            j = t % M
+            wait_tbl(s, slot)
+            k = t * Sl + s
+            if k + 1 < T * Sl:
+                start_tbl((s + 1) % Sl, (k + 1) % 2)
+            if t >= M:
+                for c in range(C):
+                    send_desc(s, c, j).wait_send()
+                    ack_wait_desc(s, c, j).wait_recv()
+            xx = x_out[s * Rint:(s + 1) * Rint]
+            kn = known_out[s * 8:(s + 1) * 8]
+            OH_v = OH_buf[slot]
+            for c in range(C):
+                fs = flat(j, s, c)
+                pk = jnp.dot(
+                    OH_v[c * SEG:(c + 1) * SEG], cast(xx),
+                    preferred_element_type=f32, precision=A_PREC,
+                )
+                send[fs, :8 * SEGT] = compact_msg(pk)
+                send[fs, 8 * SEGT:] = kn
+                send_desc(s, c, j).start()
+            comps = [None] * C
+            inflags = jnp.zeros((8, 128), f32)
+            if t >= B:
+                jc = (t - B) % M
+                for c in range(C):
+                    fs = flat(jc, s, c)
+                    recv_wait_desc(s, c, jc).wait_recv()
+                    comps[c] = recv[fs, :8 * SEGT]
+                    inflags = jnp.maximum(inflags, recv[fs, 8 * SEGT:])
+                    if t - M >= B:
+                        ack_desc(s, c, jc).wait_send()
+                    ack_desc(s, c, jc).start()
+            else:
+                for c in range(C):
+                    comps[c] = carry_ref[
+                        (s * C + c) * 8 * SEGT:(s * C + c + 1) * 8 * SEGT
+                    ]
+            U_v = U_buf[slot]
+            halo = jnp.dot(
+                U_v[:H], cast(expand_msg(comps[0])),
+                preferred_element_type=f32, precision=A_PREC,
+            )
+            for c in range(1, C):
+                halo = halo + jnp.dot(
+                    U_v[c * H:(c + 1) * H], cast(expand_msg(comps[c])),
+                    preferred_element_type=f32, precision=A_PREC,
+                )
+            x_ext = jnp.concatenate([xx, halo], axis=0)
+            A_v = A_buf[slot]
+            vb = vec_buf[slot]
+            b_v = expand_vec(vb, 0)
+            dv = expand_vec(vb, 1)
+            mi = expand_vec(vb, 2)
+            bo = expand_vec(vb, 3) if use_oras else None
+
+            def apply_solve(v):
+                # O-RAS Robin diagonal on the solve operator only; the
+                # residual keeps the true A (fixed point unchanged).  No
+                # domain mask: off-domain rows of A are built ZERO, so
+                # products and residuals vanish there by construction.
+                av = jnp.dot(
+                    A_v, cast(v), preferred_element_type=f32,
+                    precision=A_PREC,
+                )
+                if use_oras:
+                    av = av + bo * v
+                return av
+
+            r = b_v - jnp.dot(
+                A_v, cast(x_ext), preferred_element_type=f32,
                 precision=A_PREC,
             )
-            if use_oras:
-                av = av + bo_s[s] * v
-            return av
+            rn = dot(mi * r, mi * r)[0, 0]
+            rn0 = aux_out[s * 8, 0]
+            done_at = aux_out[s * 8, 1]
+            rn0 = jnp.where(rn0 < 0, rn, rn0)
+            myconv = jnp.where(rn <= tol2 * rn0, 1.0, 0.0)
+            mylane = me * jnp.int32(Sl) + jnp.int32(s)
+            mybit = jnp.where(lane8 == mylane, myconv, 0.0)
+            kn_new = jnp.maximum(jnp.maximum(kn, mybit), inflags)
+            all_known = jnp.sum(
+                jnp.sum(kn_new[0:1, :], axis=1, keepdims=True),
+                axis=0, keepdims=True,
+            )[0, 0] >= 128.0
+            frozen = (done_at >= 0) | all_known
 
-        def cg_dom(s, r):
-            eps = jnp.finfo(jnp.float32).tiny
-            z0 = jnp.zeros_like(r)
-            s0 = dv_s[s] * r
-            rho0 = dot(r, s0)
-
-            def body(_, cstate):
-                zz, rr_, pp, rho = cstate
-                ap = apply_solve(s, pp)
-                pap = dot(pp, ap)
-                alpha = jnp.where(pap > 0, rho / jnp.maximum(pap, eps), 0.0)
-                zz = zz + alpha * pp
-                rr_ = rr_ - alpha * ap
-                sn = dv_s[s] * rr_
-                rho_n = dot(rr_, sn)
-                beta = jnp.where(rho > 0, rho_n / jnp.maximum(rho, eps), 0.0)
-                return zz, rr_, sn + beta * pp, rho_n
-
-            z, _, _, _ = jax.lax.fori_loop(
-                0, ninner, body, (z0, r, s0, rho0)
-            )
-            return z
-
-        def local_correct(s, r):
             if nonsym:
                 from schwarz_tpu.ops.async_ras import _bicgstab_correction
 
-                return _bicgstab_correction(
-                    lambda v: apply_solve(s, v), dot, dv_s[s], r, ninner
-                )
-            return cg_dom(s, r)
-
-        xx = [x_ref[s * Rint:(s + 1) * Rint] for s in range(Sl)]
-        kn = [
-            jnp.maximum(known_ref[s * 8:(s + 1) * 8], pad_ranks)
-            for s in range(Sl)
-        ]
-        rn0 = [aux_ref[s * 8, 0] for s in range(Sl)]
-        done_at = [aux_ref[s * 8, 1] for s in range(Sl)]
-        base_t = aux_ref[0, 2]
-        rn_last = [aux_ref[s * 8, 3] for s in range(Sl)]
-
-        for t in range(T):
-            j = t % M
-            if t >= M:
-                for s in range(Sl):
-                    for c in range(C):
-                        send_desc(s, c, j).wait_send()
-                        ack_wait_desc(s, c, j).wait_recv()
-            for s in range(Sl):
-                for c in range(C):
-                    fs = flat(j, s, c)
-                    pk = jnp.dot(
-                        OH_sc[s][c], xx[s],
-                        preferred_element_type=jnp.float32,
-                    )
-                    send[fs, :SEG] = pk
-                    send[fs, SEG:] = kn[s]
-                    send_desc(s, c, j).start()
-            msgs = [[None] * C for _ in range(Sl)]
-            inflags = [None] * Sl
-            if t >= B:
-                jc = (t - B) % M
-                for s in range(Sl):
-                    fl = jnp.zeros((8, 128), jnp.float32)
-                    for c in range(C):
-                        fs = flat(jc, s, c)
-                        recv_wait_desc(s, c, jc).wait_recv()
-                        msgs[s][c] = recv[fs, :SEG]
-                        fl = jnp.maximum(fl, recv[fs, SEG:])
-                        if t - M >= B:
-                            ack_desc(s, c, jc).wait_send()
-                        ack_desc(s, c, jc).start()
-                    inflags[s] = fl
+                z = _bicgstab_correction(apply_solve, dot, dv, r, ninner)
             else:
-                for s in range(Sl):
-                    for c in range(C):
-                        msgs[s][c] = carry_ref[
-                            (s * C + c) * SEG:(s * C + c + 1) * SEG
-                        ]
-                    inflags[s] = jnp.zeros((8, 128), jnp.float32)
+                eps = jnp.finfo(f32).tiny
+                z0 = jnp.zeros_like(r)
+                s0 = dv * r
+                rho0 = dot(r, s0)
+
+                def body(_, cstate):
+                    zz, rr_, pp, rho = cstate
+                    ap = apply_solve(pp)
+                    pap = dot(pp, ap)
+                    alpha = jnp.where(
+                        pap > 0, rho / jnp.maximum(pap, eps), 0.0)
+                    zz = zz + alpha * pp
+                    rr_ = rr_ - alpha * ap
+                    sn = dv * rr_
+                    rho_n = dot(rr_, sn)
+                    beta = jnp.where(
+                        rho > 0, rho_n / jnp.maximum(rho, eps), 0.0)
+                    return zz, rr_, sn + beta * pp, rho_n
+
+                z, _, _, _ = jax.lax.fori_loop(
+                    0, ninner, body, (z0, r, s0, rho0)
+                )
+
+            x_out[s * Rint:(s + 1) * Rint] = jnp.where(
+                frozen, xx, xx + z[:Rint])
+            known_out[s * 8:(s + 1) * 8] = kn_new
+            done_new = jnp.where(
+                done_at >= 0, done_at,
+                jnp.where(all_known, base_t + jnp.float32(t), -1.0),
+            )
+            av = aux_out[s * 8:(s + 1) * 8]
+            av = jnp.where(lane8 == 0, rn0, av)
+            av = jnp.where(lane8 == 1, done_new, av)
+            av = jnp.where(lane8 == 2, base_t + jnp.float32(T), av)
+            av = jnp.where(lane8 == 3, rn, av)   # last local ||r||^2
+            aux_out[s * 8:(s + 1) * 8] = av
+
+        start_tbl(0, 0)
+        for t in range(T):
             for s in range(Sl):
-                halo = jnp.dot(
-                    U_sc[s][0], msgs[s][0],
-                    preferred_element_type=jnp.float32,
-                )
-                for c in range(1, C):
-                    halo = halo + jnp.dot(
-                        U_sc[s][c], msgs[s][c],
-                        preferred_element_type=jnp.float32,
-                    )
-                x_ext = jnp.concatenate([xx[s], halo], axis=0)
-                r = md_s[s] * (
-                    b_s[s] - jnp.dot(
-                        A_s[s], x_ext, preferred_element_type=jnp.float32,
-                        precision=A_PREC,
-                    )
-                )
-                rn = dot(mi_s[s] * r, mi_s[s] * r)[0, 0]
-                rn_last[s] = rn
-                rn0[s] = jnp.where(rn0[s] < 0, rn, rn0[s])
-                myconv = jnp.where(rn <= tol2 * rn0[s], 1.0, 0.0)
-                mylane = me * jnp.int32(Sl) + jnp.int32(s)
-                mybit = jnp.where(lane8 == mylane, myconv, 0.0)
-                kn_new = jnp.maximum(jnp.maximum(kn[s], mybit), inflags[s])
-                all_known = jnp.sum(
-                    jnp.sum(kn_new[0:1, :], axis=1, keepdims=True),
-                    axis=0, keepdims=True,
-                )[0, 0] >= 128.0
-                frozen = (done_at[s] >= 0) | all_known
-                z = local_correct(s, r)
-                x_new = xx[s] + z[:Rint]
-                xx[s] = jnp.where(frozen, xx[s], x_new)
-                kn[s] = kn_new
-                done_at[s] = jnp.where(
-                    done_at[s] >= 0, done_at[s],
-                    jnp.where(all_known, base_t + jnp.float32(t), -1.0),
-                )
+                rank_round(t, s, (t * Sl + s) % 2)
 
         # ---- static drains (uniform T rounds; cf. async_ras.py) ----------
         for n in range(max(T - B, 0), T):
@@ -557,13 +703,14 @@ def async_general_rounds(
                 for c in range(C):
                     fs = flat(jc, s, c)
                     recv_wait_desc(s, c, jc).wait_recv()
-                    kn[s] = jnp.maximum(kn[s], recv[fs, SEG:])
+                    known_out[s * 8:(s + 1) * 8] = jnp.maximum(
+                        known_out[s * 8:(s + 1) * 8], recv[fs, 8 * SEGT:])
         j_last = (T - 1) % M
         for s in range(Sl):
             for c in range(C):
-                carry_out[(s * C + c) * SEG:(s * C + c + 1) * SEG] = recv[
-                    flat(j_last, s, c), :SEG
-                ]
+                carry_out[
+                    (s * C + c) * 8 * SEGT:(s * C + c + 1) * 8 * SEGT
+                ] = recv[flat(j_last, s, c), :8 * SEGT]
         for n in range(max(T - M, 0), max(T - B, 0)):
             for s in range(Sl):
                 for c in range(C):
@@ -577,51 +724,61 @@ def async_general_rounds(
                 for c in range(C):
                     ack_desc(s, c, n % M).wait_send()
 
-        for s in range(Sl):
-            x_out[s * Rint:(s + 1) * Rint] = xx[s]
-            known_out[s * 8:(s + 1) * 8] = kn[s]
-            lane = lane8
-            av = jnp.where(lane == 0, rn0[s], 0.0)
-            av = jnp.where(lane == 1, done_at[s], av)
-            av = jnp.where(lane == 2, base_t + jnp.float32(T), av)
-            av = jnp.where(lane == 3, rn_last[s], av)
-            aux_out[s * 8:(s + 1) * 8] = av
-
     with jax.enable_x64(False):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
+        anymem = pl.BlockSpec(memory_space=pl.ANY)
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-        args = (A, b, dinv, mdom, mint, OH, U, tgt_dev, tgt_sl,
-                x, known, aux, carry)
-        if use_oras:
-            args = args + (boost,)
+        args = (A, vec, OH, U, tgt_dev, tgt_sl, x, known, aux, carry)
         x_o, known_o, aux_o, carry_o = pl.pallas_call(
             kernel,
-            in_specs=([vmem] * 7 + [smem, smem] + [vmem] * 4
-                      + ([vmem] if use_oras else [])),
+            in_specs=[anymem] * 4 + [smem, smem] + [vmem] * 4,
             out_specs=(vmem,) * 4,
             out_shape=(
                 jax.ShapeDtypeStruct((Sl * Rint, 128), jnp.float32),
                 jax.ShapeDtypeStruct((Sl * 8, 128), jnp.float32),
                 jax.ShapeDtypeStruct((Sl * 8, 128), jnp.float32),
-                jax.ShapeDtypeStruct((Sl * C * SEG, 128), jnp.float32),
+                jax.ShapeDtypeStruct((Sl * C * 8 * SEGT, 128),
+                                     jnp.float32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((M * L, MSG, 128), jnp.float32),   # send
-                pltpu.VMEM((M * L, MSG, 128), jnp.float32),   # recv
-                pltpu.VMEM((8, 128), jnp.float32),            # ack payload
-                pltpu.VMEM((M * L, 8, 128), jnp.float32),     # ack arrivals
-                pltpu.SemaphoreType.DMA((M * L,)),            # ssem
-                pltpu.SemaphoreType.DMA((M * L,)),            # rsem
-                pltpu.SemaphoreType.DMA((M * L,)),            # asem
-                pltpu.SemaphoreType.DMA((M * L,)),            # arsem
+                pltpu.VMEM((2, Rext, Rext), tbl_dtype),     # A double-buf
+                pltpu.VMEM((2, C * SEG, Rint), tbl_dtype),  # OH double-buf
+                pltpu.VMEM((2, C * H, SEG), tbl_dtype),     # U double-buf
+                pltpu.VMEM((2, NV * NB * 8, 128), jnp.float32),  # vecs
+                pltpu.VMEM((M * L, MSGC, 128), jnp.float32),     # send
+                pltpu.VMEM((M * L, MSGC, 128), jnp.float32),     # recv
+                pltpu.VMEM((8, 128), jnp.float32),          # ack payload
+                pltpu.VMEM((8, 128), jnp.float32),          # shared ack dst
+                pltpu.SemaphoreType.DMA((2,)),              # tsem
+                pltpu.SemaphoreType.DMA((L,)),              # ssem (counting)
+                pltpu.SemaphoreType.DMA((M * L,)),          # rsem (per slot)
+                pltpu.SemaphoreType.DMA((L,)),              # asem (counting)
+                pltpu.SemaphoreType.DMA((L,)),              # arsem (counting)
             ],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(*args)
     return x_o, known_o, aux_o, carry_o
+
+
+def pack_plan_vectors(p: GeneralAsyncPlan) -> np.ndarray:
+    """Lane-pack b/dinv/mask_int[/boost] into (S, NV*NB*8, 128):
+    value i of vector v sits at row 8*(v*NB + i//128), lane i%128."""
+    NB = -(-p.Rext // 128)
+    vecs = [p.b, p.dinv, p.mask_int]
+    if p.boost is not None:
+        vecs.append(p.boost)
+    NV = len(vecs)
+    out = np.zeros((p.S, NV * NB * 8, 128), np.float32)
+    for vi, v in enumerate(vecs):
+        vp = np.zeros((p.S, NB * 128), np.float32)
+        vp[:, :p.Rext] = v
+        rows = (vi * NB + np.arange(NB)) * 8
+        out[:, rows, :] = vp.reshape(p.S, NB, 128)
+    return out
 
 
 class AsyncGeneralRASolver:
@@ -635,7 +792,7 @@ class AsyncGeneralRASolver:
                  tolerance: float = 1e-6, staleness: int = 1,
                  ninner: int = 12, chunk_rounds: int = 16,
                  part=None, mesh=None, interpret: Optional[bool] = None,
-                 vmem_budget: int = 14 << 20, oras_weight: float = 0.0,
+                 vmem_budget: int = 15 << 20, oras_weight: float = 0.0,
                  nonsym: bool = False, mxu_precision: str = "auto"):
         from jax.sharding import PartitionSpec as P
 
@@ -672,36 +829,53 @@ class AsyncGeneralRASolver:
         if interpret is None:
             interpret = mesh.devices.reshape(-1)[0].platform == "cpu"
         self.interpret = interpret
-        if not interpret:
-            est = vmem_estimate_bytes(self.plan, self.Sl, staleness)
-            if est > vmem_budget:
-                raise NotImplementedFeature(
-                    f"general free-running instance needs ~{est >> 20} MiB "
-                    f"VMEM (> {vmem_budget >> 20} MiB): use fewer folded "
-                    "ranks per device, smaller subdomains, or the "
-                    "bounded-staleness emulation"
-                )
-        # f32-accurate MXU passes on the A-dots when the extra operand-
-        # splitting stack fits (see async_general_rounds); at the DEFAULT
-        # bf16 precision the in-band residual floors near 1e-1 and the
-        # refinement restarts (run_refined) are the accuracy recipe
         if mxu_precision not in ("auto", "highest", "default"):
             raise ValueError(
                 f"mxu_precision must be auto/highest/default, got "
                 f"{mxu_precision!r}"
             )
-        if mxu_precision == "auto":
-            if interpret:
-                mxu_precision = "default"   # interpret computes exact f32
-            else:
-                est = vmem_estimate_bytes(self.plan, self.Sl, staleness)
-                emul = 2 * self.Sl * self.plan.Rext * self.plan.Rext * 4
-                mxu_precision = (
-                    "highest" if est + emul <= vmem_budget else "default"
+        # Table dtype <-> MXU precision (round-5 streaming kernel): bf16
+        # tables at DEFAULT precision are lossless there (the MXU already
+        # truncates f32 operands to bf16 per pass) and halve the streaming
+        # buffers; HIGHEST needs f32 tables + operand-splitting stack.  At
+        # the bf16 floor (~1e-1 in-band relative residual) the refinement
+        # restarts (run_refined) are the accuracy recipe.  The interpreter
+        # computes exact f32 either way.
+        if interpret:
+            mxu_precision = ("default" if mxu_precision == "auto"
+                             else mxu_precision)
+            tbl_dtype = np.float32
+        else:
+            sflags = sflag_count(self.plan, self.Sl, staleness)
+            if sflags > 512:
+                raise NotImplementedFeature(
+                    f"general free-running instance needs {sflags} DMA "
+                    "semaphores (> the 512 of v5e sflag space): use fewer "
+                    "folded ranks per device, a lower staleness bound, or "
+                    "the bounded-staleness emulation"
                 )
+            est_hi = vmem_estimate_bytes(self.plan, self.Sl, staleness,
+                                         tbl_bytes=4)
+            est_lo = vmem_estimate_bytes(self.plan, self.Sl, staleness,
+                                         tbl_bytes=2)
+            if mxu_precision == "auto":
+                mxu_precision = ("highest" if est_hi <= vmem_budget
+                                 else "default")
+            est = est_hi if mxu_precision == "highest" else est_lo
+            if est > vmem_budget:
+                raise NotImplementedFeature(
+                    f"general free-running instance needs ~{est >> 20} MiB "
+                    f"VMEM (> {vmem_budget >> 20} MiB) even with HBM-"
+                    "streamed tables: use fewer folded ranks per device, "
+                    "smaller subdomains, or the bounded-staleness emulation"
+                )
+            tbl_dtype = (np.float32 if mxu_precision == "highest"
+                         else np.dtype("bfloat16"))
         self.mxu_precision = mxu_precision
+        self.tbl_dtype = tbl_dtype
 
         p = self.plan
+        self.SEGT = p.SEG // 128
         kern = functools.partial(
             async_general_rounds,
             Rint=p.Rint, Rext=p.Rext, H=p.H, SEG=p.SEG, C=p.C, Sl=self.Sl,
@@ -711,44 +885,38 @@ class AsyncGeneralRASolver:
             mxu_precision=self.mxu_precision,
         )
         spec = P(SUBD_AXIS)
-        n_in = 14 if p.boost is not None else 13
         self._mapped = jax.jit(jax.shard_map(
-            kern, mesh=mesh, in_specs=(spec,) * n_in,
+            kern, mesh=mesh, in_specs=(spec,) * 10,
             out_specs=(spec,) * 4, check_vma=False,
         ))
         shard = self._shard = jax.sharding.NamedSharding(mesh, spec)
-        lane_rep = _lane_rep
         tgt_dev = (p.tgt_subd // self.Sl).astype(np.int32)
         tgt_sl = (p.tgt_subd % self.Sl).astype(np.int32)
+        td = jnp.asarray
         self._dev = {
-            "A": jax.device_put(jnp.asarray(p.A), shard),
-            "b": jax.device_put(jnp.asarray(lane_rep(p.b)), shard),
-            "dinv": jax.device_put(jnp.asarray(lane_rep(p.dinv)), shard),
-            "mdom": jax.device_put(
-                jnp.asarray(lane_rep(p.mask_dom)), shard),
-            "mint": jax.device_put(
-                jnp.asarray(lane_rep(p.mask_int)), shard),
+            "A": jax.device_put(td(p.A.astype(tbl_dtype)), shard),
+            "vec": jax.device_put(td(pack_plan_vectors(p)), shard),
             "OH": jax.device_put(
-                jnp.asarray(p.OH.reshape(-1, p.Rint)), shard),
-            "U": jax.device_put(jnp.asarray(p.U.reshape(-1, p.SEG)), shard),
-            "td": jax.device_put(jnp.asarray(tgt_dev), shard),
-            "ts": jax.device_put(jnp.asarray(tgt_sl), shard),
+                td(p.OH.reshape(p.S, p.C * p.SEG, p.Rint)
+                   .astype(tbl_dtype)), shard),
+            "U": jax.device_put(
+                td(p.U.reshape(p.S, p.C * p.H, p.SEG)
+                   .astype(tbl_dtype)), shard),
+            "td": jax.device_put(td(tgt_dev), shard),
+            "ts": jax.device_put(td(tgt_sl), shard),
         }
-        if p.boost is not None:
-            self._dev["boost"] = jax.device_put(
-                jnp.asarray(lane_rep(p.boost)), shard
-            )
 
     def set_rhs(self, rhs) -> None:
         """Repack the per-rank RHS slots without rebuilding the plan
-        (restarts reuse the dense operators, link tables, jitted kernel)."""
+        (restarts reuse the streamed operators, link tables, jitted
+        kernel)."""
         p = self.plan
-        r = np.asarray(rhs, np.float64)
+        r = np.asarray(rhs, np.float64) * p.scale
         b = (p.mask_dom * r[np.clip(p.gid, 0, p.N - 1)]).astype(np.float32)
         p.b = b
         self.rhs = np.asarray(rhs)
-        self._dev["b"] = jax.device_put(
-            jnp.asarray(_lane_rep(b)), self._shard
+        self._dev["vec"] = jax.device_put(
+            jnp.asarray(pack_plan_vectors(p)), self._shard
         )
 
     def run_refined(self, tol: float = 1e-10, max_restarts: int = 12,
@@ -796,16 +964,14 @@ class AsyncGeneralRASolver:
             aux = np.full((S * 8, 128), -1.0, np.float32)
             aux[:, 2] = 0.0
             aux = jnp.asarray(aux)
-            carry = jnp.zeros((S * p.C * p.SEG, 128), jnp.float32)
+            carry = jnp.zeros((S * p.C * 8 * self.SEGT, 128), jnp.float32)
         t0 = time.perf_counter()
         rounds = 0
-        extra = ((self._dev["boost"],) if "boost" in self._dev else ())
         while rounds < max_rounds:
             x, known, aux, carry = self._mapped(
-                self._dev["A"], self._dev["b"], self._dev["dinv"],
-                self._dev["mdom"], self._dev["mint"], self._dev["OH"],
+                self._dev["A"], self._dev["vec"], self._dev["OH"],
                 self._dev["U"], self._dev["td"], self._dev["ts"],
-                x, known, aux, carry, *extra,
+                x, known, aux, carry,
             )
             rounds += self.chunk_rounds
             done = np.asarray(aux[::8, 1])
@@ -817,7 +983,10 @@ class AsyncGeneralRASolver:
         x_h = np.asarray(jax.block_until_ready(x))[:, 0].reshape(S, p.Rint)
         sol = np.zeros(p.N, np.float32)
         for s in range(S):
-            sol[p.int_ids[s]] = x_h[s, : p.n_int[s]]
+            # kernel state is the Jacobi-scaled unknown y; x = Ds y
+            sol[p.int_ids[s]] = (
+                x_h[s, : p.n_int[s]] * p.scale[p.int_ids[s]]
+            ).astype(np.float32)
         A_sp = self.mat.to_scipy()
         res = self.rhs - A_sp @ sol
         rel = float(
@@ -825,7 +994,7 @@ class AsyncGeneralRASolver:
         )
         done = np.asarray(aux[::8, 1]).astype(int)
         total_rounds = int(np.asarray(aux[0, 2]))
-        msg_bytes = (p.SEG + 8) * 128 * 4
+        msg_bytes = (8 * self.SEGT + 8) * 128 * 4   # lane-packed
         return sol, {
             "done_at": done,
             "converged": bool(np.all(done >= 0)),
