@@ -487,15 +487,6 @@ def main():
         quality_flags["halo_skipped"] = "budget"
         emit("halo_skipped")
 
-    # ---- native proofs (each under its OWN try/except) ----------------------
-    info_extra = {}
-    if remaining() > 90:
-        try:
-            _native_proofs(info_extra, on_tpu, remaining)
-        except Exception as e:  # pragma: no cover
-            info_extra["native_proofs_error"] = str(e)[:200]
-        _write_progress("native_proofs", {"headline": headline})
-
     # ---- FLAGSHIP: driver-captured two-level spectral 1e-8 solve -----------
     def run_flagship():
         n_f = {"1m": 1024, "512": 512}.get(
@@ -557,6 +548,15 @@ def main():
         except Exception as e:  # pragma: no cover
             flagship_info = {"flagship_error": str(e)[:300]}
     _write_progress("flagship", {"headline": headline})
+
+    # ---- native proofs (each under its OWN try/except) ----------------------
+    info_extra = {}
+    if remaining() > 90:
+        try:
+            _native_proofs(info_extra, on_tpu, remaining)
+        except Exception as e:  # pragma: no cover
+            info_extra["native_proofs_error"] = str(e)[:200]
+        _write_progress("native_proofs", {"headline": headline})
 
     # ---- secondary: RAS time-to-solution, paper-campaign two-stage config --
     def run_ras_secondary():

@@ -683,6 +683,24 @@ def main(argv=None):
         f" Time taken for solve {result.solve_time_s:.6f}",
         file=sys.stderr,
     )
+    if not result.converged and not result.diverged:
+        # actionable hints instead of a bare failure: one-level RAS with
+        # the reference defaults stalls on all but tiny problems (its
+        # iteration count grows with 1/H — the known one-level limit)
+        hints = []
+        if not settings.two_level:
+            hints.append("--two_level (coarse space removes the "
+                         "subdomain-count dependence)")
+        if settings.oras_weight == 0.0:
+            hints.append("--oras_weight -0.8 (optimized Robin "
+                         "transmission)")
+        if settings.overlap <= 2:
+            hints.append(f"a larger --overlap (currently "
+                         f"{settings.overlap})")
+        if args.num_iters <= 100:
+            hints.append(f"more --num_iters (currently {args.num_iters})")
+        if hints:
+            print(" hint: try " + "; ".join(hints), file=sys.stderr)
     print(json.dumps({
         "converged": result.converged,
         "iters": result.iters,

@@ -6,7 +6,7 @@ global mesh.  Cross-process halo rounds then ride the distributed runtime
 the reference's node-locality hierarchy (source/utils.cpp:41-78) exercised
 for real across OS processes.
 
-Run: python distributed_worker.py <pid> <nproc> <port>
+Run: python distributed_worker.py <pid> <nproc> <port> [ndev_local=4]
 Prints one line: ``WORKER_OK rel=<true relative residual>`` on success.
 """
 
@@ -14,11 +14,12 @@ import os
 import sys
 
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+ndev = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 os.environ["XLA_FLAGS"] = (
-    flags + " --xla_force_host_platform_device_count=4"
+    flags + f" --xla_force_host_platform_device_count={ndev}"
 ).strip()
 
 import jax  # noqa: E402
@@ -43,12 +44,12 @@ from schwarz_tpu.core.decompose import decompose  # noqa: E402
 from schwarz_tpu.parallel.mesh import make_mesh  # noqa: E402
 from schwarz_tpu.ras import RASolver  # noqa: E402
 
-assert len(jax.devices()) == 4 * nproc, jax.devices()
-assert len(jax.local_devices()) == 4
+assert len(jax.devices()) == ndev * nproc, jax.devices()
+assert len(jax.local_devices()) == ndev
 
 A = laplacian_2d(16)
 b = generate_rhs(A.n, random=False)
-S = 4 * nproc
+S = ndev * nproc
 s = Settings(overlap=3, tolerance=1e-7, max_iters=300, dtype="float64",
              comm=CommSettings(strategy=HaloStrategy.neighbor))
 dec = decompose(A, b, s, S)
