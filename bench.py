@@ -108,8 +108,20 @@ ROOFLINE_SANITY = 1.05
 
 
 def _write_progress(stage: str, payload: dict) -> None:
-    """Atomic progress heartbeat: stage name + current headline state."""
+    """Atomic progress heartbeat: stage name + current headline state.
+
+    A pure-liveness beat (empty/absent headline) preserves the last
+    recorded headline so the guard's last-resort salvage never regresses.
+    """
     try:
+        if not payload.get("headline"):
+            try:
+                with open(PROGRESS_PATH) as f:
+                    prev = json.load(f).get("headline")
+                if prev:
+                    payload = {**payload, "headline": prev}
+            except (OSError, json.JSONDecodeError):
+                pass
         tmp = PROGRESS_PATH + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"ts": time.time(), "stage": stage, **payload}, f)
@@ -178,6 +190,9 @@ def _slope_fit(step, x0, target_t=0.15, tries=3):
 def _fit(step, x0, name, suspects, target_t=0.15):
     """Robust fit: retry unstable/non-positive slopes at doubled duration;
     a still-bad fit lands in ``suspects``."""
+    # heartbeat BEFORE the (possibly minutes-long on a cold cache) compile
+    # + fit so the guard's stall detector sees liveness
+    _write_progress(f"fit:{name}", {"headline": {}})
     mean, spread, n1, _ = _slope_fit(step, x0, target_t=target_t)
     if mean <= 0 or spread > 0.15:
         mean, spread, n1, _ = _slope_fit(step, x0, target_t=2 * target_t)
@@ -264,6 +279,7 @@ def main():
     b = generate_rhs(A.n, random=False)
     dec = decompose(A, b, settings, S)
     setup_s = time.time() - t0
+    _write_progress("spmv_fit", {"headline": headline})
 
     from schwarz_tpu.ops.dia import dia_ell_spmv, split_dia_ell
 
@@ -291,6 +307,7 @@ def main():
 
     fatal = []  # headline suspects: these zero the bench
     t_xla, xla_spread = _fit(step_spmv_xla, x0, "spmv_xla", fatal)
+    _write_progress("spmv_fit_xla_done", {"headline": headline})
     from schwarz_tpu.ops.pallas_kernels import dia_spmv_supported
 
     t_pal, pal_spread = float("inf"), 0.0
@@ -358,21 +375,33 @@ def main():
             stream_bps = big.size * 4 * 2 / t_stream  # read + write
 
             # read-only streaming (what the SpMV minimal-traffic model
-            # matches: dia_vals are never written back)
+            # matches: dia_vals are never written back).  The slice start
+            # depends on the carry so XLA cannot hoist the reduction out
+            # of the timing loop (a carry-independent big.sum() WAS
+            # hoisted, yielding a nonsense negative slope).
+            nmaj = big.shape[0] - 1
+
             def step_read(c):
-                return c * 0.5 + big.sum() * 1e-30
+                i = jnp.int32(c) % 2
+                s = jax.lax.dynamic_slice_in_dim(big, i, nmaj, axis=0)
+                return c * 0.5 + s.sum() * 1e-30 + 1.0
 
             t_read, read_spread, _, _ = _slope_fit(
                 step_read, jnp.float32(1.0))
-            read_bps = big.size * 4 / t_read
             calibration.update({
                 "measured_stream_gbps": stream_bps / 1e9,
                 "stream_fit_spread": stream_spread,
-                "measured_read_gbps": read_bps / 1e9,
-                "read_fit_spread": read_spread,
             })
-            headline["spmv_vs_measured_read"] = (
-                nnz_per_s / (nnz / (minimal_bytes / read_bps)))
+            if t_read > 0 and read_spread < 0.5:
+                read_bps = nmaj * 1024 * 1024 * 4 / t_read
+                calibration.update({
+                    "measured_read_gbps": read_bps / 1e9,
+                    "read_fit_spread": read_spread,
+                })
+                headline["spmv_vs_measured_read"] = (
+                    nnz_per_s / (nnz / (minimal_bytes / read_bps)))
+            else:
+                quality_flags["read_calibration_unstable"] = read_spread
             headline["calibration"] = calibration
             emit("calibration")
         except Exception as e:  # pragma: no cover
@@ -511,9 +540,12 @@ def main():
             coarse_space="spectral",
         )
         t0 = time.time()
+        _write_progress("flagship_setup", {})
         solver = RASolver(decompose(A_f, b_f, s_f, S))
         setup = time.time() - t0
+        _write_progress("flagship_compile", {})
         solver.run(chunk_iters=25)            # includes compile
+        _write_progress("flagship_warm", {})
         r_f = solver.run(chunk_iters=25)      # warm
         amort = {}
         try:
@@ -581,6 +613,7 @@ def main():
             row_pad_multiple=128, two_level=True,
             coarse_aggregates=16, coarse_space="spectral",
         )
+        _write_progress("ras_secondary", {})
         solver = RASolver(decompose(A2, b2, s2, S))
         solver.run(chunk_iters=100)           # includes compile
         r2 = solver.run(chunk_iters=100)      # warm
@@ -855,6 +888,7 @@ def _native_proofs(info_extra, on_tpu, remaining):
         if remaining() < 60:
             info_extra[f"{name}_skipped"] = "budget"
             return
+        _write_progress(f"proof:{name}", {})
         try:
             info_extra.update(fn())
         except Exception as e:  # pragma: no cover

@@ -181,12 +181,41 @@ def apply_remainder(
     rem_rows: jax.Array, rem_vals: jax.Array, rem_cols: jax.Array,
     x: jax.Array, y: jax.Array,
 ) -> jax.Array:
-    """Add the row-compact ELL remainder to y (gather volume O(Or * Wr))."""
+    """Add the row-compact ELL remainder to y (gather volume O(Or * Wr)).
+
+    Remainder rows are unique and ascending per subdomain (pads target the
+    scratch row R, which is sliced away).  For EMULATED f64 (TPU) the
+    gather and scatter run on the lossless hi/lo f32 split — XLA
+    scalarizes gathers/scatters of f32-pair-emulated doubles (profiled at
+    2.2 GB/s on the 512^2 flagship, 665 us per operator apply)."""
     S, R = y.shape
-    gathered = jnp.take_along_axis(
-        x, rem_cols.reshape(S, -1).astype(jnp.int32), axis=1
-    ).reshape(rem_cols.shape)
-    rem_y = jnp.einsum("sow,sow->so", rem_vals, gathered)     # (S, Or)
+    idx = rem_cols.reshape(S, -1).astype(jnp.int32)
+    from schwarz_tpu.ops.f64_split import f64_emulated, split_f64
+
+    emulated = x.dtype == jnp.float64 and f64_emulated()
+    if emulated:
+        hi, lo = split_f64(x)
+        gathered = (
+            jnp.take_along_axis(hi, idx, axis=1).astype(jnp.float64)
+            + jnp.take_along_axis(lo, idx, axis=1).astype(jnp.float64)
+        ).reshape(rem_cols.shape)
+    else:
+        gathered = jnp.take_along_axis(
+            x, idx, axis=1
+        ).reshape(rem_cols.shape)
+    # elementwise multiply + reduce: see ras._interface_contrib (XLA's
+    # emulated-f64 dot_general is ~59 GB/s; the Wr contraction is tiny)
+    rem_y = (rem_vals * gathered).sum(axis=-1)                # (S, Or)
     srows = jnp.broadcast_to(jnp.arange(S)[:, None], rem_rows.shape)
     ypad = jnp.pad(y, ((0, 0), (0, 1)))        # scratch row R for padded rows
-    return ypad.at[srows, rem_rows].add(rem_y)[:, :R]
+    if emulated and rem_y.dtype == jnp.float64:
+        rh, rl = split_f64(rem_y)
+        zeros = jnp.zeros(ypad.shape, jnp.float32)
+        zh = zeros.at[srows, rem_rows].set(
+            rh, indices_are_sorted=True, unique_indices=True)
+        zl = zeros.at[srows, rem_rows].set(
+            rl, indices_are_sorted=True, unique_indices=True)
+        return (ypad + (zh.astype(jnp.float64)
+                        + zl.astype(jnp.float64)))[:, :R]
+    return ypad.at[srows, rem_rows].add(
+        rem_y, indices_are_sorted=True, unique_indices=True)[:, :R]

@@ -220,25 +220,65 @@ def _spectral_coarse_basis(dec, q: int, r_int: int):
     return basis, A_c
 
 
+from schwarz_tpu.ops.f64_split import (
+    f64_emulated as _f64_emulated,
+    split_f64 as _split_f64,
+)
+
+
 def _interface_contrib(plan, x_ext: jax.Array) -> jax.Array:
     """(Sl, Oi) per-interface-row values of ``A_interface @ x_ext`` (the
     row-compacted product before scattering)."""
     iface_cols = plan["iface_cols"]              # (Sl, Oi, Wi)
     iface_vals = plan["iface_vals"]
     Sl = iface_cols.shape[0]
-    gathered = jnp.take_along_axis(
-        x_ext, iface_cols.reshape(Sl, -1).astype(jnp.int32), axis=1
-    ).reshape(iface_cols.shape)
-    return jnp.einsum("sow,sow->so", iface_vals, gathered)     # (Sl, Oi)
+    idx = iface_cols.reshape(Sl, -1).astype(jnp.int32)
+    if x_ext.dtype == jnp.float64 and _f64_emulated():
+        # XLA scalarizes gathers of emulated-f64 pairs (profiled at
+        # 2.2 GB/s, 665 us per outer iteration on the 512^2 flagship);
+        # two f32 gathers + exact recombination run at full gather speed
+        hi, lo = _split_f64(x_ext)
+        gathered = (
+            jnp.take_along_axis(hi, idx, axis=1).astype(jnp.float64)
+            + jnp.take_along_axis(lo, idx, axis=1).astype(jnp.float64)
+        ).reshape(iface_cols.shape)
+    else:
+        gathered = jnp.take_along_axis(
+            x_ext, idx, axis=1
+        ).reshape(iface_cols.shape)
+    # elementwise multiply + reduce instead of dot_general: the tiny Wi
+    # contraction gains nothing from the MXU, and XLA's emulated-f64
+    # dot_general runs at ~59 GB/s vs multi-hundred for VPU elementwise
+    # (profiled: 16 x 99 us per outer iteration on the 512^2 flagship)
+    return (iface_vals * gathered).sum(axis=-1)                # (Sl, Oi)
 
 
 def _interface_scatter(plan, contrib: jax.Array, base: jax.Array) -> jax.Array:
-    """``base + scatter(contrib)`` onto the interface rows."""
+    """``base + scatter(contrib)`` onto the interface rows.
+
+    Interface rows are unique per subdomain (row-compacted); padding
+    entries all target the extra column R, which is sliced away — so the
+    scatter may assume uniqueness/sortedness, and for f64 it runs as two
+    f32 scatter-SETs into zeros plus one fused dense f64 add (XLA's
+    emulated-f64 scatter-add is scalarized: profiled at 0.4 GB/s,
+    2 x 1.2 ms per outer iteration on the 512^2 flagship)."""
     iface_rows = plan["iface_rows"]              # (Sl, Oi)
     Sl, R = base.shape
     srows = jnp.broadcast_to(jnp.arange(Sl)[:, None], iface_rows.shape)
     base_pad = jnp.pad(base, ((0, 0), (0, 1)))
-    return base_pad.at[srows, iface_rows].add(contrib)[:, :R]
+    if (contrib.dtype == jnp.float64 and base.dtype == jnp.float64
+            and _f64_emulated()):
+        ch, cl = _split_f64(contrib)
+        zeros = jnp.zeros(base_pad.shape, jnp.float32)
+        zh = zeros.at[srows, iface_rows].set(
+            ch, indices_are_sorted=True, unique_indices=True)
+        zl = zeros.at[srows, iface_rows].set(
+            cl, indices_are_sorted=True, unique_indices=True)
+        out = base_pad + (zh.astype(jnp.float64)
+                          + zl.astype(jnp.float64))
+        return out[:, :R]
+    return base_pad.at[srows, iface_rows].add(
+        contrib, indices_are_sorted=True, unique_indices=True)[:, :R]
 
 
 def _interface_apply(plan, x_ext: jax.Array, base: jax.Array) -> jax.Array:
