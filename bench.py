@@ -579,7 +579,10 @@ def main():
             flagship_info = run_flagship()
         except Exception as e:  # pragma: no cover
             flagship_info = {"flagship_error": str(e)[:300]}
-    _write_progress("flagship", {"headline": headline})
+    # fold into the headline artifact: a later-section death must not cost
+    # the driver these results (they were stderr-only in the v4 test run)
+    headline.update(flagship_info)
+    emit("flagship_done")
 
     # ---- native proofs (each under its OWN try/except) ----------------------
     info_extra = {}
@@ -588,7 +591,9 @@ def main():
             _native_proofs(info_extra, on_tpu, remaining)
         except Exception as e:  # pragma: no cover
             info_extra["native_proofs_error"] = str(e)[:200]
-        _write_progress("native_proofs", {"headline": headline})
+        headline.update({k: v for k, v in info_extra.items()
+                         if not k.startswith("_")})
+        emit("proofs_done")
 
     # ---- secondary: RAS time-to-solution, paper-campaign two-stage config --
     def run_ras_secondary():
@@ -632,6 +637,8 @@ def main():
             ras_info = run_ras_secondary()
         except Exception as e:  # pragma: no cover
             ras_info = {"ras_error": str(e)}
+    headline.update(ras_info)
+    emit("ras_done")
 
     print(
         json.dumps(

@@ -65,7 +65,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -76,11 +76,6 @@ from schwarz_tpu.exceptions import NotImplementedFeature
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
-
-
-def _lane_rep(a2: np.ndarray) -> np.ndarray:
-    """(S, Rext) -> (S*Rext, 128) lane-replicated f32."""
-    return np.repeat(a2.reshape(-1, 1), 128, axis=1).astype(np.float32)
 
 
 @dataclasses.dataclass

@@ -21,7 +21,7 @@ reference uses CSR on GPU; the TPU-native answer is shift-based DIA).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
