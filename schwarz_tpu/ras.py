@@ -2128,11 +2128,12 @@ class RASolver:
         st["it_stop"] = jnp.int32(max_iters)
 
         t0 = time.perf_counter()
+        it_host = int(st["it"])      # one sync; carried on the host after
         while True:
             if chunk_iters is not None:
                 st = dict(st)
                 st["it_stop"] = jnp.int32(
-                    min(int(st["it"]) + chunk_iters, max_iters)
+                    min(it_host + chunk_iters, max_iters)
                 )
             final = self._run_fn(self._plan, st)
             st = final
@@ -2149,12 +2150,17 @@ class RASolver:
                 )
             if chunk_iters is None:
                 break
-            it = int(final["it"])
-            if (
-                int(final["nconv"]) >= S
-                or bool(final["diverged"])
-                or it >= max_iters
-            ):
+            # ONE host round-trip for the three chunk-exit scalars: on a
+            # tunneled backend each separate int()/bool() costs the ~25 ms
+            # call floor (profiled on the 512^2 flagship, where device
+            # busy is 41 ms/solve and host syncs dominated the wall)
+            it, nconv_v, div_v = (
+                int(v) for v in jax.device_get(
+                    (final["it"], final["nconv"], final["diverged"])
+                )
+            )
+            it_host = it
+            if nconv_v >= S or bool(div_v) or it >= max_iters:
                 break
         x_own = np.asarray(jax.block_until_ready(final["x_own"]))
         elapsed = time.perf_counter() - t0
