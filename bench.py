@@ -374,34 +374,19 @@ def main():
             t_stream, stream_spread, _, _ = _slope_fit(step_stream, big)
             stream_bps = big.size * 4 * 2 / t_stream  # read + write
 
-            # read-only streaming (what the SpMV minimal-traffic model
-            # matches: dia_vals are never written back).  The slice start
-            # depends on the carry so XLA cannot hoist the reduction out
-            # of the timing loop (a carry-independent big.sum() WAS
-            # hoisted, yielding a nonsense negative slope).
-            nmaj = big.shape[0] - 1
-
-            def step_read(c):
-                i = jnp.int32(c) % 2
-                s = jax.lax.dynamic_slice_in_dim(big, i, nmaj, axis=0)
-                return c * 0.5 + s.sum() * 1e-30 + 1.0
-
-            t_read, read_spread, _, _ = _slope_fit(
-                step_read, jnp.float32(1.0))
+            # Two measured denominators: the r+w elementwise pipeline
+            # (what compute-path metrics ride) here, and the DMA
+            # contiguous-copy rate (what the halo metric rides) in the
+            # halo section.  A read-only calibration was attempted and
+            # dropped: XLA hoists or algebraically folds every
+            # carry-dependent formulation of a pure read out of the
+            # timing loop, so its slope never stabilizes.  Note the r+w
+            # pipeline UNDERSTATES pure-read streaming — the SpMV's
+            # effective read bandwidth legitimately exceeds it.
             calibration.update({
                 "measured_stream_gbps": stream_bps / 1e9,
                 "stream_fit_spread": stream_spread,
             })
-            if t_read > 0 and read_spread < 0.5:
-                read_bps = nmaj * 1024 * 1024 * 4 / t_read
-                calibration.update({
-                    "measured_read_gbps": read_bps / 1e9,
-                    "read_fit_spread": read_spread,
-                })
-                headline["spmv_vs_measured_read"] = (
-                    nnz_per_s / (nnz / (minimal_bytes / read_bps)))
-            else:
-                quality_flags["read_calibration_unstable"] = read_spread
             headline["calibration"] = calibration
             emit("calibration")
         except Exception as e:  # pragma: no cover
