@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Any, Dict, Optional
 
@@ -475,8 +476,10 @@ class RASolver:
         on_tpu = self.mesh.devices.reshape(-1)[0].platform != "cpu"
         iv_np, ic_np = dec.iface_vals, dec.iface_cols
         # (CPU keeps the gather formulation: native gathers are fast there
-        # and the shift loop would only add padding traffic)
-        if iv_np.size and on_tpu:
+        # and the shift loop would only add padding traffic.
+        # SCHWARZ_TPU_IFACE_DIA=1 forces the DIA path for CPU parity tests)
+        force_ifc = os.environ.get("SCHWARZ_TPU_IFACE_DIA") == "1"
+        if iv_np.size and (on_tpu or force_ifc):
             from schwarz_tpu.ops.dia import split_dia_ell
 
             Oi = iv_np.shape[1]
