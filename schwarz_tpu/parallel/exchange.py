@@ -160,6 +160,7 @@ def assemble_x_ext_runs(
     run_dst,                   # per class: (Sl, NR_c)
     r_ext: int,
     compute_dtype,
+    uniq_offs=None,            # static distinct interior offsets (global)
 ) -> jax.Array:
     """Run-based x_ext assembly: exact-length vector copies per subdomain
     instead of an element-wise gather/scatter (see RunPlan).  Interior window
@@ -176,16 +177,29 @@ def assemble_x_ext_runs(
     Sl, r_int = x_own.shape
     L_max = max(lengths)
     pad = max(r_int, L_max) + 1
-    buf = jnp.zeros((Sl, r_ext + pad), x_own.dtype)
     n_runs = sum(s.shape[1] for s in run_src)
     unroll = Sl * (n_runs + 1) <= UNROLL_LIMIT
-    if unroll:
+    if uniq_offs is not None:
+        # K static pad variants row-selected by the traced offsets — one
+        # fused full-bandwidth XLA kernel (the per-row DUS forms below
+        # re-roll into a SEQUENTIAL 250 us/call loop on TPU; profiled on
+        # the 512^2 flagship).  Same trick as halo_pallas.window_insert_xla.
+        W = r_ext + pad
+        off_col = interior_off.astype(jnp.int32)[:, None]
+        buf = jnp.pad(
+            x_own, ((0, 0), (uniq_offs[0], W - uniq_offs[0] - r_int)))
+        for o in uniq_offs[1:]:
+            v = jnp.pad(x_own, ((0, 0), (o, W - o - r_int)))
+            buf = jnp.where(off_col == o, v, buf)
+    elif unroll:
+        buf = jnp.zeros((Sl, r_ext + pad), x_own.dtype)
         for s in range(Sl):
             buf = jax.lax.dynamic_update_slice(
                 buf, x_own[s:s + 1],
                 (jnp.int32(s), interior_off[s].astype(jnp.int32)),
             )
     else:
+        buf = jnp.zeros((Sl, r_ext + pad), x_own.dtype)
         buf = jax.vmap(
             lambda b, xo, o: jax.lax.dynamic_update_slice(b, xo, (o,))
         )(buf, x_own, interior_off)
@@ -225,6 +239,7 @@ def exchange_halo_allgather(
     tiled_plan=None,           # halo_pallas.TiledRunPlan (fused DMA path)
     tiled_tables=None,         # jnp (src_0, dst_0, src_1, dst_1, ...) shards
     fused_interpret: bool = False,
+    uniq_offs=None,            # static distinct interior offsets (global)
 ) -> jax.Array:
     """Return x_ext (Sl, R_ext) in the compute dtype.
 
@@ -249,7 +264,7 @@ def exchange_halo_allgather(
         lengths, run_src, run_dst = run_plan_arrays
         return assemble_x_ext_runs(
             x_own, x_all.reshape(-1), interior_off, lengths, run_src,
-            run_dst, r_ext, compute_dtype,
+            run_dst, r_ext, compute_dtype, uniq_offs=uniq_offs,
         )
     halo_vals = x_all.reshape(-1)[halo_src].astype(compute_dtype)  # (Sl, H)
     return assemble_x_ext(x_own, interior_off, halo_slots, halo_vals, r_ext)

@@ -472,7 +472,16 @@ class RASolver:
         # ELL remainder), so the per-iteration interface contribution
         # becomes static shifts instead of XLA's scalar-load gather
         # (profiled at 665 us/outer-iteration at 512^2 f64).
+        # interior-window extraction: the per-subdomain offsets are a tiny
+        # host-known set, so the window can be K static whole-array slices
+        # selected per subdomain (SPMD-identical program; the vmapped
+        # dynamic_slice lowers to a SEQUENTIAL per-row copy loop on TPU —
+        # profiled at 250 us/outer-iteration at 512^2)
+        uniq_off = sorted(set(int(v) for v in dec.interior_offset))
+        self._int_off_variants = (
+            tuple(uniq_off) if len(uniq_off) <= 8 else None)
         self._iface_offsets = None
+        self._iface_mode = "gather"
         on_tpu = self.mesh.devices.reshape(-1)[0].platform != "cpu"
         iv_np, ic_np = dec.iface_vals, dec.iface_cols
         # (CPU keeps the gather formulation: native gathers are fast there
@@ -482,19 +491,50 @@ class RASolver:
         if iv_np.size and (on_tpu or force_ifc):
             from schwarz_tpu.ops.dia import split_dia_ell
 
-            Oi = iv_np.shape[1]
-            hybi = split_dia_ell(
-                iv_np, ic_np, np.full(iv_np.shape[0], Oi), max_diags=24)
+            Sd, Oi, Wi = iv_np.shape
+            R_r = self.meta.max_rows
             tot_nnz = max(int((iv_np != 0).sum()), 1)
-            rem_nnz = int((hybi.rem_vals != 0).sum())
-            if hybi.offsets and rem_nnz / tot_nnz <= 0.2:
-                self._iface_offsets = hybi.offsets
-                plan["iface_dia_vals"] = put(
-                    hybi.dia_vals.astype(dtype))
-                plan["iface_rem_rows"] = put(hybi.rem_rows)
-                plan["iface_rem_vals"] = put(
-                    hybi.rem_vals.astype(dtype))
-                plan["iface_rem_cols"] = put(hybi.rem_cols)
+            # SPREAD form first — diagonals in the TRUE row space, so the
+            # contribution lands already scattered (rhs_eff is one
+            # elementwise subtract; no scatter at all).  Regular 1-D
+            # closures are affine here (512²/1M: 3 diagonals, zero
+            # remainder); 2-D/metis closures are not and fall through to
+            # the COMPACT form (diagonals over compacted interface rows +
+            # the split-scatter), then to the gather formulation.
+            ir_np = dec.iface_rows
+            ell_v = np.zeros((Sd, R_r + 1, Wi), iv_np.dtype)
+            ell_c = np.zeros((Sd, R_r + 1, Wi), np.int64)
+            s_ix = np.arange(Sd)[:, None, None]
+            o_ix = np.broadcast_to(ir_np[:, :, None].astype(np.int64),
+                                   iv_np.shape)
+            w_ix = np.broadcast_to(np.arange(Wi)[None, None, :],
+                                   iv_np.shape)
+            ell_v[s_ix, o_ix, w_ix] = iv_np
+            ell_c[s_ix, o_ix, w_ix] = ic_np
+            hyb_sp = split_dia_ell(
+                ell_v[:, :R_r], ell_c[:, :R_r], np.full(Sd, R_r),
+                max_diags=24)
+            rem_sp = int((hyb_sp.rem_vals != 0).sum())
+            if hyb_sp.offsets and rem_sp / tot_nnz <= 0.2:
+                self._iface_mode = "spread"
+                self._iface_offsets = hyb_sp.offsets
+                plan["iface_dia_vals"] = put(hyb_sp.dia_vals.astype(dtype))
+                plan["iface_rem_rows"] = put(hyb_sp.rem_rows)
+                plan["iface_rem_vals"] = put(hyb_sp.rem_vals.astype(dtype))
+                plan["iface_rem_cols"] = put(hyb_sp.rem_cols)
+            else:
+                hybi = split_dia_ell(
+                    iv_np, ic_np, np.full(Sd, Oi), max_diags=24)
+                rem_nnz = int((hybi.rem_vals != 0).sum())
+                if hybi.offsets and rem_nnz / tot_nnz <= 0.2:
+                    self._iface_mode = "compact"
+                    self._iface_offsets = hybi.offsets
+                    plan["iface_dia_vals"] = put(
+                        hybi.dia_vals.astype(dtype))
+                    plan["iface_rem_rows"] = put(hybi.rem_rows)
+                    plan["iface_rem_vals"] = put(
+                        hybi.rem_vals.astype(dtype))
+                    plan["iface_rem_cols"] = put(hybi.rem_cols)
         # DIA+remainder local operator (gather-free SpMV; ops/dia.py) — the
         # hot-path format on TPU, where XLA's gather is scalar-unit bound
         self._dia_offsets = None
@@ -1146,35 +1186,83 @@ class RASolver:
         lc = plan_block["lmat_cols"]
         return lambda x: ell_spmv_batched(lv, lc, x)
 
-    def _ifc_contrib(self, plan_block, x_ext):
-        """Interface contribution (Sl, Oi): DIA shifts over the compacted
-        interface rows when the split engaged at build, else the gather
-        formulation of :func:`_interface_contrib`."""
-        offs = self._iface_offsets
-        if offs is None or "iface_dia_vals" not in plan_block:
-            return _interface_contrib(plan_block, x_ext)
+    def _extract_int(self, plan_block, z):
+        """Interior window per subdomain — K static slices + selects when
+        the offset set is small (TPU-friendly), else the general vmapped
+        dynamic_slice of :func:`_extract_interior`."""
+        R_int = self.meta.max_interior
+        vs = self._int_off_variants
+        if vs is None:
+            return _extract_interior(
+                z, plan_block["interior_off"], R_int,
+                plan_block["interior_mask"])
+        off = plan_block["interior_off"][:, None]
+        zp = jnp.pad(z, ((0, 0), (0, R_int)))
+        win = jnp.zeros((z.shape[0], R_int), z.dtype)
+        for v in vs:
+            win = jnp.where(
+                off == v,
+                jax.lax.slice(zp, (0, v), (zp.shape[0], v + R_int)),
+                win,
+            )
+        return jnp.where(plan_block["interior_mask"], win, 0.0)
+
+    def _ifc_dia(self, plan_block, x_ext):
+        """DIA interface contribution: (Sl, Oi) compact values in
+        ``compact`` mode, (Sl, R) row-spread values in ``spread`` mode."""
         from schwarz_tpu.ops.dia import apply_remainder
 
-        vals = plan_block["iface_dia_vals"]          # (Sl, K, Oi)
-        Sl, K, Oi = vals.shape
+        offs = self._iface_offsets
+        vals = plan_block["iface_dia_vals"]          # (Sl, K, W)
+        Sl, K, W = vals.shape
         M = max(abs(o) for o in offs)
-        xp = jnp.pad(x_ext, ((0, 0), (M, M + Oi)))
-        g = jnp.zeros((Sl, Oi), x_ext.dtype)
+        xp = jnp.pad(x_ext, ((0, 0), (M, M + W)))
+        g = jnp.zeros((Sl, W), x_ext.dtype)
         for k, off in enumerate(offs):
             g = g + vals[:, k, :] * jax.lax.dynamic_slice_in_dim(
-                xp, M + off, Oi, axis=1)
+                xp, M + off, W, axis=1)
         return apply_remainder(
             plan_block["iface_rem_rows"], plan_block["iface_rem_vals"],
             plan_block["iface_rem_cols"], x_ext, g)
 
+    def _ifc_contrib(self, plan_block, x_ext):
+        """Interface contribution COMPACTED to (Sl, Oi) whatever the
+        build-time formulation (gather / compact DIA / spread DIA)."""
+        mode = self._iface_mode
+        if mode == "gather" or "iface_dia_vals" not in plan_block:
+            return _interface_contrib(plan_block, x_ext)
+        g = self._ifc_dia(plan_block, x_ext)
+        if mode == "compact":
+            return g
+        gp = jnp.pad(g, ((0, 0), (0, 1)))
+        return jnp.take_along_axis(
+            gp, plan_block["iface_rows"].astype(jnp.int32), axis=1)
+
     def _ifc_update_with_contrib(self, plan_block, x_ext):
-        """(rhs_eff, g): update_boundary via the fast contribution."""
+        """(rhs_eff, g_repr): update_boundary plus the interface
+        contribution — as the SPREAD field in ``spread`` mode (one
+        elementwise subtract, no scatter), as the compact (Sl, Oi)
+        values otherwise.  Callers branch on ``self._iface_mode``."""
+        if (self._iface_mode == "spread"
+                and "iface_dia_vals" in plan_block):
+            g_spread = self._ifc_dia(plan_block, x_ext)
+            return plan_block["local_rhs"] - g_spread, g_spread
         g = self._ifc_contrib(plan_block, x_ext)
         return (
             _interface_scatter(plan_block, -g, plan_block["local_rhs"]), g)
 
+    def _ifc_compact(self, plan_block, g_spread):
+        """Row-compacted (Sl, Oi) values from a spread contribution
+        (exact: the spread field is zero off the interface rows)."""
+        gp = jnp.pad(g_spread, ((0, 0), (0, 1)))
+        return jnp.take_along_axis(
+            gp, plan_block["iface_rows"].astype(jnp.int32), axis=1)
+
     def _ifc_apply(self, plan_block, x_ext, base):
         """base + A_interface @ x_ext via the fast contribution."""
+        if (self._iface_mode == "spread"
+                and "iface_dia_vals" in plan_block):
+            return base + self._ifc_dia(plan_block, x_ext)
         return _interface_scatter(
             plan_block, self._ifc_contrib(plan_block, x_ext), base)
 
@@ -1373,6 +1461,7 @@ class RASolver:
             return exchange_halo_allgather(
                 x_own, plan["interior_off"], plan["halo_slots"],
                 plan["halo_src_halo"], meta.max_ext, halo_dtype=halo_dtype,
+                uniq_offs=self._int_off_variants,
                 tiled_plan=tp,
                 tiled_tables=(
                     tuple(
@@ -1437,7 +1526,7 @@ class RASolver:
             else:
                 x_ext = x_ext_carry = fresh
             # --- update_boundary: rhs_eff = b_loc - A_interface x_ext -------
-            rhs_eff, iface_g = self._ifc_update_with_contrib(plan, x_ext)
+            rhs_eff, g_repr = self._ifc_update_with_contrib(plan, x_ext)
             x_trace = x_ext[:, :R_rows]     # Robin data under O-RAS
             # --- local residual (solve.cpp:795-856) -------------------------
             r = rhs_eff - self._apply_local(plan)(x_ext[:, :R_rows])
@@ -1470,9 +1559,7 @@ class RASolver:
             # corrected boundary data.  (Additive combination of coarse + local
             # updates from ONE residual double-corrects and diverges.)
             if _has_coarse(plan):
-                r_int_win = _extract_interior(
-                    r, plan["interior_off"], R_int, plan["interior_mask"]
-                )
+                r_int_win = self._extract_int(plan, r)
                 cfield = _coarse_correct(plan, r_int_win)
                 corr = jnp.where(
                     conv_state.detected[:, None], 0.0,
@@ -1480,7 +1567,7 @@ class RASolver:
                 )
                 x_own = x_own + corr
                 x_ext2 = do_exchange(plan, x_own)
-                rhs_eff, iface_g = self._ifc_update_with_contrib(
+                rhs_eff, g_repr = self._ifc_update_with_contrib(
                     plan, x_ext2)
                 x_trace = x_ext2[:, :R_rows]
                 # the correction-form update solves against the residual, which
@@ -1508,6 +1595,8 @@ class RASolver:
                     # the halo collective overlaps the rest of the body
                     # (fixed point unchanged — linearity of the solve)
                     zb = plan["z_base"]
+                    iface_g = (self._ifc_compact(plan, g_repr)
+                               if self._iface_mode == "spread" else g_repr)
                     z = (zb - jnp.einsum(
                         "sro,so->sr", plan["factor_inv_iface"],
                         iface_g.astype(zb.dtype),
@@ -1523,8 +1612,10 @@ class RASolver:
                     # at build.  Same linearity identity as the direct
                     # split, solver-agnostic like the reference's
                     # enable_overlap (restricted_schwarz.cpp:886-943).
-                    g_field = _interface_scatter(
-                        plan, iface_g, jnp.zeros_like(rhs_eff))
+                    g_field = (g_repr if self._iface_mode == "spread"
+                               else _interface_scatter(
+                                   plan, g_repr,
+                                   jnp.zeros_like(rhs_eff)))
                     w, inner, inner_rel = self._local_solve(
                         plan, g_field, z_prev, outer_it=st["it"])
                     sol_field = (plan["z_base"] - w).astype(rhs_eff.dtype)
@@ -1540,10 +1631,7 @@ class RASolver:
                 z = jnp.where(frozen, z_prev, z)
                 if sol_field is None:
                     sol_field = z
-                z_int = _extract_interior(
-                    sol_field, plan["interior_off"], R_int,
-                    plan["interior_mask"]
-                )
+                z_int = self._extract_int(plan, sol_field)
                 if residual_update:
                     x_new = x_own + z_int
                 else:
@@ -1738,9 +1826,7 @@ class RASolver:
 
         def coarse(plan, x_own, r, detected):
             # two-level aggregation correction (fused-loop equivalent)
-            r_int_win = _extract_interior(
-                r, plan["interior_off"], R_int, plan["interior_mask"]
-            )
+            r_int_win = self._extract_int(plan, r)
             cfield = _coarse_correct(plan, r_int_win)
             corr = jnp.where(
                 detected[:, None], 0.0,
@@ -1779,9 +1865,7 @@ class RASolver:
             return z, inner
 
         def scatter_stage(plan, z, x_own, detected):
-            z_int = _extract_interior(
-                z, plan["interior_off"], R_int, plan["interior_mask"]
-            )
+            z_int = self._extract_int(plan, z)
             x_new = x_own + z_int if residual_update else z_int
             return jnp.where(detected[:, None], x_own, x_new)
 
@@ -1976,18 +2060,14 @@ class RASolver:
             # overlap == 1 interior rows DO carry interface entries and
             # dropping them would make the operator block-diagonal.
             av = self._ifc_apply(plan, v_ext, av)
-            return _extract_interior(
-                av, plan["interior_off"], R_int, plan["interior_mask"]
-            )
+            return self._extract_int(plan, av)
 
         def precond(r):
             r_ext = do_exchange(plan, r)
             z, _, _ = self._local_solve(
                 plan, r_ext[:, :R_rows], jnp.zeros((Sl, R_rows), dtype)
             )
-            mr = _extract_interior(
-                z, plan["interior_off"], R_int, plan["interior_mask"]
-            )
+            mr = self._extract_int(plan, z)
             if _has_coarse(plan):
                 cfield = _coarse_correct(
                     plan, jnp.where(plan["interior_mask"], r, 0.0)
