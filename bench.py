@@ -184,7 +184,12 @@ def _slope_fit(step, x0, target_t=0.15, tries=3):
         slopes.append((t_of(r2) - t_of(r1)) / (n2 - n1))
     mean = 0.5 * (slopes[0] + slopes[1])
     spread = abs(slopes[0] - slopes[1]) / max(abs(mean), 1e-12)
-    return mean, spread, n1, slopes
+    # capability estimate = the SMALLER slope: tunnel stalls and backend
+    # contention only ever ADD time (same-day full-run spread measured
+    # 175-193 Gnnz/s on identical code); the spread guard above still
+    # rejects inconsistent pairs
+    best = min(slopes) if all(s > 0 for s in slopes) else mean
+    return best, spread, n1, slopes
 
 
 def _fit(step, x0, name, suspects, target_t=0.15):
