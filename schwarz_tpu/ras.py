@@ -449,7 +449,11 @@ class RASolver:
         shard = jax.sharding.NamedSharding(self.mesh, P(SUBD_AXIS))
 
         def put(x):
-            return jax.device_put(jnp.asarray(x), shard)
+            # DEFERRED: host arrays stay numpy during the build and move
+            # in ONE batched jax.device_put at the end — every separate
+            # transfer costs the tunneled backend's ~0.5 s call latency
+            # (profiled: 30 puts = 15 s of the flagship setup)
+            return np.asarray(x)
 
         plan: Dict[str, jax.Array] = {
             "lmat_vals": put(dec.lmat_vals.astype(dtype)),
@@ -1068,6 +1072,11 @@ class RASolver:
             # factor setup; the iterative inner apply uses dia_vals_solve
             plan.pop("lmat_vals_solve", None)
             plan.pop("lmat_vals_solve_lc", None)
+        # one batched transfer for the whole plan (resharding any device
+        # entries produced mid-build onto the subdomain sharding)
+        keys = list(plan.keys())
+        moved = jax.device_put([plan[k] for k in keys], [shard] * len(keys))
+        plan = dict(zip(keys, moved))
         if self._split_iterative:
             # hoisted half of the correction-form split:
             # A_loc z_base = b_loc, solved once here with an UNCAPPED inner
