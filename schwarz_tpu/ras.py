@@ -202,7 +202,8 @@ def _spectral_coarse_basis(dec, q: int, r_int: int):
     """
     import scipy.sparse as sp
 
-    from schwarz_tpu.core.coarse import (build_prolongator,
+    from schwarz_tpu.core.coarse import (_coarse_cache_path,
+                                         build_prolongator,
                                          neumann_spectral_vectors)
 
     gm = dec.global_matrix
@@ -210,6 +211,18 @@ def _spectral_coarse_basis(dec, q: int, r_int: int):
     A = sp.csr_matrix(
         (gm.values, gm.col_idxs, gm.row_ptrs), shape=(gm.n, gm.n)
     )
+    # the eigensolves are cached content-addressed; cache the packed basis
+    # and Galerkin product too (the V^T A V sparse-dense product alone
+    # costs ~3 s at 512^2 and is equally deterministic)
+    cp = _coarse_cache_path(A, dec.first_row[:S + 1], q)
+    acp = None
+    if cp is not None:
+        d, fn = os.path.split(cp)
+        acp = os.path.join(d, fn.replace(
+            "coarse_", f"coarse_galerkin{r_int}_", 1))
+    if acp is not None and os.path.exists(acp):
+        with np.load(acp) as z:
+            return z["basis"], z["A_c"]
     vectors = neumann_spectral_vectors(A, dec.first_row[:S + 1], q)
     basis = np.zeros((S, q, r_int), dtype=np.float64)
     for sd in range(S):
@@ -218,6 +231,16 @@ def _spectral_coarse_basis(dec, q: int, r_int: int):
             basis[sd, :vecs.shape[1], :vecs.shape[0]] = vecs.T
     V = build_prolongator(vectors, dec.first_row[:S + 1], gm.n, q)
     A_c = np.asarray((V.T @ (A @ V)).todense(), dtype=np.float64)
+    if acp is not None:
+        import tempfile
+
+        # suffix must END in .npz or np.savez appends one and the
+        # os.replace would move the empty mkstemp file instead
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(acp),
+                                   suffix=".npz")
+        os.close(fd)
+        np.savez_compressed(tmp, basis=basis, A_c=A_c)
+        os.replace(tmp, acp)   # atomic: concurrent writers race safely
     return basis, A_c
 
 
