@@ -146,7 +146,7 @@ def _make_chain(step):
     return chain
 
 
-def _slope_fit(step, x0, target_t=0.15, tries=3):
+def _slope_fit(step, x0, target_t=0.15, tries=3, samples=2):
     """Marginal per-iteration cost of ``step`` (seconds) by two-point slope.
 
     Same compiled chain at N1 and N2 = 3*N1 reps (both >= target_t seconds
@@ -180,27 +180,35 @@ def _slope_fit(step, x0, target_t=0.15, tries=3):
         return float(np.median(ts))
 
     slopes = []
-    for _ in range(2):
+    for _ in range(samples):
         slopes.append((t_of(r2) - t_of(r1)) / (n2 - n1))
-    mean = 0.5 * (slopes[0] + slopes[1])
-    spread = abs(slopes[0] - slopes[1]) / max(abs(mean), 1e-12)
-    # capability estimate = the SMALLER slope: tunnel stalls and backend
+    mean = float(np.mean(slopes))
+    # capability estimate = the SMALLEST slope: tunnel stalls and backend
     # contention only ever ADD time (same-day full-run spread measured
-    # 175-193 Gnnz/s on identical code); the spread guard above still
-    # rejects inconsistent pairs
-    best = min(slopes) if all(s > 0 for s in slopes) else mean
+    # 175-193 Gnnz/s on identical code), so min-of-samples converges on the
+    # uncontended capability as samples grow; the HEADLINE fit takes three
+    # samples (~2 s extra, halves the min's upward bias), secondary
+    # rooflines two (budget).  Consistency is judged on the two SMALLEST
+    # samples (one stall-inflated outlier must not retry or zero an
+    # otherwise-valid fit); the guard in _fit still rejects fits whose
+    # best two samples disagree.
+    srt = sorted(slopes)
+    spread = (srt[1] - srt[0]) / max(abs(srt[0]), 1e-12)
+    best = srt[0] if all(s > 0 for s in slopes) else mean
     return best, spread, n1, slopes
 
 
-def _fit(step, x0, name, suspects, target_t=0.15):
+def _fit(step, x0, name, suspects, target_t=0.15, samples=2):
     """Robust fit: retry unstable/non-positive slopes at doubled duration;
     a still-bad fit lands in ``suspects``."""
     # heartbeat BEFORE the (possibly minutes-long on a cold cache) compile
     # + fit so the guard's stall detector sees liveness
     _write_progress(f"fit:{name}", {"headline": {}})
-    mean, spread, n1, _ = _slope_fit(step, x0, target_t=target_t)
+    mean, spread, n1, _ = _slope_fit(step, x0, target_t=target_t,
+                                     samples=samples)
     if mean <= 0 or spread > 0.15:
-        mean, spread, n1, _ = _slope_fit(step, x0, target_t=2 * target_t)
+        mean, spread, n1, _ = _slope_fit(step, x0, target_t=2 * target_t,
+                                         samples=samples)
     if mean <= 0:
         suspects.append((f"{name}_nonpositive_slope", mean))
         mean = float("inf")
@@ -311,7 +319,7 @@ def main():
         return xx.at[:, :R_rows].set(y * 1e-6 + 1.0)
 
     fatal = []  # headline suspects: these zero the bench
-    t_xla, xla_spread = _fit(step_spmv_xla, x0, "spmv_xla", fatal)
+    t_xla, xla_spread = _fit(step_spmv_xla, x0, "spmv_xla", fatal, samples=3)
     _write_progress("spmv_fit_xla_done", {"headline": headline})
     from schwarz_tpu.ops.pallas_kernels import dia_spmv_supported
 
